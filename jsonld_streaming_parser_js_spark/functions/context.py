@@ -1,0 +1,546 @@
+"""JSON-LD 1.1 context processing.
+
+From-scratch implementation of the W3C JSON-LD 1.1 "Context Processing
+Algorithm" and "IRI Expansion" (https://www.w3.org/TR/json-ld11-api/ sections
+4.1-4.2). The reference outsources this surface to the
+``jsonld-context-parser`` package (``/root/reference/package.json:66``,
+``/root/reference/lib/ParsingContext.ts:107-181``); we re-implement the
+algorithm directly so the whole kernel is dependency-free pure Python that
+runs inside Arrow UDF workers.
+
+Remote contexts are NEVER fetched here: callers pass ``ctx_cache``, a plain
+``{context IRI -> parsed JSON document}`` dict. In the Spark pipeline that
+dict is prefetched on the driver and broadcast (north-star "broadcast context
+cache"), so executors do no per-row network I/O.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+from . import iri as iri_mod
+
+KEYWORDS = frozenset({
+    "@base", "@container", "@context", "@direction", "@graph", "@id",
+    "@import", "@included", "@index", "@json", "@language", "@list", "@nest",
+    "@none", "@prefix", "@propagate", "@protected", "@reverse", "@set",
+    "@type", "@value", "@version", "@vocab", "@annotation", "@default",
+    "@any", "@embed", "@explicit", "@omitDefault", "@preserve", "@requireAll",
+})
+
+# sentinel: "not specified" (distinct from explicit null)
+UNSET = object()
+
+
+class JsonLdError(ValueError):
+    """Coded JSON-LD error (mirrors the reference's ERROR_CODES channel,
+    ``/root/reference/lib/ParsingContext.ts:380-382``)."""
+
+    def __init__(self, code: str, message: str = ""):
+        super().__init__(f"{code}: {message}" if message else code)
+        self.code = code
+
+
+def is_keyword(value: Any) -> bool:
+    return isinstance(value, str) and value in KEYWORDS
+
+
+_KEYWORD_FORM = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def has_keyword_form(value: str) -> bool:
+    """``@`` followed by one or more ALPHA: reserved, ignored if unknown."""
+    return (len(value) > 1 and value.startswith("@")
+            and all(c in _KEYWORD_FORM for c in value[1:]))
+
+
+def as_list(value) -> list:
+    return value if isinstance(value, list) else [value]
+
+
+@dataclass
+class TermDefinition:
+    iri: str | None = None            # None = explicitly decoupled (@id: null)
+    prefix: bool = False
+    protected: bool = False
+    reverse: bool = False
+    base_url: str | None = None
+    context: Any = UNSET              # raw scoped context (unprocessed)
+    container: frozenset = frozenset()
+    direction: Any = UNSET            # 'ltr' | 'rtl' | None | UNSET
+    index: str | None = None
+    language: Any = UNSET             # str | None | UNSET
+    nest: str | None = None
+    type_mapping: str | None = None
+
+    def same_except_protected(self, other: "TermDefinition") -> bool:
+        return (replace(self, protected=False)
+                == replace(other, protected=False))
+
+
+@dataclass
+class Context:
+    terms: dict[str, TermDefinition] = field(default_factory=dict)
+    base: str | None = None
+    original_base: str | None = None
+    vocab: str | None = None
+    language: str | None = None
+    direction: str | None = None
+    previous_context: "Context | None" = None
+
+    def copy(self) -> "Context":
+        return Context(terms=dict(self.terms), base=self.base,
+                       original_base=self.original_base, vocab=self.vocab,
+                       language=self.language, direction=self.direction,
+                       previous_context=self.previous_context)
+
+    def has_protected_terms(self) -> bool:
+        return any(td.protected for td in self.terms.values())
+
+    # -- term-definition accessors used by expansion ------------------------
+
+    def term(self, key: str) -> TermDefinition | None:
+        return self.terms.get(key)
+
+
+def initial_context(base_iri: str | None) -> Context:
+    return Context(base=base_iri, original_base=base_iri)
+
+
+MAX_REMOTE_CONTEXTS = 32
+
+
+def process_context(active: Context, local_ctx, base_url: str | None,
+                    ctx_cache: dict | None = None,
+                    remote_contexts: frozenset = frozenset(),
+                    override_protected: bool = False,
+                    propagate: bool = True,
+                    validate_scoped: bool = True) -> Context:
+    """W3C JSON-LD 1.1 Context Processing Algorithm (section 4.1)."""
+    ctx_cache = ctx_cache or {}
+    result = active.copy()
+    if isinstance(local_ctx, dict) and "@propagate" in local_ctx:
+        propagate = local_ctx["@propagate"]
+        if not isinstance(propagate, bool):
+            raise JsonLdError("invalid @propagate value", repr(propagate))
+    if not propagate and result.previous_context is None:
+        result.previous_context = active
+
+    for context in as_list(local_ctx):
+        if context is None:
+            if not override_protected and active.has_protected_terms():
+                raise JsonLdError(
+                    "invalid context nullification",
+                    "tried to nullify a context with protected terms")
+            result = Context(base=active.original_base,
+                             original_base=active.original_base,
+                             previous_context=None if propagate else active)
+            continue
+
+        if isinstance(context, str):
+            ctx_iri = iri_mod.resolve(base_url, context)
+            if len(remote_contexts) > MAX_REMOTE_CONTEXTS:
+                raise JsonLdError("context overflow", ctx_iri)
+            if ctx_iri in remote_contexts:
+                raise JsonLdError("recursive context inclusion", ctx_iri)
+            if ctx_iri not in ctx_cache:
+                raise JsonLdError("loading remote context failed",
+                                  f"{ctx_iri} not in broadcast context cache")
+            remote_doc = ctx_cache[ctx_iri]
+            if not isinstance(remote_doc, dict) or "@context" not in remote_doc:
+                raise JsonLdError("invalid remote context", ctx_iri)
+            result = process_context(
+                result, remote_doc["@context"], ctx_iri, ctx_cache,
+                remote_contexts | {ctx_iri}, propagate=propagate,
+                validate_scoped=validate_scoped)
+            continue
+
+        if not isinstance(context, dict):
+            raise JsonLdError("invalid local context", repr(context))
+
+        if "@version" in context:
+            if context["@version"] != 1.1:
+                raise JsonLdError("invalid @version value",
+                                  repr(context["@version"]))
+
+        if "@import" in context:
+            imp = context["@import"]
+            if not isinstance(imp, str):
+                raise JsonLdError("invalid @import value", repr(imp))
+            imp_iri = iri_mod.resolve(base_url, imp)
+            if imp_iri not in ctx_cache:
+                raise JsonLdError("loading remote context failed", imp_iri)
+            imp_ctx = ctx_cache[imp_iri].get("@context")
+            if not isinstance(imp_ctx, dict):
+                raise JsonLdError("invalid remote context", imp_iri)
+            if "@import" in imp_ctx:
+                raise JsonLdError("invalid context entry",
+                                  "@import inside imported context")
+            context = {**imp_ctx, **context}
+
+        if "@base" in context and not remote_contexts:
+            value = context["@base"]
+            if value is None:
+                result.base = None
+            elif isinstance(value, str) and iri_mod.is_absolute_iri(value):
+                result.base = value
+            elif isinstance(value, str) and result.base is not None:
+                result.base = iri_mod.resolve(result.base, value)
+            else:
+                raise JsonLdError("invalid base IRI", repr(value))
+
+        if "@vocab" in context:
+            value = context["@vocab"]
+            if value is None:
+                result.vocab = None
+            elif isinstance(value, str):
+                if value.startswith("_:") or value == "":
+                    vocab = expand_iri(result, value, vocab=True,
+                                       document_relative=True)
+                else:
+                    vocab = expand_iri(result, value, vocab=True,
+                                       document_relative=True)
+                if vocab is not None and (vocab.startswith("_:")
+                                          or iri_mod.is_absolute_iri(vocab)
+                                          or vocab == ""):
+                    result.vocab = vocab
+                elif vocab is not None:
+                    # relative @vocab (1.1): concatenated onto current vocab
+                    result.vocab = (result.vocab or "") + value
+                else:
+                    raise JsonLdError("invalid vocab mapping", repr(value))
+            else:
+                raise JsonLdError("invalid vocab mapping", repr(value))
+
+        if "@language" in context:
+            value = context["@language"]
+            if value is None:
+                result.language = None
+            elif isinstance(value, str):
+                result.language = value.lower()
+            else:
+                raise JsonLdError("invalid default language", repr(value))
+
+        if "@direction" in context:
+            value = context["@direction"]
+            if value is None:
+                result.direction = None
+            elif value in ("ltr", "rtl"):
+                result.direction = value
+            else:
+                raise JsonLdError("invalid base direction", repr(value))
+
+        protected_default = context.get("@protected", False)
+        defined: dict[str, Any] = {}
+        skip = {"@base", "@direction", "@import", "@language", "@propagate",
+                "@protected", "@version", "@vocab"}
+        for key in context:
+            if key in skip:
+                continue
+            create_term_definition(
+                result, context, key, defined, base_url=base_url,
+                protected_default=protected_default,
+                override_protected=override_protected,
+                ctx_cache=ctx_cache, remote_contexts=remote_contexts,
+                validate_scoped=validate_scoped)
+
+    return result
+
+
+_VALID_CONTAINERS = frozenset({"@list", "@set", "@index", "@id", "@type",
+                               "@language", "@graph"})
+
+
+def _validate_container(container: frozenset, term: str) -> None:
+    if not container <= _VALID_CONTAINERS:
+        raise JsonLdError("invalid container mapping",
+                          f"{term}: {sorted(container)}")
+    if "@list" in container and len(container) > 1:
+        raise JsonLdError("invalid container mapping", term)
+    if "@graph" in container:
+        extra = container - {"@graph", "@id", "@index", "@set"}
+        if extra or ("@id" in container and "@index" in container):
+            raise JsonLdError("invalid container mapping", term)
+    elif len(container - {"@set"}) > 1:
+        raise JsonLdError("invalid container mapping", term)
+
+
+def create_term_definition(active: Context, local_ctx: dict, term: str,
+                           defined: dict, base_url: str | None,
+                           protected_default: bool,
+                           override_protected: bool,
+                           ctx_cache: dict,
+                           remote_contexts: frozenset,
+                           validate_scoped: bool = True) -> None:
+    """W3C JSON-LD 1.1 Create Term Definition (section 4.2)."""
+    if term in defined:
+        if defined[term] is True:
+            return
+        raise JsonLdError("cyclic IRI mapping", term)
+    if term == "":
+        raise JsonLdError("invalid term definition", "empty term")
+    defined[term] = False
+    value = local_ctx[term]
+
+    if term == "@type":
+        if not isinstance(value, dict):
+            raise JsonLdError("keyword redefinition", term)
+        allowed = {"@container", "@protected"}
+        if (set(value) - allowed
+                or value.get("@container", "@set") != "@set"):
+            raise JsonLdError("keyword redefinition", term)
+    elif is_keyword(term):
+        raise JsonLdError("keyword redefinition", term)
+    elif has_keyword_form(term):
+        defined[term] = True  # reserved: ignore silently (spec: warning)
+        return
+
+    previous = active.terms.pop(term, None)
+
+    simple_term = False
+    if value is None:
+        value = {"@id": None}
+    elif isinstance(value, str):
+        value = {"@id": value}
+        simple_term = True
+    elif not isinstance(value, dict):
+        raise JsonLdError("invalid term definition", term)
+
+    td = TermDefinition(
+        protected=bool(value.get("@protected", protected_default)),
+        base_url=base_url)
+
+    allowed_keys = {"@id", "@reverse", "@type", "@language", "@container",
+                    "@context", "@prefix", "@propagate", "@protected",
+                    "@nest", "@index", "@direction"}
+    if set(value) - allowed_keys:
+        raise JsonLdError("invalid term definition",
+                          f"{term}: {sorted(set(value) - allowed_keys)}")
+
+    if "@protected" in value and not isinstance(value["@protected"], bool):
+        raise JsonLdError("invalid @protected value", term)
+
+    if "@type" in value:
+        type_ = value["@type"]
+        if not isinstance(type_, str):
+            raise JsonLdError("invalid type mapping", term)
+        expanded_type = expand_iri(active, type_, vocab=True,
+                                   local_ctx=local_ctx, defined=defined,
+                                   ctx_cache=ctx_cache)
+        if expanded_type in ("@json", "@none", "@id", "@vocab"):
+            td.type_mapping = expanded_type
+        elif expanded_type is not None and (
+                iri_mod.is_absolute_iri(expanded_type)
+                or expanded_type.startswith("_:")):
+            td.type_mapping = expanded_type
+        else:
+            raise JsonLdError("invalid type mapping", f"{term}: {type_}")
+
+    if "@reverse" in value:
+        if "@id" in value or "@nest" in value:
+            raise JsonLdError("invalid reverse property", term)
+        rev = value["@reverse"]
+        if not isinstance(rev, str):
+            raise JsonLdError("invalid IRI mapping", term)
+        if has_keyword_form(rev):
+            defined[term] = True
+            return
+        mapped = expand_iri(active, rev, vocab=True, local_ctx=local_ctx,
+                            defined=defined, ctx_cache=ctx_cache)
+        if mapped is None or not (iri_mod.is_absolute_iri(mapped)
+                                  or mapped.startswith("_:")):
+            raise JsonLdError("invalid IRI mapping", f"{term}: {rev}")
+        td.iri = mapped
+        if "@container" in value:
+            c = value["@container"]
+            if c not in ("@set", "@index", None):
+                raise JsonLdError("invalid reverse property", term)
+            if c is not None:
+                td.container = frozenset([c])
+        td.reverse = True
+        active.terms[term] = td
+        defined[term] = True
+        _check_protected_override(previous, td, term, override_protected)
+        return
+
+    if "@id" in value and value["@id"] != term:
+        id_ = value["@id"]
+        if id_ is None:
+            active.terms[term] = td  # keep term with null mapping
+            defined[term] = True
+            return
+        if not isinstance(id_, str):
+            raise JsonLdError("invalid IRI mapping", term)
+        if not is_keyword(id_) and has_keyword_form(id_):
+            defined[term] = True
+            return
+        mapped = expand_iri(active, id_, vocab=True, local_ctx=local_ctx,
+                            defined=defined, ctx_cache=ctx_cache)
+        if mapped is None or not (is_keyword(mapped)
+                                  or iri_mod.is_absolute_iri(mapped)
+                                  or mapped.startswith("_:")):
+            raise JsonLdError("invalid IRI mapping", f"{term}: {id_}")
+        if mapped == "@context":
+            raise JsonLdError("invalid keyword alias", term)
+        td.iri = mapped
+        if (":" in term[1:-1] if len(term) > 2 else ":" in term) or "/" in term:
+            defined[term] = True
+            re_expanded = expand_iri(active, term, vocab=True,
+                                     local_ctx=local_ctx, defined=defined,
+                                     ctx_cache=ctx_cache)
+            if re_expanded != td.iri:
+                raise JsonLdError("invalid IRI mapping", term)
+        else:
+            if (simple_term and mapped and ":" not in term
+                    and mapped[-1] in "/?#[]@:"):
+                td.prefix = True
+    elif len(term) > 1 and ":" in term[1:]:
+        prefix, _, suffix = term.partition(":")
+        if ":" in term[1:] and prefix != "_" and not suffix.startswith("//"):
+            if prefix in local_ctx and defined.get(prefix) is not True:
+                create_term_definition(active, local_ctx, prefix, defined,
+                                       base_url, protected_default,
+                                       override_protected, ctx_cache,
+                                       remote_contexts, validate_scoped)
+            ptd = active.terms.get(prefix)
+            if ptd is not None and ptd.iri:
+                td.iri = ptd.iri + suffix
+            else:
+                td.iri = term  # term itself is an absolute IRI or bnode
+        else:
+            td.iri = term
+    elif "/" in term:
+        re_expanded = expand_iri(active, term, vocab=True,
+                                 local_ctx=local_ctx, defined=defined,
+                                 ctx_cache=ctx_cache)
+        if re_expanded is None or not iri_mod.is_absolute_iri(re_expanded):
+            raise JsonLdError("invalid IRI mapping", term)
+        td.iri = re_expanded
+    elif term == "@type":
+        td.iri = "@type"
+    else:
+        if active.vocab is None:
+            raise JsonLdError("invalid IRI mapping",
+                              f"no vocab mapping for term {term}")
+        td.iri = active.vocab + term
+
+    if "@container" in value:
+        container = frozenset(c for c in as_list(value["@container"])
+                              if c is not None)
+        if not container or not all(isinstance(c, str) for c in container):
+            raise JsonLdError("invalid container mapping", term)
+        _validate_container(container, term)
+        td.container = container
+
+    if "@index" in value:
+        if "@container" in value and "@index" not in td.container:
+            raise JsonLdError("invalid term definition", term)
+        idx = value["@index"]
+        if not isinstance(idx, str):
+            raise JsonLdError("invalid term definition", term)
+        expanded_idx = expand_iri(active, idx, vocab=True,
+                                  ctx_cache=ctx_cache)
+        if expanded_idx is None or not iri_mod.is_absolute_iri(expanded_idx):
+            raise JsonLdError("invalid term definition", term)
+        td.index = idx
+
+    if "@context" in value:
+        scoped = value["@context"]
+        if validate_scoped:
+            try:
+                process_context(active, scoped, base_url, ctx_cache,
+                                remote_contexts, override_protected=True,
+                                validate_scoped=False)
+            except JsonLdError as exc:
+                raise JsonLdError("invalid scoped context",
+                                  f"{term}: {exc}") from exc
+        td.context = scoped
+
+    if "@language" in value and "@type" not in value:
+        lang = value["@language"]
+        if lang is None:
+            td.language = None
+        elif isinstance(lang, str):
+            td.language = lang.lower()
+        else:
+            raise JsonLdError("invalid language mapping", term)
+
+    if "@direction" in value and "@type" not in value:
+        direction = value["@direction"]
+        if direction is None or direction in ("ltr", "rtl"):
+            td.direction = direction
+        else:
+            raise JsonLdError("invalid base direction", term)
+
+    if "@nest" in value:
+        nest = value["@nest"]
+        if (not isinstance(nest, str)
+                or (nest != "@nest" and is_keyword(nest))):
+            raise JsonLdError("invalid @nest value", term)
+        td.nest = nest
+
+    if "@prefix" in value:
+        if ":" in term or "/" in term:
+            raise JsonLdError("invalid term definition", term)
+        if not isinstance(value["@prefix"], bool):
+            raise JsonLdError("invalid @prefix value", term)
+        td.prefix = value["@prefix"]
+        if td.prefix and is_keyword(td.iri):
+            raise JsonLdError("invalid term definition", term)
+
+    active.terms[term] = td
+    defined[term] = True
+    _check_protected_override(previous, td, term, override_protected)
+
+
+def _check_protected_override(previous: TermDefinition | None,
+                              new: TermDefinition, term: str,
+                              override_protected: bool) -> None:
+    if (previous is not None and previous.protected and not override_protected
+            and not previous.same_except_protected(new)):
+        raise JsonLdError("protected term redefinition", term)
+
+
+def expand_iri(active: Context, value: str | None, *, vocab: bool = False,
+               document_relative: bool = False, local_ctx: dict | None = None,
+               defined: dict | None = None,
+               ctx_cache: dict | None = None) -> str | None:
+    """W3C JSON-LD 1.1 IRI Expansion (section 5.2)."""
+    if value is None or is_keyword(value):
+        return value
+    if has_keyword_form(value):
+        return None
+    if (local_ctx is not None and value in local_ctx
+            and defined is not None and defined.get(value) is not True):
+        create_term_definition(active, local_ctx, value, defined,
+                               base_url=None, protected_default=False,
+                               override_protected=False,
+                               ctx_cache=ctx_cache or {},
+                               remote_contexts=frozenset())
+    td = active.terms.get(value)
+    if td is not None and (is_keyword(td.iri) or (vocab and td.iri is None)):
+        return td.iri
+    if vocab and td is not None:
+        return td.iri
+    if len(value) > 1 and ":" in value[1:]:
+        prefix, _, suffix = value.partition(":")
+        if prefix == "_" or suffix.startswith("//"):
+            return value
+        if (local_ctx is not None and prefix in local_ctx
+                and defined is not None and defined.get(prefix) is not True):
+            create_term_definition(active, local_ctx, prefix, defined,
+                                   base_url=None, protected_default=False,
+                                   override_protected=False,
+                                   ctx_cache=ctx_cache or {},
+                                   remote_contexts=frozenset())
+        ptd = active.terms.get(prefix)
+        if ptd is not None and ptd.iri and ptd.prefix:
+            return ptd.iri + suffix
+        if iri_mod.is_absolute_iri(value):
+            return value
+    if vocab and active.vocab is not None:
+        return active.vocab + value
+    if document_relative and active.base:
+        return iri_mod.resolve(active.base, value)
+    return value

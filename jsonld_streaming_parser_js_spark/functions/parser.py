@@ -1,0 +1,89 @@
+"""Top-level JSON-LD 1.1 -> RDF quads entry point (pure Python).
+
+``jsonld_to_quads`` is the per-document kernel the Spark pipeline invokes
+inside ``mapInPandas`` workers: parse -> expand -> node map -> quads,
+mirroring the reference's end-to-end behavior
+(``/root/reference/lib/JsonLdParser.ts`` lifecycle) in non-streaming mode.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from .context import Context, JsonLdError, initial_context, process_context
+from .expand import expand
+from .to_rdf import (
+    BlankNodeIssuer,
+    emit_quads,
+    generate_node_map,
+    skolemize_quads,
+)
+
+Quad = tuple  # (subj, pred, obj, graph) as N-Triples lexical strings
+
+
+@dataclass
+class ParserOptions:
+    """Mirrors the reference's IJsonLdParserOptions surface
+    (``/root/reference/lib/JsonLdParser.ts:619-740``) minus streaming-only
+    knobs (streamingProfile / allowOutOfOrderContext are moot: we always
+    hold the full block)."""
+
+    base_iri: str | None = None
+    context: Any = None                 # root context (object/IRI/array)
+    rdf_direction: str | None = None    # None|'i18n-datatype'|'compound-literal'
+    produce_generalized_rdf: bool = False
+    strict_values: bool = False         # errors raise instead of drop
+    ctx_cache: dict = field(default_factory=dict)
+
+
+def expand_document(doc: Any, options: ParserOptions) -> Any:
+    ctx = initial_context(options.base_iri)
+    if options.context is not None:
+        ctx = process_context(ctx, options.context, options.base_iri,
+                              options.ctx_cache)
+    expanded = expand(ctx, None, doc, options.base_iri, options.ctx_cache)
+    if expanded is None:
+        return []
+    if isinstance(expanded, dict):
+        return [expanded]
+    return expanded
+
+
+def jsonld_to_quads(doc: Any, options: ParserOptions | None = None
+                    ) -> list[Quad]:
+    """Parsed JSON document -> list of quads (N-Triples lexical tuples)."""
+    options = options or ParserOptions()
+    expanded = expand_document(doc, options)
+    node_map: dict = {}
+    issuer = BlankNodeIssuer()
+    generate_node_map(expanded, node_map, issuer)
+    return emit_quads(node_map, rdf_direction=options.rdf_direction,
+                      produce_generalized_rdf=options.produce_generalized_rdf)
+
+
+def parse_block(block_text: str, url: str, blk: int,
+                ctx_cache: dict | None = None,
+                rdf_direction: str | None = None) -> tuple[list[Quad], str | None]:
+    """One extracted JSON-LD block -> (skolemized quads, error_code).
+
+    Errors never abort the job: bad blocks yield ``([], code)`` — the Spark
+    analog of the reference's recoverable error channel
+    (``/root/reference/lib/ParsingContext.ts:380-382``); strictValues
+    semantics are applied at the pipeline layer by filtering the error col.
+    """
+    try:
+        doc = json.loads(block_text)
+    except (ValueError, RecursionError):
+        return [], "invalid json"
+    try:
+        options = ParserOptions(base_iri=url, ctx_cache=ctx_cache or {},
+                                rdf_direction=rdf_direction)
+        quads = jsonld_to_quads(doc, options)
+    except JsonLdError as exc:
+        return [], exc.code
+    except RecursionError:
+        return [], "document too deep"
+    return skolemize_quads(quads, url, blk), None

@@ -1,0 +1,184 @@
+"""RDF term model for the PySpark JSON-LD engine.
+
+Terms are represented as plain Python strings in N-Triples lexical form so
+that quad rows are a flat ``(subj, pred, obj, graph)`` string schema that
+Spark can shuffle / hash / write without nested types:
+
+- IRI          -> ``<http://example.org/x>``
+- blank node   -> ``_:b0``
+- literal      -> ``"abc"``, ``"abc"@en``, ``"1"^^<http://...#integer>``,
+                  ``"abc"@en--ltr`` (RDF 1.2 base direction)
+- quoted triple (RDF-star) -> ``<< <s> <p> "o" >>``
+
+Canonical lexical forms for numbers mirror the reference implementation's
+semantics (``/root/reference/lib/Util.ts:676-688`` ``intToString``): JSON
+integral numbers below 1e21 serialize like ECMAScript ``Number.toString``
+(``2.0 -> "2"``), everything else uses exponential notation equivalent to
+``toExponential(15)`` with zero-run stripping (``11.0 -> "1.1E1"``,
+``1e21 -> "1.0E21"``), and non-finite values map to ``INF`` / ``-INF``.
+
+This module is pure Python (no Spark imports): it runs inside Arrow-batched
+UDF workers and in unit tests without a SparkSession.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD_STRING = XSD + "string"
+XSD_INTEGER = XSD + "integer"
+XSD_DOUBLE = XSD + "double"
+XSD_BOOLEAN = XSD + "boolean"
+RDF_TYPE = RDF + "type"
+RDF_FIRST = RDF + "first"
+RDF_REST = RDF + "rest"
+RDF_NIL = RDF + "nil"
+RDF_JSON = RDF + "JSON"
+RDF_VALUE = RDF + "value"
+RDF_LANGUAGE = RDF + "language"
+RDF_DIRECTION = RDF + "direction"
+I18N = "https://www.w3.org/ns/i18n#"
+DEFAULT_GRAPH = ""
+
+
+def iri(value: str) -> str:
+    """Serialize an absolute IRI as an N-Triples term."""
+    return f"<{value}>"
+
+
+def is_iri_term(term: str) -> bool:
+    return term.startswith("<")
+
+
+def is_blank_term(term: str) -> bool:
+    return term.startswith("_:")
+
+
+def is_literal_term(term: str) -> bool:
+    return term.startswith('"')
+
+
+def iri_value(term: str) -> str:
+    """Inverse of :func:`iri` (no unescaping needed: IRIs contain no ``>``)."""
+    return term[1:-1]
+
+
+_LITERAL_ESCAPES = {
+    "\\": "\\\\",
+    '"': '\\"',
+    "\n": "\\n",
+    "\r": "\\r",
+    "\t": "\\t",
+}
+_LITERAL_ESCAPE_RE = re.compile(r'[\\"\n\r\t]')
+
+
+def _escape(value: str) -> str:
+    return _LITERAL_ESCAPE_RE.sub(lambda m: _LITERAL_ESCAPES[m.group(0)], value)
+
+
+def literal(value: str, datatype: str | None = None, language: str | None = None,
+            direction: str | None = None) -> str:
+    """Serialize a literal as an N-Triples term.
+
+    ``datatype`` is an absolute IRI string (not a term). ``xsd:string`` is the
+    implicit default and never serialized. Language-tagged strings get
+    ``@lang``; RDF 1.2 base-direction literals get ``@lang--dir``.
+    """
+    lex = f'"{_escape(value)}"'
+    if language:
+        if direction:
+            return f"{lex}@{language}--{direction}"
+        return f"{lex}@{language}"
+    if direction:
+        # direction without language: RDF 1.2 allows ``@--dir`` is invalid;
+        # the reference emits a directional literal with empty language.
+        return f"{lex}@--{direction}"
+    if datatype and datatype != XSD_STRING:
+        return f"{lex}^^<{datatype}>"
+    return lex
+
+
+def quoted_triple(subj: str, pred: str, obj: str) -> str:
+    """RDF-star quoted triple, serialized (avoids recursive Spark types)."""
+    return f"<< {subj} {pred} {obj} >>"
+
+
+def canonical_double(value: float) -> str:
+    """Canonical xsd:double lexical form, matching the reference's
+    ``toExponential(15).replace(/(\\d)0*e\\+?/, '$1E')`` semantics."""
+    if math.isnan(value):
+        return "NaN"
+    if math.isinf(value):
+        return "INF" if value > 0 else "-INF"
+    mant, _, exp = f"{value:.15e}".partition("e")
+    if "." in mant:
+        mant = mant.rstrip("0")
+        if mant.endswith("."):
+            mant += "0"
+    return f"{mant}E{int(exp)}"
+
+
+def number_to_string(value, as_double: bool) -> str:
+    """JSON number -> canonical lexical form (reference ``intToString``)."""
+    if isinstance(value, bool):  # bool is an int subclass; guard first
+        return "true" if value else "false"
+    if not as_double and float(value) == int(value) and abs(value) < 1e21:
+        return str(int(value))
+    return canonical_double(float(value))
+
+
+def is_integral_json_number(value) -> bool:
+    """True when the reference would type a JSON number xsd:integer:
+    ``value % 1 === 0 && value < 1e21`` (lib/Util.ts:545)."""
+    try:
+        return math.isfinite(value) and float(value) == int(value) and value < 1e21
+    except (OverflowError, ValueError):
+        return False
+
+
+def canonicalize_json(value) -> str:
+    """RFC 8785 (JCS) canonical JSON for ``@type: @json`` literals
+    (reference: ``canonicalize`` npm package, lib/Util.ts:789-791)."""
+    return _jcs(value)
+
+
+def _jcs_number(num) -> str:
+    if isinstance(num, int) and not isinstance(num, bool):
+        return str(num)
+    if num != num or num in (float("inf"), float("-inf")):
+        raise ValueError("NaN/Infinity not allowed in JSON")
+    if num == int(num) and abs(num) < 1e21:
+        return str(int(num))
+    # ECMAScript Number::toString shortest round-trip form
+    out = repr(num)
+    if "e" in out:
+        mant, exp = out.split("e")
+        iexp = int(exp)
+        if -6 <= iexp < 21:
+            return f"{num:.{max(0, 20)}f}".rstrip("0").rstrip(".")
+        mant = mant.rstrip("0").rstrip(".")
+        return f"{mant}e{'+' if iexp >= 0 else ''}{iexp}"
+    return out
+
+
+def _jcs(value) -> str:
+    if value is None:
+        return "null"
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, str):
+        return json.dumps(value, ensure_ascii=False)
+    if isinstance(value, (int, float)):
+        return _jcs_number(value)
+    if isinstance(value, list):
+        return "[" + ",".join(_jcs(v) for v in value) + "]"
+    if isinstance(value, dict):
+        items = sorted(value.items(), key=lambda kv: [ord(c) for c in kv[0]])
+        return "{" + ",".join(json.dumps(k, ensure_ascii=False) + ":" + _jcs(v)
+                              for k, v in items) + "}"
+    raise ValueError(f"not JSON-serializable: {type(value)}")

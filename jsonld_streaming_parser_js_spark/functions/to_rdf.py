@@ -1,0 +1,417 @@
+"""Deserialize expanded JSON-LD to RDF quads.
+
+Implements the W3C "Node Map Generation" (json-ld11-api section 8.1) and
+"Deserialize JSON-LD to RDF" (json-ld11-api section 10.1 / json-ld11
+Transform-to-RDF) algorithms over the output of :mod:`expand`.  The reference
+produces the same quad set incrementally (``/root/reference/lib/Util.ts:
+242-553`` valueToTerm, ``lib/entryhandler/EntryHandlerArrayValue.ts`` list
+chains, ``lib/JsonLdParser.ts:340-441`` buffering); we emit from the node
+map, which matches the reference's non-streaming output as a set.
+
+Blank-node labels are issued sequentially in first-use order, which is
+deterministic for a given document. :func:`skolemize_label` then rewrites
+``_:bN`` to a per-(url, block) label so re-runs and partition retries emit
+identical labels across the whole corpus (north-star requirement).
+
+Pure Python; no Spark imports.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any
+
+from . import terms as T
+from .context import JsonLdError
+from .iri import is_absolute_iri
+
+
+class BlankNodeIssuer:
+    """Issues ``_:b0, _:b1, ...`` in first-use order (deterministic)."""
+
+    def __init__(self, prefix: str = "b"):
+        self.prefix = prefix
+        self.counter = 0
+        self.issued: dict[str, str] = {}
+
+    def issue(self, existing: str | None = None) -> str:
+        if existing is not None and existing in self.issued:
+            return self.issued[existing]
+        label = f"_:{self.prefix}{self.counter}"
+        self.counter += 1
+        if existing is not None:
+            self.issued[existing] = label
+        return label
+
+
+def _node_ref_eq(a: Any, b: Any) -> bool:
+    return a == b
+
+
+def _append_unique(values: list, item: Any) -> None:
+    for v in values:
+        if _node_ref_eq(v, item):
+            return
+    values.append(item)
+
+
+def generate_node_map(element: Any, node_map: dict, issuer: BlankNodeIssuer,
+                      active_graph: str = "@default",
+                      active_subject: Any = None,
+                      active_property: str | None = None,
+                      list_ref: dict | None = None) -> None:
+    """W3C Node Map Generation (mutates ``node_map``)."""
+    if isinstance(element, list):
+        for item in element:
+            generate_node_map(item, node_map, issuer, active_graph,
+                              active_subject, active_property, list_ref)
+        return
+    if not isinstance(element, dict):
+        return
+
+    graph = node_map.setdefault(active_graph, {})
+    subject_node = (graph.get(active_subject)
+                    if isinstance(active_subject, str) else None)
+
+    if "@type" in element:
+        ts = element["@type"]
+        if isinstance(ts, list):
+            element["@type"] = [
+                issuer.issue(t) if isinstance(t, str) and t.startswith("_:")
+                else t for t in ts
+            ]
+        elif isinstance(ts, str) and ts.startswith("_:"):
+            element["@type"] = issuer.issue(ts)
+
+    if "@value" in element:
+        if list_ref is None:
+            if subject_node is not None:
+                _append_unique(subject_node.setdefault(active_property, []),
+                               element)
+        else:
+            list_ref["@list"].append(element)
+        return
+
+    if "@list" in element:
+        result = {"@list": []}
+        generate_node_map(element["@list"], node_map, issuer, active_graph,
+                          active_subject, active_property, result)
+        if "@index" in element:
+            result["@index"] = element["@index"]
+        if list_ref is None:
+            if subject_node is not None:
+                subject_node.setdefault(active_property, []).append(result)
+        else:
+            list_ref["@list"].append(result)
+        return
+
+    # node object ------------------------------------------------------------
+    if "@id" in element:
+        id_ = element.pop("@id")
+        if isinstance(id_, dict):
+            # RDF-star embedded node: resolve to a quoted-triple term later.
+            id_ = _embedded_node_key(id_, node_map, issuer, active_graph)
+        elif id_ is None:
+            id_ = issuer.issue()
+        elif id_.startswith("_:"):
+            id_ = issuer.issue(id_)
+    else:
+        id_ = issuer.issue()
+
+    node = graph.setdefault(id_, {"@id": id_})
+
+    if isinstance(active_subject, dict):
+        # reverse property: active_subject is a node reference
+        _append_unique(node.setdefault(active_property, []), active_subject)
+    elif active_property is not None:
+        ref = {"@id": id_}
+        if "@annotation" in element:
+            ref["@annotation"] = element.pop("@annotation")
+        if list_ref is None:
+            if subject_node is not None:
+                _append_unique(subject_node.setdefault(active_property, []),
+                               ref)
+        else:
+            list_ref["@list"].append(ref)
+    elif "@annotation" in element:
+        raise JsonLdError("invalid annotation",
+                          "top-level node cannot be annotated")
+
+    if "@type" in element:
+        existing = node.setdefault("@type", [])
+        for t in element.pop("@type"):
+            _append_unique(existing, t)
+
+    if "@index" in element:
+        idx = element.pop("@index")
+        if "@index" in node and node["@index"] != idx:
+            raise JsonLdError("conflicting indexes", id_)
+        node["@index"] = idx
+
+    if "@reverse" in element:
+        referenced = {"@id": id_}
+        for prop, values in element.pop("@reverse").items():
+            for value in values:
+                generate_node_map(value, node_map, issuer, active_graph,
+                                  dict(referenced), prop)
+
+    if "@graph" in element:
+        generate_node_map(element.pop("@graph"), node_map, issuer,
+                          active_graph=id_)
+
+    if "@included" in element:
+        generate_node_map(element.pop("@included"), node_map, issuer,
+                          active_graph)
+
+    for prop in list(element):
+        if prop in ("@id", "@annotation"):
+            continue
+        values = element[prop]
+        if prop.startswith("_:"):
+            prop = issuer.issue(prop)
+        node.setdefault(prop, [])
+        generate_node_map(values, node_map, issuer, active_graph, id_, prop)
+
+
+def T_as_list(value) -> list:
+    return value if isinstance(value, list) else [value]
+
+
+_EMBEDDED_PREFIX = "\x00star\x00"
+
+
+def _embedded_node_key(embedded: dict, node_map: dict,
+                       issuer: BlankNodeIssuer, active_graph: str) -> str:
+    """Reduce an RDF-star embedded node object to an opaque subject key that
+    serializes as a quoted triple. The embedded node must express exactly one
+    triple (reference: lib/Util.ts:1062-1092 single-property constraint)."""
+    sub_map: dict = {}
+    generate_node_map(dict(embedded), sub_map, issuer, active_graph)
+    quads = [q for q in emit_quads(sub_map, rdf_direction=None,
+                                   produce_generalized_rdf=False)
+             if True]
+    if len(quads) != 1:
+        raise JsonLdError("invalid embedded node",
+                          f"expected exactly 1 triple, got {len(quads)}")
+    s, p, o, _ = quads[0]
+    return _EMBEDDED_PREFIX + T.quoted_triple(s, p, o)
+
+
+def node_to_term(node_id: str) -> str | None:
+    """Node-map key -> N-Triples term (None = invalid, skip)."""
+    if node_id.startswith(_EMBEDDED_PREFIX):
+        return node_id[len(_EMBEDDED_PREFIX):]
+    if node_id.startswith("_:"):
+        return node_id
+    if is_absolute_iri(node_id):
+        return T.iri(node_id)
+    return None
+
+
+def value_object_to_term(item: dict, rdf_direction: str | None,
+                         aux_quads: list, graph_term: str,
+                         issuer: BlankNodeIssuer) -> str | None:
+    """Literal conversion (W3C "Object to RDF" steps for value objects;
+    reference semantics: lib/Util.ts:242-553, 676-782)."""
+    value = item["@value"]
+    datatype = item.get("@type")
+    language = item.get("@language")
+    direction = item.get("@direction")
+
+    if datatype == "@json":
+        return T.literal(T.canonicalize_json(value), T.RDF_JSON)
+
+    if isinstance(value, bool):
+        lex = "true" if value else "false"
+        return T.literal(lex, datatype or T.XSD_BOOLEAN)
+    if isinstance(value, (int, float)):
+        as_double = (not T.is_integral_json_number(value)
+                     or datatype == T.XSD_DOUBLE)
+        lex = T.number_to_string(value, as_double)
+        if datatype is None:
+            datatype = T.XSD_DOUBLE if as_double else T.XSD_INTEGER
+        return T.literal(lex, datatype)
+    if not isinstance(value, str):
+        return None
+
+    if direction is not None and rdf_direction is not None:
+        if rdf_direction == "i18n-datatype":
+            dt = f"{T.I18N}{language or ''}_{direction}"
+            return T.literal(value, dt)
+        if rdf_direction == "compound-literal":
+            bnode = issuer.issue()
+            aux_quads.append((bnode, T.iri(T.RDF_VALUE), T.literal(value),
+                              graph_term))
+            if language:
+                aux_quads.append((bnode, T.iri(T.RDF_LANGUAGE),
+                                  T.literal(language), graph_term))
+            aux_quads.append((bnode, T.iri(T.RDF_DIRECTION),
+                              T.literal(direction), graph_term))
+            return bnode
+        # rdf_direction == "base" -> RDF 1.2 directional literal
+        return T.literal(value, language=language, direction=direction)
+
+    if language is not None:
+        return T.literal(value, language=language)
+    return T.literal(value, datatype)
+
+
+def list_to_quads(items: list, quads: list, issuer: BlankNodeIssuer,
+                  graph_term: str, rdf_direction: str | None,
+                  produce_generalized_rdf: bool) -> str:
+    """RDF list chain (reference: lib/entryhandler/EntryHandlerArrayValue.ts
+    list machinery; empty list -> rdf:nil per lib/Util.ts:456-461)."""
+    if not items:
+        return T.iri(T.RDF_NIL)
+    bnodes = [issuer.issue() for _ in items]
+    for i, item in enumerate(items):
+        obj = _object_to_term(item, quads, issuer, graph_term, rdf_direction,
+                              produce_generalized_rdf)
+        if obj is not None:
+            quads.append((bnodes[i], T.iri(T.RDF_FIRST), obj, graph_term))
+        rest = bnodes[i + 1] if i + 1 < len(bnodes) else T.iri(T.RDF_NIL)
+        quads.append((bnodes[i], T.iri(T.RDF_REST), rest, graph_term))
+    return bnodes[0]
+
+
+def _object_to_term(item: Any, quads: list, issuer: BlankNodeIssuer,
+                    graph_term: str, rdf_direction: str | None,
+                    produce_generalized_rdf: bool) -> str | None:
+    if isinstance(item, dict) and "@value" in item:
+        return value_object_to_term(item, rdf_direction, quads, graph_term,
+                                    issuer)
+    if isinstance(item, dict) and "@list" in item:
+        return list_to_quads(item["@list"], quads, issuer, graph_term,
+                             rdf_direction, produce_generalized_rdf)
+    if isinstance(item, dict) and "@id" in item:
+        return node_to_term(item["@id"])
+    return None
+
+
+def emit_quads(node_map: dict, rdf_direction: str | None = None,
+               produce_generalized_rdf: bool = False) -> list[tuple]:
+    """node map -> [(subj, pred, obj, graph)] N-Triples-lexical tuples."""
+    quads: list[tuple] = []
+    issuer = BlankNodeIssuer(prefix="l")  # list/aux nodes, disjoint from b*
+    for graph_name, graph in node_map.items():
+        if graph_name == "@default":
+            graph_term = T.DEFAULT_GRAPH
+        else:
+            gt = node_to_term(graph_name)
+            if gt is None:
+                continue
+            graph_term = gt
+        for subject_id, node in graph.items():
+            subj = node_to_term(subject_id)
+            if subj is None:
+                continue
+            for prop, values in node.items():
+                if prop == "@id" or prop == "@index":
+                    continue
+                if prop == "@type":
+                    for t in values:
+                        obj = node_to_term(t)
+                        if obj is not None:
+                            quads.append((subj, T.iri(T.RDF_TYPE), obj,
+                                          graph_term))
+                    continue
+                if prop.startswith("@"):
+                    continue
+                if prop.startswith("_:"):
+                    if not produce_generalized_rdf:
+                        continue
+                    pred = prop
+                elif is_absolute_iri(prop):
+                    pred = T.iri(prop)
+                else:
+                    continue
+                for item in values:
+                    annotation = (item.pop("@annotation", None)
+                                  if isinstance(item, dict) else None)
+                    obj = _object_to_term(item, quads, issuer, graph_term,
+                                          rdf_direction,
+                                          produce_generalized_rdf)
+                    if obj is None:
+                        continue
+                    quads.append((subj, pred, obj, graph_term))
+                    if annotation:
+                        _emit_annotation(T.quoted_triple(subj, pred, obj),
+                                         annotation, quads, issuer,
+                                         graph_term, rdf_direction,
+                                         produce_generalized_rdf)
+    return quads
+
+
+def _emit_annotation(quoted: str, annotation: list, quads: list,
+                     issuer: BlankNodeIssuer, graph_term: str,
+                     rdf_direction: str | None,
+                     produce_generalized_rdf: bool) -> None:
+    """RDF-star annotation: properties asserted on the quoted triple
+    (reference: lib/Util.ts:1097-1125 emitAnnotation)."""
+    for ann in annotation:
+        sub_map: dict = {}
+        ann = dict(ann)
+        ann["@id"] = "\x00annotated\x00"
+        gen_issuer = issuer
+        generate_node_map(ann, sub_map, gen_issuer, "@default")
+        for graph in sub_map.values():
+            for subject_id, node in graph.items():
+                subj = (quoted if subject_id == "\x00annotated\x00"
+                        else node_to_term(subject_id))
+                if subj is None:
+                    continue
+                for prop, values in node.items():
+                    if prop in ("@id", "@index"):
+                        continue
+                    if prop == "@type":
+                        for t in values:
+                            obj = node_to_term(t)
+                            if obj is not None:
+                                quads.append((subj, T.iri(T.RDF_TYPE), obj,
+                                              graph_term))
+                        continue
+                    if not is_absolute_iri(prop):
+                        continue
+                    pred = T.iri(prop)
+                    for item in values:
+                        nested_ann = (item.pop("@annotation", None)
+                                      if isinstance(item, dict) else None)
+                        obj = _object_to_term(item, quads, issuer, graph_term,
+                                              rdf_direction,
+                                              produce_generalized_rdf)
+                        if obj is None:
+                            continue
+                        quads.append((subj, pred, obj, graph_term))
+                        if nested_ann:
+                            _emit_annotation(
+                                T.quoted_triple(subj, pred, obj), nested_ann,
+                                quads, issuer, graph_term, rdf_direction,
+                                produce_generalized_rdf)
+
+
+def skolemize_label(url: str, blk: int) -> str:
+    """Deterministic per-(url, block) blank-node namespace prefix.
+
+    Final labels are ``_:s{md5(url)[:16]}x{blk}x{local}`` — reproducible
+    across re-runs and partition retries, and collision-free across the
+    corpus (md5 over the unique url key). Reproducible in SQL:
+    ``'_:s' || substr(md5(url),1,16) || 'x' || blk || 'x' || local``.
+    """
+    return f"s{hashlib.md5(url.encode('utf-8')).hexdigest()[:16]}x{blk}"
+
+
+def skolemize_quads(quads: list[tuple], url: str, blk: int) -> list[tuple]:
+    """Rewrite document-local ``_:bN`` / ``_:lN`` labels to globally-unique
+    deterministic labels."""
+    prefix = skolemize_label(url, blk)
+
+    def rewrite(term: str) -> str:
+        if term.startswith("_:"):
+            return f"_:{prefix}x{term[2:]}"
+        if "<< " in term or term.startswith("<<"):
+            # quoted triple: rewrite embedded bnode labels
+            return term.replace(" _:", f" _:{prefix}x")
+        return term
+
+    return [(rewrite(s), rewrite(p), rewrite(o), rewrite(g) if g else g)
+            for s, p, o, g in quads]
