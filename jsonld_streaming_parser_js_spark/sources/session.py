@@ -1,0 +1,30 @@
+"""SparkSession factory with scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "jsonld-kg", cores: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(2 * cores, 32)
+    return (
+        SparkSession.builder
+        .master(f"local[{cores}]")
+        .appName(app)
+        # AQE: runtime coalescing + skew-join splitting (north-star: AQE
+        # handles residual skew the static plan can't see)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow exchange for pandas UDFs / mapInPandas
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .getOrCreate()
+    )
