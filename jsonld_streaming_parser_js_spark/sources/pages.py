@@ -109,12 +109,35 @@ def html_sql() -> str:
     )
 
 
-def pages_from_documents(spark: SparkSession, sf_dir: str,
-                         repartition: int | None = None) -> DataFrame:
-    """documents parquet -> deterministic pages DataFrame."""
+def amplified_documents(spark: SparkSession, sf_dir: str, amplify: int,
+                        repartition: int | None = None) -> DataFrame:
+    """Deterministically replicate documents ``amplify``x with distinct
+    doc_ids (bench-scale corpus synthesis; no randomness, no external
+    data).
+
+    The repartition happens BEFORE the explode: shuffling the seed rows
+    (tiny) instead of the amplified corpus — at 1000x amplification that's
+    the difference between a kB-scale and a GB-scale shuffle. The explode
+    (``sequence``) is JVM-side row generation, fanned out per partition.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if repartition:
         docs = docs.repartition(repartition, "doc_id")
+    if amplify <= 1:
+        return docs
+    return (docs
+            .withColumn("rep", F.explode(F.sequence(
+                F.lit(0), F.lit(amplify - 1))))
+            .withColumn("doc_id",
+                        F.col("doc_id") + F.col("rep") * F.lit(10_000_000))
+            .drop("rep"))
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str,
+                         repartition: int | None = None,
+                         amplify: int = 1) -> DataFrame:
+    """documents parquet -> deterministic pages DataFrame."""
+    docs = amplified_documents(spark, sf_dir, amplify, repartition)
     return docs.select(
         F.expr(page_url_sql()).alias("_url"),
         "doc_id", "n_chars", "lang", "text",
