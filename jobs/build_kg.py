@@ -1,0 +1,65 @@
+"""spark-submit entry point: build the knowledge graph from a pages table.
+
+Ship with:
+    python tools/package.py                       # -> dist/kg_engine.zip
+    spark-submit --py-files dist/kg_engine.zip jobs/build_kg.py \
+        --pages  <pages parquet/iceberg path or 'synthetic:SF_DIR[:amp]'> \
+        --out    <output dir> \
+        --buckets 4096 --waves 8 --canonicalize
+
+On a cluster the same command runs unchanged (no local[...] assumptions:
+the master comes from spark-submit). Resume is automatic: rerunning with
+the same --out skips committed buckets (plans/lineage.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--waves", type=int, default=1)
+    ap.add_argument("--canonicalize", action="store_true")
+    ap.add_argument("--rdf-direction", default=None,
+                    choices=[None, "i18n-datatype", "compound-literal",
+                             "base"])
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    spark = SparkSession.builder.appName("build-kg").getOrCreate()
+
+    from jsonld_streaming_parser_js_spark.plans import lineage as lin
+    from jsonld_streaming_parser_js_spark.plans.pipeline import (
+        PipelineConfig, build_kg)
+    from jsonld_streaming_parser_js_spark.sources.pages import (
+        CONTEXTS, pages_from_documents)
+
+    if args.pages.startswith("synthetic:"):
+        parts = args.pages.split(":")
+        amp = int(parts[2]) if len(parts) > 2 else 1
+        pages = pages_from_documents(spark, parts[1], amplify=amp)
+    else:
+        pages = spark.read.parquet(args.pages)
+
+    if args.waves > 1:
+        lin.run_in_waves(spark, pages, args.out, CONTEXTS,
+                         buckets=args.buckets, waves=args.waves)
+        stats = lin.run_with_resume(spark, pages, args.out, CONTEXTS,
+                                    buckets=args.buckets)
+    else:
+        cfg = PipelineConfig(out_dir=args.out, buckets=args.buckets,
+                             canonicalize=args.canonicalize,
+                             rdf_direction=args.rdf_direction,
+                             ctx_cache=CONTEXTS)
+        stats = build_kg(spark, pages, cfg)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

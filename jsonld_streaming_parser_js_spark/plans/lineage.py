@@ -1,0 +1,146 @@
+"""Per-partition lineage + checkpoint-resume (north_rule requirement).
+
+Unit of recovery: a **url bucket** — ``bucket = pmod(xxhash64(url), B)``.
+Deterministic (same url -> same bucket on any run/cluster), uniform (hash),
+and independent of physical partitioning, so a resume after a mid-job
+failure never re-emits quads for completed buckets and never misses a url.
+
+Layout under ``out_dir``:
+- ``quads/``    parquet partitioned by ``bucket`` (dynamic partition
+                overwrite: re-running a bucket replaces exactly that bucket)
+- ``lineage/``  one row per completed bucket: counts + an order-insensitive
+                checksum (sum of xxhash64 over the quad tuple), written
+                only AFTER the bucket's quads land — the commit record.
+
+At 10^12 documents: B is sized so a bucket is a few GB (e.g. B = 2^17);
+lineage stays tiny (B rows), and a resume is an anti-join of the pages scan
+against B completed bucket ids — a broadcast anti-join, no shuffle of the
+pages table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_bucket(df: DataFrame, buckets: int, col: str = "url") -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.xxhash64(col), F.lit(buckets)))
+
+
+def bucket_lineage(parsed: DataFrame) -> DataFrame:
+    """parsed rows (quads + error rows, with bucket col) -> lineage rows."""
+    quad = F.col("error").isNull()
+    return (parsed.groupBy("bucket").agg(
+        F.countDistinct("url").alias("n_urls"),
+        F.countDistinct("url", "blk").alias("n_blocks"),
+        F.sum(quad.cast("long")).alias("n_quads"),
+        F.sum((~quad).cast("long")).alias("n_errors"),
+        # xor-fold of per-quad hashes: order-insensitive and overflow-free
+        # (a sum of xxhash64 longs overflows under ANSI mode)
+        F.expr("bit_xor(CASE WHEN error IS NULL THEN "
+               "xxhash64(subj, pred, obj, graph) ELSE 0 END)")
+        .alias("checksum"),
+    ))
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Buckets whose lineage row exists (i.e. committed)."""
+    try:
+        return (spark.read.parquet(f"{out_dir}/lineage")
+                .select("bucket").distinct())
+    except Exception:  # noqa: BLE001 — first run: no lineage yet
+        return None
+
+
+def write_bucketed(parsed_with_bucket: DataFrame, out_dir: str) -> None:
+    """Write quads (+error rows) partitioned by bucket, then commit lineage.
+
+    Ordering is the crash-safety contract: quads land first (dynamic
+    partition overwrite -> idempotent per bucket), lineage appends last.
+    A crash between the two re-runs those buckets; dynamic overwrite makes
+    the re-run idempotent.
+    """
+    spark = parsed_with_bucket.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    cached = parsed_with_bucket.persist()
+    try:
+        (cached.write.mode("overwrite")
+         .partitionBy("bucket")
+         .parquet(f"{out_dir}/quads"))
+        (bucket_lineage(cached).write.mode("append")
+         .parquet(f"{out_dir}/lineage"))
+    finally:
+        cached.unpersist()
+
+
+def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
+                    ctx_cache: dict, buckets: int = 64) -> dict:
+    """Process only urls in not-yet-committed buckets; returns stats.
+
+    ``pages -> filter(uncommitted bucket) -> extract+parse -> write``.
+    The filter is a broadcast anti-join on the bucket id (<= B rows), so
+    resume adds zero shuffles to the happy path.
+    """
+    from ..operators.parse import extract_and_parse
+
+    pages_b = with_bucket(pages, buckets)
+    done = completed_buckets(spark, out_dir)
+    n_done = 0
+    if done is not None:
+        n_done = done.count()
+        pages_b = pages_b.join(F.broadcast(done), "bucket", "left_anti")
+
+    parsed = extract_and_parse(pages_b, ctx_cache)
+    parsed_b = with_bucket(parsed, buckets)
+    write_bucketed(parsed_b, out_dir)
+
+    lineage = spark.read.parquet(f"{out_dir}/lineage")
+    agg = lineage.agg(F.countDistinct("bucket").alias("b"),
+                      F.sum("n_quads").alias("q"),
+                      F.sum("n_errors").alias("e")).collect()[0]
+    return {"buckets_total": buckets, "buckets_previously_done": n_done,
+            "buckets_done": agg["b"], "n_quads": agg["q"],
+            "n_errors": agg["e"]}
+
+
+def run_in_waves(spark: SparkSession, pages: DataFrame, out_dir: str,
+                 ctx_cache: dict, buckets: int = 64,
+                 waves: int = 4) -> list[dict]:
+    """Process the corpus in `waves` independently-committed bucket ranges.
+
+    Each wave write+commit is atomic at the wave level, so a crash between
+    waves leaves a committed prefix that the next invocation's
+    ``run_with_resume`` skips — the operational checkpoint cadence for
+    multi-day 100 TB backfills (waves ~ hours, recovery loses at most one
+    wave).
+    """
+    from ..operators.parse import extract_and_parse
+
+    stats = []
+    pages_b = with_bucket(pages, buckets)
+    per_wave = (buckets + waves - 1) // waves
+    done = completed_buckets(spark, out_dir)
+    for w in range(waves):
+        lo, hi = w * per_wave, min((w + 1) * per_wave, buckets)
+        wave_pages = pages_b.where(F.col("bucket").between(lo, hi - 1))
+        if done is not None:
+            wave_pages = wave_pages.join(F.broadcast(done), "bucket",
+                                         "left_anti")
+        parsed = with_bucket(extract_and_parse(wave_pages.drop("bucket"),
+                                               ctx_cache), buckets)
+        write_bucketed(parsed, out_dir)
+        stats.append({"wave": w, "buckets": [lo, hi]})
+    return stats
+
+
+def verify_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Recompute per-bucket stats from the quads table and diff against the
+    lineage records — the audit every resume can run cheaply."""
+    quads = spark.read.parquet(f"{out_dir}/quads")
+    recomputed = bucket_lineage(quads)
+    recorded = spark.read.parquet(f"{out_dir}/lineage")
+    return (recomputed.alias("a")
+            .join(recorded.alias("b"), "bucket", "full")
+            .where((F.col("a.n_quads") != F.col("b.n_quads"))
+                   | (F.col("a.checksum") != F.col("b.checksum"))))

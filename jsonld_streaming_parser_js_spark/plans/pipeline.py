@@ -1,0 +1,91 @@
+"""End-to-end KG-construction pipeline (north_star lifecycle).
+
+``pages -> extract -> parse -> dedup -> [canonicalize] -> quads + lineage``
+— the Spark re-expression of the reference's stream lifecycle
+(``/root/reference/lib/JsonLdParser.ts`` 3.1-3.4, see SURVEY.md section 3.4),
+plus the pipeline stages the reference leaves to its caller (entity
+canonicalization, persistence, recovery).
+
+Designed to ship via ``spark-submit --py-files`` (see ``jobs/build_kg.py``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import canonicalize as canon
+from ..operators.parse import extract_and_parse, quads_only
+from . import lineage as lin
+
+
+@dataclass
+class PipelineConfig:
+    out_dir: str
+    buckets: int = 64
+    canonicalize: bool = False
+    rdf_direction: str | None = None
+    ctx_cache: dict = field(default_factory=dict)
+
+
+def build_kg(spark: SparkSession, pages: DataFrame,
+             cfg: PipelineConfig) -> dict:
+    """Full run with checkpoint-resume; returns run stats."""
+    stats = lin.run_with_resume(spark, pages, cfg.out_dir, cfg.ctx_cache,
+                                cfg.buckets)
+    if cfg.canonicalize:
+        quads = quads_table(spark, cfg.out_dir)
+        mapping = canon.canonical_mapping(quads)
+        relabeled = canon.relabel_quads(quads, mapping)
+        (relabeled.write.mode("overwrite")
+         .parquet(f"{cfg.out_dir}/quads_canonical"))
+        stats["n_merged_nodes"] = mapping.count()
+    return stats
+
+
+def quads_table(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The committed quads (error rows filtered), deduplicated."""
+    parsed = spark.read.parquet(f"{out_dir}/quads")
+    return (quads_only(parsed)
+            .dropDuplicates(["url", "blk", "subj", "pred", "obj", "graph"]))
+
+
+def errors_table(spark: SparkSession, out_dir: str) -> DataFrame:
+    parsed = spark.read.parquet(f"{out_dir}/quads")
+    return (parsed.where(F.col("error").isNotNull())
+            .select("url", "blk", "error"))
+
+
+def graph_views(quads: DataFrame) -> dict[str, DataFrame]:
+    """Materialized graph views: node and edge tables (the "graph
+    materialize" stage of the north_rule).
+
+    - nodes: every distinct term in subject/object position with kind
+      (iri / bnode / literal / quoted-triple) and degree counts
+    - edges: subject -> object rows for IRI/bnode objects (literal
+      attributes excluded), ready for graph algorithms
+    """
+    subj = quads.select(F.col("subj").alias("term"))
+    obj = quads.select(F.col("obj").alias("term"))
+    kind = (F.when(F.col("term").startswith("_:"), "bnode")
+            .when(F.col("term").startswith('"'), "literal")
+            .when(F.col("term").startswith("<<"), "quoted")
+            .otherwise("iri"))
+    out_deg = (quads.groupBy(F.col("subj").alias("term"))
+               .agg(F.count("*").alias("out_degree")))
+    in_deg = (quads.groupBy(F.col("obj").alias("term"))
+              .agg(F.count("*").alias("in_degree")))
+    nodes = (subj.union(obj).distinct()
+             .withColumn("kind", kind)
+             .join(out_deg, "term", "left")
+             .join(in_deg, "term", "left")
+             .fillna(0, ["out_degree", "in_degree"]))
+    edges = (quads
+             .where(~F.col("obj").startswith('"'))
+             .select(F.col("subj").alias("src"),
+                     F.col("pred").alias("rel"),
+                     F.col("obj").alias("dst"),
+                     "graph"))
+    return {"nodes": nodes, "edges": edges}

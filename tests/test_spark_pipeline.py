@@ -1,0 +1,140 @@
+"""Pipeline-level Spark tests (sf0.001): determinism, byte-identical
+extraction, checkpoint-resume, canonicalization, graph views, errors.
+
+Mirrors the reference's end-to-end test layer (SURVEY.md section 5) at the
+pipeline granularity the reference doesn't have.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonld_streaming_parser_js_spark.operators.extract import (
+    extracted_text)
+from jsonld_streaming_parser_js_spark.operators.parse import (
+    extract_and_parse, pages_to_quads)
+from jsonld_streaming_parser_js_spark.operators import canonicalize as canon
+from jsonld_streaming_parser_js_spark.plans import lineage as lin
+from jsonld_streaming_parser_js_spark.plans import pipeline as pipe
+from jsonld_streaming_parser_js_spark.sources.pages import (
+    CONTEXTS, pages_from_documents)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_from_documents(spark, SF).cache()
+
+
+def test_byte_identical_extraction(spark, pages):
+    et = extracted_text(pages)
+    assert et.where(~F.col("match")).count() == 0
+    assert et.count() == 500
+
+
+def test_deterministic_rerun(spark, pages):
+    a = set(map(tuple, pages_to_quads(pages, CONTEXTS).collect()))
+    b = set(map(tuple, pages_to_quads(pages, CONTEXTS).collect()))
+    assert a == b and len(a) > 3000
+
+
+def test_error_channel_isolated(spark, pages):
+    parsed = extract_and_parse(pages, CONTEXTS)
+    errs = parsed.where(F.col("error").isNotNull())
+    # doc_id % 17 == 0 -> 30 of 500 docs have one malformed block
+    assert errs.count() == 30
+    assert errs.select("error").distinct().collect()[0][0] == "invalid json"
+    # malformed blocks never produce quad rows
+    assert parsed.where(F.col("error").isNotNull()
+                        & F.col("subj").isNotNull()).count() == 0
+
+
+def test_checkpoint_resume(spark, pages):
+    out = tempfile.mkdtemp(prefix="kg_resume_")
+    try:
+        # phase 1: a run that crashed after committing buckets 0-5 (the
+        # failure unit is a bucket: quads land, then lineage commits)
+        part = lin.with_bucket(pages, 16).where(F.col("bucket") <= 5) \
+            .drop("bucket")
+        s1 = lin.run_with_resume(spark, part, out, CONTEXTS, buckets=16)
+        assert s1["buckets_previously_done"] == 0
+
+        # phase 2: resume over the full corpus
+        s2 = lin.run_with_resume(spark, pages, out, CONTEXTS, buckets=16)
+        assert s2["buckets_previously_done"] == s1["buckets_done"]
+        assert s2["buckets_done"] == 16
+
+        # result equals a clean single-shot run, quad for quad
+        resumed = set(map(tuple,
+                          pipe.quads_table(spark, out)
+                          .select("subj", "pred", "obj", "graph")
+                          .collect()))
+        clean = set(map(tuple,
+                        pages_to_quads(pages, CONTEXTS)
+                        .select("subj", "pred", "obj", "graph")
+                        .collect()))
+        assert resumed == clean
+
+        # lineage audit: recomputed == recorded for every bucket
+        assert lin.verify_lineage(spark, out).count() == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_resume_skips_completed_buckets(spark, pages):
+    out = tempfile.mkdtemp(prefix="kg_resume2_")
+    try:
+        lin.run_with_resume(spark, pages, out, CONTEXTS, buckets=8)
+        s = lin.run_with_resume(spark, pages, out, CONTEXTS, buckets=8)
+        assert s["buckets_previously_done"] == 8  # nothing reprocessed
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_run_in_waves_equals_single_shot(spark, pages):
+    out = tempfile.mkdtemp(prefix="kg_waves_")
+    try:
+        lin.run_in_waves(spark, pages, out, CONTEXTS, buckets=16, waves=3)
+        waved = set(map(tuple,
+                        pipe.quads_table(spark, out)
+                        .select("subj", "pred", "obj", "graph").collect()))
+        clean = set(map(tuple,
+                        pages_to_quads(pages, CONTEXTS)
+                        .select("subj", "pred", "obj", "graph").collect()))
+        assert waved == clean
+        assert lin.verify_lineage(spark, out).count() == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_canonicalization_merges_site_authors(spark, pages):
+    quads = pages_to_quads(pages, CONTEXTS)
+    clusters = canon.cluster_summary(quads).collect()
+    # 50 author entities, each minted under 7 site-local IRIs
+    assert len(clusters) == 50
+    assert all(r["n_members"] == 7 for r in clusters)
+    # relabeling rewrites every non-canonical author IRI
+    mapping = canon.canonical_mapping(quads)
+    relabeled = canon.relabel_quads(quads, mapping)
+    authors = (relabeled.where(F.col("pred") == "<http://schema.org/author>")
+               .select("obj").distinct())
+    assert authors.count() == 50
+
+
+def test_graph_views(spark, pages):
+    quads = pages_to_quads(pages, CONTEXTS)
+    views = pipe.graph_views(quads)
+    nodes = views["nodes"]
+    kinds = {r["kind"] for r in nodes.select("kind").distinct().collect()}
+    assert "iri" in kinds and "literal" in kinds and "bnode" in kinds
+    edges = views["edges"]
+    assert edges.where(F.col("dst").startswith('"')).count() == 0
+    # every edge src appears as a node
+    missing = (edges.select(F.col("src").alias("term")).distinct()
+               .join(nodes, "term", "left_anti"))
+    assert missing.count() == 0
