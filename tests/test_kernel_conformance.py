@@ -1,0 +1,413 @@
+"""Second kernel battery: trickier JSON-LD 1.1 toRdf semantics, mirroring
+the harder reference test families (/root/reference/test/JsonLdParser-test.ts
+and the W3C toRdf manifest behaviors the EARL reports cover)."""
+
+from __future__ import annotations
+
+import pytest
+
+from jsonld_streaming_parser_js_spark.functions.context import JsonLdError
+from jsonld_streaming_parser_js_spark.functions.parser import (
+    ParserOptions, jsonld_to_quads)
+from jsonld_streaming_parser_js_spark.functions import terms as T
+
+RDF_TYPE = "<" + T.RDF_TYPE + ">"
+
+
+def quads(doc, base=None, ctx_cache=None, rdf_direction=None,
+          generalized=False):
+    opts = ParserOptions(base_iri=base, ctx_cache=ctx_cache or {},
+                         rdf_direction=rdf_direction,
+                         produce_generalized_rdf=generalized)
+    return set(jsonld_to_quads(doc, opts))
+
+
+# --- context mechanics -------------------------------------------------------
+
+def test_context_array_merge_and_null_reset():
+    doc = {"@context": [{"a": "http://a.org/a"},
+                        {"b": "http://b.org/b"}],
+           "@id": "http://ex.org/s", "a": "1", "b": "2"}
+    got = quads(doc)
+    assert ("<http://ex.org/s>", "<http://a.org/a>", '"1"', "") in got
+    assert ("<http://ex.org/s>", "<http://b.org/b>", '"2"', "") in got
+
+    doc2 = {"@context": [{"a": "http://a.org/a"}, None],
+            "@id": "http://ex.org/s", "a": "1"}
+    assert quads(doc2) == set()  # context nullified -> 'a' not a property
+
+
+def test_keyword_aliases():
+    doc = {"@context": {"id": "@id", "graph": "@graph", "value": "@value",
+                        "lang": "@language"},
+           "id": "http://ex.org/g",
+           "graph": {"id": "http://ex.org/s",
+                     "http://ex.org/p": {"value": "v", "lang": "EN"}}}
+    assert quads(doc) == {
+        ("<http://ex.org/s>", "<http://ex.org/p>", '"v"@en',
+         "<http://ex.org/g>")}
+
+
+def test_vocab_empty_string_resolves_to_base():
+    doc = {"@context": {"@vocab": ""},
+           "@id": "http://base.org/doc", "term": "v"}
+    assert quads(doc, base="http://base.org/doc") == {
+        ("<http://base.org/doc>", "<http://base.org/docterm>", '"v"', "")}
+
+
+def test_relative_vocab_concatenation():
+    doc = {"@context": [{"@vocab": "http://voc.org/"},
+                        {"@vocab": "sub/"}],
+           "@id": "http://ex.org/s", "t": "v"}
+    assert quads(doc) == {
+        ("<http://ex.org/s>", "<http://voc.org/sub/t>", '"v"', "")}
+
+
+def test_prefix_false_blocks_compact_iri():
+    doc = {"@context": {"pfx": {"@id": "http://p.org/", "@prefix": False}},
+           "@id": "http://ex.org/s", "pfx:x": "v"}
+    # pfx may not be used as a prefix -> "pfx:x" stays as-is, which is
+    # itself a valid absolute IRI with scheme "pfx" (jsonld.js behavior)
+    assert quads(doc) == {("<http://ex.org/s>", "<pfx:x>", '"v"', "")}
+
+
+def test_simple_term_not_ending_in_gen_delim_is_not_prefix():
+    doc = {"@context": {"pfx": "http://p.org/path"},
+           "@id": "http://ex.org/s", "pfx:x": "v"}
+    # simple term not ending in a gen-delim is NOT a prefix (JSON-LD 1.1);
+    # "pfx:x" is then kept verbatim as a scheme-ful IRI
+    assert quads(doc) == {("<http://ex.org/s>", "<pfx:x>", '"v"', "")}
+
+
+def test_term_choice_compact_iri_defined():
+    doc = {"@context": {"ex": "http://ex.org/",
+                        "ex:p": {"@type": "@id"}},
+           "@id": "ex:s", "ex:p": "http://other.org/o"}
+    assert quads(doc) == {("<http://ex.org/s>", "<http://ex.org/p>",
+                           "<http://other.org/o>", "")}
+
+
+def test_base_relative_chain():
+    doc = {"@context": {"@base": "deep/"},
+           "@id": "../x", "http://ex.org/p": "v"}
+    got = quads(doc, base="http://b.org/a/b/doc")
+    # base: http://b.org/a/b/deep/  ->  ../x = http://b.org/a/b/x
+    assert got == {("<http://b.org/a/b/x>", "<http://ex.org/p>", '"v"', "")}
+
+
+def test_scoped_context_with_propagate_true():
+    doc = {"@context": {
+               "T": {"@id": "http://ex.org/T",
+                     "@context": {"@propagate": True,
+                                  "q": "http://scoped.org/q"}}},
+           "@id": "http://ex.org/s", "@type": "T",
+           "q": {"@id": "http://ex.org/o", "q": "v"}}
+    got = quads(doc)
+    # with @propagate:true the type-scoped context survives into children
+    assert ("<http://ex.org/o>", "<http://scoped.org/q>", '"v"', "") in got
+
+
+def test_protected_term_overridable_by_property_scoped():
+    doc = {"@context": {"@protected": True,
+                        "p": {"@id": "http://a.org/p",
+                              "@context": {"p": "http://b.org/p"}}},
+           "@id": "http://ex.org/s",
+           "p": {"@id": "http://ex.org/o", "p": "v"}}
+    got = quads(doc)  # property-scoped overrides protected: allowed
+    assert ("<http://ex.org/o>", "<http://b.org/p>", '"v"', "") in got
+
+
+def test_import_context():
+    cache = {"http://r.org/base": {"@context": {"a": "http://a.org/a"}}}
+    doc = {"@context": {"@import": "http://r.org/base",
+                        "b": "http://b.org/b"},
+           "@id": "http://ex.org/s", "a": "1", "b": "2"}
+    got = quads(doc, ctx_cache=cache)
+    assert ("<http://ex.org/s>", "<http://a.org/a>", '"1"', "") in got
+    assert ("<http://ex.org/s>", "<http://b.org/b>", '"2"', "") in got
+
+
+# --- values / literals -------------------------------------------------------
+
+def test_negative_zero_and_small_double():
+    doc = {"@id": "http://ex.org/s",
+           "http://ex.org/z": -0.0,
+           "http://ex.org/small": 1e-7}
+    got = quads(doc)
+    assert ("<http://ex.org/s>", "<http://ex.org/z>",
+            '"0"^^<' + T.XSD_INTEGER + ">", "") in got
+    assert ("<http://ex.org/s>", "<http://ex.org/small>",
+            '"1.0E-7"^^<' + T.XSD_DOUBLE + ">", "") in got
+
+
+def test_null_value_dropped():
+    doc = {"@id": "http://ex.org/s",
+           "http://ex.org/p": None,
+           "http://ex.org/q": {"@value": None},
+           "http://ex.org/r": "keep"}
+    assert quads(doc) == {
+        ("<http://ex.org/s>", "<http://ex.org/r>", '"keep"', "")}
+
+
+def test_json_literal_scalar_and_unicode_key_order():
+    doc = {"@context": {"p": {"@id": "http://ex.org/p", "@type": "@json"}},
+           "@id": "http://ex.org/s",
+           "p": [True, {"é": 1, "e": 2}]}
+    got = quads(doc)
+    # the whole raw value (array included) is ONE rdf:JSON literal, with
+    # JCS key order ("e" < "é" by code unit)
+    assert got == {
+        ("<http://ex.org/s>", "<http://ex.org/p>",
+         '"[true,{\\"e\\":2,\\"é\\":1}]"^^<' + T.RDF_JSON + ">", "")}
+
+
+def test_language_tag_lowercased():
+    doc = {"@id": "http://ex.org/s",
+           "http://ex.org/p": {"@value": "x", "@language": "en-US"}}
+    assert quads(doc) == {("<http://ex.org/s>", "<http://ex.org/p>",
+                           '"x"@en-us', "")}
+
+
+def test_value_with_type_none_alias():
+    doc = {"@context": {"none": "@none",
+                        "p": {"@id": "http://ex.org/p",
+                              "@container": "@language"}},
+           "@id": "http://ex.org/s",
+           "p": {"en": "hello", "none": "plain"}}
+    got = quads(doc)
+    assert ("<http://ex.org/s>", "<http://ex.org/p>", '"plain"', "") in got
+    assert ("<http://ex.org/s>", "<http://ex.org/p>", '"hello"@en',
+            "") in got
+
+
+# --- nodes / graphs ----------------------------------------------------------
+
+def test_blank_node_predicate_dropped_by_default():
+    doc = {"@id": "http://ex.org/s", "_:p": "v",
+           "http://ex.org/p": "keep"}
+    assert quads(doc) == {
+        ("<http://ex.org/s>", "<http://ex.org/p>", '"keep"', "")}
+
+
+def test_blank_node_predicate_kept_generalized():
+    doc = {"@id": "http://ex.org/s", "_:p": "v"}
+    got = quads(doc, generalized=True)
+    assert len(got) == 1 and next(iter(got))[1].startswith("_:")
+
+
+def test_type_blank_node_object():
+    doc = {"@id": "http://ex.org/s", "@type": "_:T"}
+    got = quads(doc)
+    (s, p, o, g), = got
+    assert p == RDF_TYPE and o.startswith("_:")
+
+
+def test_empty_named_graph():
+    assert quads({"@id": "http://ex.org/g", "@graph": []}) == set()
+
+
+def test_graph_nested_in_graph():
+    doc = {"@id": "http://ex.org/g1",
+           "@graph": {"@id": "http://ex.org/g2",
+                      "@graph": {"@id": "http://ex.org/s",
+                                 "http://ex.org/p": "v"},
+                      "http://ex.org/q": "w"}}
+    got = quads(doc)
+    assert ("<http://ex.org/s>", "<http://ex.org/p>", '"v"',
+            "<http://ex.org/g2>") in got
+    assert ("<http://ex.org/g2>", "<http://ex.org/q>", '"w"',
+            "<http://ex.org/g1>") in got
+
+
+def test_graph_id_container():
+    doc = {"@context": {"@base": "http://ex.org/",
+                        "g": {"@id": "http://ex.org/g",
+                              "@container": ["@graph", "@id"]}},
+           "@id": "http://ex.org/s",
+           "g": {"http://ex.org/named": {"http://ex.org/p": "v"}}}
+    got = quads(doc)
+    inner = [q for q in got if q[1] == "<http://ex.org/p>"]
+    assert len(inner) == 1 and inner[0][3] == "<http://ex.org/named>"
+    link = [q for q in got if q[0] == "<http://ex.org/s>"]
+    assert len(link) == 1 and link[0][2] == "<http://ex.org/named>"
+
+
+def test_graph_index_container():
+    doc = {"@context": {"g": {"@id": "http://ex.org/g",
+                              "@container": ["@graph", "@index"]}},
+           "@id": "http://ex.org/s",
+           "g": {"idx": {"http://ex.org/p": "v"}}}
+    got = quads(doc)
+    inner = [q for q in got if q[1] == "<http://ex.org/p>"]
+    assert len(inner) == 1 and inner[0][3].startswith("_:")
+
+
+def test_included_nested():
+    doc = {"@id": "http://ex.org/s", "http://ex.org/p": "v",
+           "@included": {"@id": "http://ex.org/s2",
+                         "http://ex.org/p": "v2",
+                         "@included": {"@id": "http://ex.org/s3",
+                                       "http://ex.org/p": "v3"}}}
+    got = quads(doc)
+    assert len(got) == 3
+    assert {q[0] for q in got} == {"<http://ex.org/s>",
+                                   "<http://ex.org/s2>",
+                                   "<http://ex.org/s3>"}
+
+
+# --- lists -------------------------------------------------------------------
+
+def test_list_of_lists_in_container_errors():
+    doc = {"@context": {"p": {"@id": "http://ex.org/p",
+                              "@container": "@list"}},
+           "@id": "http://ex.org/s",
+           "p": [["a"]]}
+    with pytest.raises(JsonLdError):
+        quads(doc)
+
+
+def test_list_with_iri_items():
+    doc = {"@context": {"p": {"@id": "http://ex.org/p",
+                              "@container": "@list", "@type": "@id"}},
+           "@id": "http://ex.org/s",
+           "p": ["http://a.org/", "http://b.org/"]}
+    got = quads(doc)
+    firsts = sorted(q[2] for q in got if q[1] == "<" + T.RDF_FIRST + ">")
+    assert firsts == ["<http://a.org/>", "<http://b.org/>"]
+
+
+def test_list_object_preserves_index_transparency():
+    doc = {"@id": "http://ex.org/s",
+           "http://ex.org/p": {"@list": ["a"], "@index": "ignored"}}
+    got = quads(doc)
+    assert len(got) == 3
+
+
+# --- reverse -----------------------------------------------------------------
+
+def test_reverse_container_set():
+    doc = {"@context": {"children": {"@reverse": "http://ex.org/parent",
+                                     "@container": "@set"}},
+           "@id": "http://ex.org/dad",
+           "children": [{"@id": "http://ex.org/k1"},
+                        {"@id": "http://ex.org/k2"}]}
+    assert quads(doc) == {
+        ("<http://ex.org/k1>", "<http://ex.org/parent>",
+         "<http://ex.org/dad>", ""),
+        ("<http://ex.org/k2>", "<http://ex.org/parent>",
+         "<http://ex.org/dad>", "")}
+
+
+def test_double_reverse_cancels():
+    doc = {"@id": "http://ex.org/s",
+           "@reverse": {"http://ex.org/p": {
+               "@id": "http://ex.org/m",
+               "@reverse": {"http://ex.org/q": {
+                   "@id": "http://ex.org/o"}}}}}
+    got = quads(doc)
+    assert ("<http://ex.org/m>", "<http://ex.org/p>", "<http://ex.org/s>",
+            "") in got
+    assert ("<http://ex.org/o>", "<http://ex.org/q>", "<http://ex.org/m>",
+            "") in got
+
+
+def test_reverse_value_object_errors():
+    doc = {"@context": {"rev": {"@reverse": "http://ex.org/p"}},
+           "@id": "http://ex.org/o", "rev": "literal"}
+    with pytest.raises(JsonLdError):
+        quads(doc)
+
+
+# --- nest --------------------------------------------------------------------
+
+def test_nest_array_and_alias():
+    doc = {"@context": {"meta": "@nest", "p": "http://ex.org/p",
+                        "q": "http://ex.org/q"},
+           "@id": "http://ex.org/s",
+           "meta": [{"p": "1"}, {"q": "2"}]}
+    got = quads(doc)
+    assert ("<http://ex.org/s>", "<http://ex.org/p>", '"1"', "") in got
+    assert ("<http://ex.org/s>", "<http://ex.org/q>", '"2"', "") in got
+
+
+def test_nest_with_value_errors():
+    doc = {"@context": {"meta": "@nest"},
+           "@id": "http://ex.org/s",
+           "meta": {"@value": "x"}}
+    with pytest.raises(JsonLdError):
+        quads(doc)
+
+
+# --- errors ------------------------------------------------------------------
+
+def test_colliding_keywords():
+    doc = {"@context": {"id1": "@id", "id2": "@id"},
+           "id1": "http://ex.org/a", "id2": "http://ex.org/b",
+           "http://ex.org/p": "v"}
+    with pytest.raises(JsonLdError):
+        quads(doc)
+
+
+def test_invalid_id_value():
+    with pytest.raises(JsonLdError):
+        quads({"@id": 5, "http://ex.org/p": "v"})
+
+
+def test_invalid_language_value():
+    with pytest.raises(JsonLdError):
+        quads({"@id": "http://ex.org/s",
+               "http://ex.org/p": {"@value": "x", "@language": 5}})
+
+
+def test_value_with_extra_keys_errors():
+    with pytest.raises(JsonLdError):
+        quads({"@id": "http://ex.org/s",
+               "http://ex.org/p": {"@value": "x",
+                                   "http://ex.org/extra": "y"}})
+
+
+def test_keyword_like_terms_ignored():
+    doc = {"@id": "http://ex.org/s", "@ignoreMe": "x",
+           "http://ex.org/p": "v"}
+    assert quads(doc) == {
+        ("<http://ex.org/s>", "<http://ex.org/p>", '"v"', "")}
+
+
+# --- rdf-star extras ---------------------------------------------------------
+
+def test_rdfstar_embedded_object_position():
+    doc = {"@id": "http://ex.org/s",
+           "http://ex.org/says": {
+               "@id": {"@id": "http://ex.org/a",
+                       "http://ex.org/b": {"@id": "http://ex.org/c"}}}}
+    got = quads(doc)
+    assert got == {
+        ("<http://ex.org/s>", "<http://ex.org/says>",
+         "<< <http://ex.org/a> <http://ex.org/b> <http://ex.org/c> >>",
+         "")}
+
+
+def test_rdfstar_nested_annotation():
+    doc = {"@id": "http://ex.org/s",
+           "http://ex.org/p": {
+               "@id": "http://ex.org/o",
+               "@annotation": {
+                   "http://ex.org/certainty": {
+                       "@value": "high",
+                       "@annotation": {"http://ex.org/src": "me"}}}}}
+    got = quads(doc)
+    q1 = ("<http://ex.org/s>", "<http://ex.org/p>", "<http://ex.org/o>", "")
+    assert q1 in got
+    quoted1 = "<< <http://ex.org/s> <http://ex.org/p> <http://ex.org/o> >>"
+    q2 = (quoted1, "<http://ex.org/certainty>", '"high"', "")
+    assert q2 in got
+    quoted2 = f'<< {quoted1} <http://ex.org/certainty> "high" >>'
+    assert (quoted2, "<http://ex.org/src>", '"me"', "") in got
+
+
+def test_rdfstar_embedded_multi_property_errors():
+    doc = {"@id": {"@id": "http://ex.org/s", "http://ex.org/p": "a",
+                   "http://ex.org/q": "b"},
+           "http://ex.org/c": 1}
+    with pytest.raises(JsonLdError):
+        quads(doc)
