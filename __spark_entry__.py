@@ -176,6 +176,38 @@ def _q_sim_lsh_topk(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def _q_kg_graph_nodes(spark, sf_dir):
+    from jsonld_streaming_parser_js_spark.plans.pipeline import graph_views
+    nodes = graph_views(_quads(spark, sf_dir))["nodes"]
+    return nodes.orderBy("term")
+
+
+def _q_kg_graph_edges(spark, sf_dir):
+    from jsonld_streaming_parser_js_spark.plans.pipeline import graph_views
+    edges = graph_views(_quads(spark, sf_dir))["edges"]
+    return edges.orderBy("src", "rel", "dst")
+
+
+def _q_dedup_embedding_cosine(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return (similarity.embedding_near_pairs(emb, threshold=0.4)
+            .orderBy("id_a", "id_b"))
+
+
+def _q_text_quality_filter(spark, sf_dir):
+    """Composite training-data filter: quality thresholds + exact-dedup
+    survivorship in one pipeline (the everyday corpus-cleaning query)."""
+    docs = _docs(spark, sf_dir)
+    q = textstats.quality_score(docs)
+    keep = (dedup.exact_dedup(docs)
+            .select(F.col("keep_doc_id").alias("doc_id")))
+    return (q.join(keep, "doc_id")
+            .where((F.col("n_tokens") >= 10)
+                   & (F.col("punct_ratio") <= 0.2))
+            .select("doc_id", "n_tokens", "punct_ratio")
+            .orderBy("doc_id"))
+
+
 def _q_tpch_q1(spark, sf_dir):
     li = _tbl(spark, sf_dir, "lineitem")
     return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
@@ -248,6 +280,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "kg_graph_nodes": _q_kg_graph_nodes,
+        "kg_graph_edges": _q_kg_graph_edges,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "text_quality_filter": _q_text_quality_filter,
         "sim_topk_cosine": _q_sim_topk_cosine,
         "sim_lsh_topk": _q_sim_lsh_topk,
         "tpch_q1": _q_tpch_q1,
@@ -466,6 +502,57 @@ FROM v ORDER BY doc_id"""
 SELECT doc_id,
        md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
 FROM documents ORDER BY doc_id"""
+
+    oracles["kg_graph_nodes"] = _with_quads("""
+, terms AS (
+  SELECT subj AS term FROM q UNION SELECT obj FROM q
+),
+outd AS (SELECT subj AS term, count(*) AS out_degree FROM q GROUP BY subj),
+ind AS (SELECT obj AS term, count(*) AS in_degree FROM q GROUP BY obj)
+SELECT t.term,
+       CASE WHEN t.term LIKE '_:%' THEN 'bnode'
+            WHEN t.term LIKE '"%' THEN 'literal'
+            WHEN t.term LIKE '<<%' THEN 'quoted'
+            ELSE 'iri' END AS kind,
+       coalesce(outd.out_degree, 0) AS out_degree,
+       coalesce(ind.in_degree, 0) AS in_degree
+FROM terms t
+LEFT JOIN outd ON t.term = outd.term
+LEFT JOIN ind ON t.term = ind.term
+ORDER BY t.term""")
+
+    oracles["kg_graph_edges"] = _with_quads(
+        "SELECT subj AS src, pred AS rel, obj AS dst, graph FROM q"
+        " WHERE obj NOT LIKE '\"%' ORDER BY src, rel, dst")
+
+    dot_ab = ("list_reduce(list_transform(range(1, len(a.embedding) + 1),"
+              " i -> CAST(a.embedding[i] AS DOUBLE)"
+              " * CAST(b.embedding[i] AS DOUBLE)), (acc, v) -> acc + v)")
+    norm = ("sqrt(list_reduce(list_transform({side}.embedding,"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " (acc, v) -> acc + v))")
+    oracles["dedup_embedding_cosine"] = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(({dot_ab}) / greatest(({norm.format(side='a')})
+             * ({norm.format(side='b')}), 1e-12), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(({dot_ab}) / greatest(({norm.format(side='a')})
+      * ({norm.format(side='b')}), 1e-12), 6) >= 0.4
+ORDER BY id_a, id_b"""
+
+    oracles["text_quality_filter"] = r"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+         round(CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+               / greatest(length(text), 1), 6) AS punct_ratio
+  FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT q.doc_id, n_tokens, punct_ratio
+FROM q JOIN keep ON q.doc_id = keep.doc_id
+WHERE n_tokens >= 10 AND punct_ratio <= 0.2
+ORDER BY q.doc_id"""
 
     ids = ", ".join(str(i) for i in SIM_QUERY_IDS)
     # list_reduce is a left fold like Spark's aggregate(...), and the CASTs

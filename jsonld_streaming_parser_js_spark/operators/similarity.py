@@ -61,6 +61,24 @@ def brute_force_topk(embeddings: DataFrame, query_ids: list[int],
             .select("query_id", "neighbor_id", "rank", "cos_sim"))
 
 
+def embedding_near_pairs(embeddings: DataFrame,
+                         threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs).
+
+    The all-pairs form is the *verifier*; at corpus scale candidates come
+    from `hyperplane_buckets` first and only candidates reach this cosine.
+    Self-join keyed by id inequality; JVM-side float64 math.
+    """
+    a = embeddings.select(F.col("vec_id").alias("id_a"),
+                          F.col("embedding").alias("emb_a"))
+    b = embeddings.select(F.col("vec_id").alias("id_b"),
+                          F.col("embedding").alias("emb_b"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(_cosine("emb_a", "emb_b"), 6).alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold))
+
+
 def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
                        dim: int | None = None, seed: int = 42) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (Arrow-batched NumPy)."""
