@@ -110,6 +110,27 @@ def initial_context(base_iri: str | None) -> Context:
 
 MAX_REMOTE_CONTEXTS = 32
 
+# Worker-level memo of processed remote contexts (the reference memoizes
+# normalized contexts via jsonld-context-parser's cache; here one executor
+# parses e.g. the schema.org context once, not once per block). Keyed by
+# (cache identity, context IRI, propagate, validate); entries record
+# whether the processed result depends on the document base (then they are
+# unusable as a shared result and we fall back to per-document processing).
+_REMOTE_MEMO: dict[tuple, tuple["Context", bool]] = {}
+# the sentinel must be a syntactically valid absolute IRI so the probe's
+# resolution paths behave exactly like a real document base
+_BASE_SENTINEL = "http://jsonld-probe-base-8f3a19c2.invalid/"
+
+
+def _mentions_sentinel(ctx: "Context") -> bool:
+    if ctx.vocab and _BASE_SENTINEL in ctx.vocab:
+        return True
+    for td in ctx.terms.values():
+        for val in (td.iri, td.type_mapping, td.index, td.nest):
+            if isinstance(val, str) and _BASE_SENTINEL in val:
+                return True
+    return False
+
 
 def process_context(active: Context, local_ctx, base_url: str | None,
                     ctx_cache: dict | None = None,
@@ -150,6 +171,31 @@ def process_context(active: Context, local_ctx, base_url: str | None,
             remote_doc = ctx_cache[ctx_iri]
             if not isinstance(remote_doc, dict) or "@context" not in remote_doc:
                 raise JsonLdError("invalid remote context", ctx_iri)
+
+            pristine = (not result.terms and result.vocab is None
+                        and result.language is None
+                        and result.direction is None)
+            if pristine:
+                key = (id(ctx_cache), ctx_iri, propagate, validate_scoped)
+                memo = _REMOTE_MEMO.get(key)
+                if memo is None:
+                    probe = process_context(
+                        Context(base=_BASE_SENTINEL,
+                                original_base=_BASE_SENTINEL),
+                        remote_doc["@context"], ctx_iri, ctx_cache,
+                        remote_contexts | {ctx_iri}, propagate=propagate,
+                        validate_scoped=validate_scoped)
+                    memo = (probe, _mentions_sentinel(probe))
+                    _REMOTE_MEMO[key] = memo
+                probe, base_dependent = memo
+                if not base_dependent:
+                    merged = probe.copy()
+                    merged.base = result.base
+                    merged.original_base = result.original_base
+                    merged.previous_context = result.previous_context
+                    result = merged
+                    continue
+
             result = process_context(
                 result, remote_doc["@context"], ctx_iri, ctx_cache,
                 remote_contexts | {ctx_iri}, propagate=propagate,

@@ -411,3 +411,26 @@ def test_rdfstar_embedded_multi_property_errors():
            "http://ex.org/c": 1}
     with pytest.raises(JsonLdError):
         quads(doc)
+
+
+# --- remote-context memo safety ------------------------------------------------
+
+def test_remote_context_memo_not_base_contaminated():
+    # a remote context with @vocab:"" is base-dependent: two documents with
+    # different base IRIs must not share the memoized processing result
+    cache = {"http://r.org/vocabctx": {"@context": {"@vocab": ""}}}
+    doc = {"@context": "http://r.org/vocabctx", "t": "v"}
+    got_a = quads(doc, base="http://a.org/x", ctx_cache=cache)
+    got_b = quads(doc, base="http://b.org/y", ctx_cache=cache)
+    assert got_a != got_b
+    assert any("<http://a.org/xt>" == q[1] for q in got_a)
+    assert any("<http://b.org/yt>" == q[1] for q in got_b)
+
+
+def test_remote_context_memo_reuse_correct():
+    cache = {"http://r.org/plain": {"@context": {"name": "http://s.org/n"}}}
+    doc = {"@context": "http://r.org/plain",
+           "@id": "http://ex.org/s", "name": "x"}
+    expected = {("<http://ex.org/s>", "<http://s.org/n>", '"x"', "")}
+    assert quads(doc, base="http://a.org/", ctx_cache=cache) == expected
+    assert quads(doc, base="http://b.org/", ctx_cache=cache) == expected
