@@ -1,0 +1,265 @@
+"""Vendored toRdf-style fixture corpus (FIXTURES.md section 3 shape).
+
+Each fixture: (name, options, input JSON-LD document, expected N-Quads).
+Expected output computed per the W3C JSON-LD 1.1 Transform-to-RDF algorithm;
+comparison is dataset isomorphism (blank-node bijection), matching the
+reference's oracle semantics.
+"""
+
+EX = "http://example.org/"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+FIXTURES = [
+    ("top_level_array", {}, [
+        {"@id": "http://ex.org/a", "http://ex.org/p": "1"},
+        {"@id": "http://ex.org/b", "http://ex.org/p": "2"},
+    ], '''
+<http://ex.org/a> <http://ex.org/p> "1" .
+<http://ex.org/b> <http://ex.org/p> "2" .
+'''),
+
+    ("expanded_form_no_context", {}, {
+        "@id": "http://ex.org/s",
+        "http://ex.org/p": [{"@value": 4.3}],
+        "http://ex.org/q": [{"@id": "http://ex.org/o"}],
+    }, f'''
+<http://ex.org/s> <http://ex.org/p> "4.3E0"^^<{XSD}double> .
+<http://ex.org/s> <http://ex.org/q> <http://ex.org/o> .
+'''),
+
+    ("type_coercion_vocab", {}, {
+        "@context": {"@vocab": "http://v.org/",
+                     "knows": {"@type": "@vocab"}},
+        "@id": "http://ex.org/s", "knows": "Bob",
+    }, '''
+<http://ex.org/s> <http://v.org/knows> <http://v.org/Bob> .
+'''),
+
+    ("base_null_blocks_relative", {"base_iri": "http://b.org/"}, {
+        "@context": {"@base": None},
+        "@id": "rel", "http://ex.org/p": "v",
+    }, ''),  # relative @id unresolvable -> subject invalid -> no quads
+
+    ("graph_with_props_and_contents", {}, {
+        "@id": "http://ex.org/g",
+        "http://ex.org/meta": "m",
+        "@graph": {"@id": "http://ex.org/s", "http://ex.org/p": "v"},
+    }, '''
+<http://ex.org/g> <http://ex.org/meta> "m" .
+<http://ex.org/s> <http://ex.org/p> "v" <http://ex.org/g> .
+'''),
+
+    ("graph_index_retains_default", {}, {
+        "@context": {"g": {"@id": "http://ex.org/g",
+                           "@container": ["@graph", "@index"]}},
+        "@id": "http://ex.org/s",
+        "g": {"i1": {"@id": "http://ex.org/n", "http://ex.org/p": "v"}},
+    }, '''
+<http://ex.org/s> <http://ex.org/g> _:g0 .
+<http://ex.org/n> <http://ex.org/p> "v" _:g0 .
+'''),
+
+    ("list_in_list_explicit", {}, {
+        "@id": "http://ex.org/s",
+        "http://ex.org/p": {"@list": [{"@list": ["x"]}, "y"]},
+    }, f'''
+<http://ex.org/s> <http://ex.org/p> _:outer0 .
+_:outer0 <{RDF}first> _:inner0 .
+_:outer0 <{RDF}rest> _:outer1 .
+_:inner0 <{RDF}first> "x" .
+_:inner0 <{RDF}rest> <{RDF}nil> .
+_:outer1 <{RDF}first> "y" .
+_:outer1 <{RDF}rest> <{RDF}nil> .
+'''),
+
+    ("list_of_bnodes", {}, {
+        "@id": "http://ex.org/s",
+        "http://ex.org/p": {"@list": [{"http://ex.org/q": "a"}]},
+    }, f'''
+<http://ex.org/s> <http://ex.org/p> _:l0 .
+_:l0 <{RDF}first> _:n0 .
+_:l0 <{RDF}rest> <{RDF}nil> .
+_:n0 <http://ex.org/q> "a" .
+'''),
+
+    ("reverse_multiple_objects", {}, {
+        "@id": "http://ex.org/o",
+        "@reverse": {"http://ex.org/p": [
+            {"@id": "http://ex.org/s1"}, {"@id": "http://ex.org/s2"}]},
+    }, '''
+<http://ex.org/s1> <http://ex.org/p> <http://ex.org/o> .
+<http://ex.org/s2> <http://ex.org/p> <http://ex.org/o> .
+'''),
+
+    ("value_object_with_index", {}, {
+        "@id": "http://ex.org/s",
+        "http://ex.org/p": {"@value": "v", "@index": "ignored"},
+    }, '''
+<http://ex.org/s> <http://ex.org/p> "v" .
+'''),
+
+    ("id_set_container", {}, {
+        "@context": {"@base": "http://ex.org/",
+                     "p": {"@id": "http://ex.org/p",
+                           "@container": ["@id", "@set"]}},
+        "@id": "http://ex.org/s",
+        "p": {"o1": {"http://ex.org/q": "a"},
+              "o2": {"http://ex.org/q": "b"}},
+    }, '''
+<http://ex.org/s> <http://ex.org/p> <http://ex.org/o1> .
+<http://ex.org/s> <http://ex.org/p> <http://ex.org/o2> .
+<http://ex.org/o1> <http://ex.org/q> "a" .
+<http://ex.org/o2> <http://ex.org/q> "b" .
+'''),
+
+    ("language_map_with_array_and_none", {}, {
+        "@context": {"label": {"@id": "http://ex.org/l",
+                               "@container": "@language"}},
+        "@id": "http://ex.org/s",
+        "label": {"en": ["a", "b"], "@none": "plain"},
+    }, '''
+<http://ex.org/s> <http://ex.org/l> "a"@en .
+<http://ex.org/s> <http://ex.org/l> "b"@en .
+<http://ex.org/s> <http://ex.org/l> "plain" .
+'''),
+
+    ("shared_iri_node_merge", {}, {
+        "@id": "http://ex.org/s",
+        "http://ex.org/p": {"@id": "http://ex.org/o",
+                            "http://ex.org/a": "1"},
+        "http://ex.org/q": {"@id": "http://ex.org/o",
+                            "http://ex.org/b": "2"},
+    }, '''
+<http://ex.org/s> <http://ex.org/p> <http://ex.org/o> .
+<http://ex.org/s> <http://ex.org/q> <http://ex.org/o> .
+<http://ex.org/o> <http://ex.org/a> "1" .
+<http://ex.org/o> <http://ex.org/b> "2" .
+'''),
+
+    ("type_array_compact_iris", {}, {
+        "@context": {"ex": "http://ex.org/"},
+        "@id": "http://ex.org/s",
+        "@type": ["ex:T1", "ex:T2"],
+    }, f'''
+<http://ex.org/s> <{RDF}type> <http://ex.org/T1> .
+<http://ex.org/s> <{RDF}type> <http://ex.org/T2> .
+'''),
+
+    ("included_with_graph", {}, {
+        "@id": "http://ex.org/s", "http://ex.org/p": "v",
+        "@included": [{"@id": "http://ex.org/g",
+                       "@graph": {"@id": "http://ex.org/n",
+                                  "http://ex.org/q": "w"}}],
+    }, '''
+<http://ex.org/s> <http://ex.org/p> "v" .
+<http://ex.org/n> <http://ex.org/q> "w" <http://ex.org/g> .
+'''),
+
+    ("i18n_direction_no_language", {"rdf_direction": "i18n-datatype"}, {
+        "@context": {"@direction": "rtl"},
+        "@id": "http://ex.org/s", "http://ex.org/p": "v",
+    }, '''
+<http://ex.org/s> <http://ex.org/p> "v"^^<https://www.w3.org/ns/i18n#_rtl> .
+'''),
+
+    ("doubles_in_list_canonical", {}, {
+        "@id": "http://ex.org/s",
+        "http://ex.org/p": {"@list": [1.5, 100000.0]},
+    }, f'''
+<http://ex.org/s> <http://ex.org/p> _:l0 .
+_:l0 <{RDF}first> "1.5E0"^^<{XSD}double> .
+_:l0 <{RDF}rest> _:l1 .
+_:l1 <{RDF}first> "100000"^^<{XSD}integer> .
+_:l1 <{RDF}rest> <{RDF}nil> .
+'''),
+
+    ("nested_nodes_two_bnodes", {}, {
+        "http://ex.org/p": {"http://ex.org/q": {"http://ex.org/r": "v"}},
+    }, '''
+_:a <http://ex.org/p> _:b .
+_:b <http://ex.org/q> _:c .
+_:c <http://ex.org/r> "v" .
+'''),
+
+    ("property_index_container_keeps_existing", {}, {
+        "@context": {"@base": "http://ex.org/",
+                     "p": {"@id": "http://ex.org/p",
+                           "@container": "@index",
+                           "@index": "http://ex.org/prop"}},
+        "@id": "http://ex.org/s",
+        "p": {"i": {"@id": "o", "http://ex.org/prop": "existing"}},
+    }, '''
+<http://ex.org/s> <http://ex.org/p> <http://ex.org/o> .
+<http://ex.org/o> <http://ex.org/prop> "i" .
+<http://ex.org/o> <http://ex.org/prop> "existing" .
+'''),
+
+    ("scoped_context_on_compact_iri_term", {}, {
+        "@context": {"ex": "http://ex.org/",
+                     "ex:p": {"@context": {"q": "http://scoped.org/q"}}},
+        "@id": "http://ex.org/s",
+        "ex:p": {"@id": "http://ex.org/o", "q": "v"},
+    }, '''
+<http://ex.org/s> <http://ex.org/p> <http://ex.org/o> .
+<http://ex.org/o> <http://scoped.org/q> "v" .
+'''),
+
+    ("null_term_definition_drops", {}, {
+        "@context": {"p": None, "q": "http://ex.org/q"},
+        "@id": "http://ex.org/s", "p": "dropped", "q": "kept",
+    }, '''
+<http://ex.org/s> <http://ex.org/q> "kept" .
+'''),
+
+    ("set_in_context_transparent", {}, {
+        "@context": {"p": {"@id": "http://ex.org/p",
+                           "@container": "@set"}},
+        "@id": "http://ex.org/s",
+        "p": "single",
+    }, '''
+<http://ex.org/s> <http://ex.org/p> "single" .
+'''),
+
+    ("graph_set_container", {}, {
+        "@context": {"g": {"@id": "http://ex.org/g",
+                           "@container": ["@graph", "@set"]}},
+        "@id": "http://ex.org/s",
+        "g": [{"http://ex.org/p": "v1"}, {"http://ex.org/p": "v2"}],
+    }, '''
+<http://ex.org/s> <http://ex.org/g> _:g1 .
+<http://ex.org/s> <http://ex.org/g> _:g2 .
+_:n1 <http://ex.org/p> "v1" _:g1 .
+_:n2 <http://ex.org/p> "v2" _:g2 .
+'''),
+
+    ("rdfstar_annotation_on_iri_object", {}, {
+        "@id": "http://ex.org/s",
+        "http://ex.org/p": {
+            "@id": "http://ex.org/o",
+            "@annotation": {"http://ex.org/since": 2020}},
+    }, f'''
+<http://ex.org/s> <http://ex.org/p> <http://ex.org/o> .
+<< <http://ex.org/s> <http://ex.org/p> <http://ex.org/o> >> <http://ex.org/since> "2020"^^<{XSD}integer> .
+'''),
+
+    ("free_floating_in_graph_dropped", {}, {
+        "@id": "http://ex.org/g",
+        "@graph": ["scalar", {"@value": "vo"},
+                   {"@id": "http://ex.org/s", "http://ex.org/p": "keep"}],
+    }, '''
+<http://ex.org/s> <http://ex.org/p> "keep" <http://ex.org/g> .
+'''),
+
+    ("type_id_coercion_relative", {"base_iri": "http://b.org/dir/doc"}, {
+        "@context": {"link": {"@id": "http://ex.org/link",
+                              "@type": "@id"}},
+        "@id": "http://b.org/dir/doc",
+        "link": ["other", "/root", "../up", "#frag"],
+    }, '''
+<http://b.org/dir/doc> <http://ex.org/link> <http://b.org/dir/other> .
+<http://b.org/dir/doc> <http://ex.org/link> <http://b.org/root> .
+<http://b.org/dir/doc> <http://ex.org/link> <http://b.org/up> .
+<http://b.org/dir/doc> <http://ex.org/link> <http://b.org/dir/doc#frag> .
+'''),
+]
