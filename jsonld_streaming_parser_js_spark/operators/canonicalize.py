@@ -52,6 +52,76 @@ def candidate_edges_exact(features: DataFrame) -> DataFrame:
                     F.col("b.node").alias("dst")))
 
 
+def candidate_edges_minhash(features: DataFrame, num_hashes: int = 32,
+                            bands: int = 8,
+                            min_jaccard: float = 0.5) -> DataFrame:
+    """Fuzzy candidate blocking: MinHash-LSH over the node feature set.
+
+    Catches coreferent nodes whose feature sets overlap but are not
+    identical (exact-hash blocking misses those). Signature -> banded
+    bucket join (equi-join; AQE splits skewed buckets) -> verify by exact
+    Jaccard on the feature arrays (JVM-side array_intersect/union).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+    from collections.abc import Iterator
+
+    rows = num_hashes // bands
+    mersenne = (1 << 61) - 1
+    rng = np.random.RandomState(7)
+    a = rng.randint(1, mersenne, size=num_hashes).astype(np.uint64)
+    b = rng.randint(0, mersenne, size=num_hashes).astype(np.uint64)
+
+    schema = ST.StructType([
+        ST.StructField("node", ST.StringType()),
+        ST.StructField("sig", ST.ArrayType(ST.LongType())),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            sigs = []
+            for feats in batch["features"]:
+                if len(feats) == 0:
+                    sigs.append([0] * num_hashes)
+                    continue
+                hv = np.array(
+                    [int.from_bytes(hashlib.md5(f.encode()).digest()[:8],
+                                    "big") for f in feats],
+                    dtype=np.uint64)
+                m = (hv[None, :] * a[:, None] + b[:, None]) % mersenne
+                sigs.append([int(x) for x in m.min(axis=1)])
+            yield pd.DataFrame({"node": batch["node"], "sig": sigs})
+
+    sigs = (features.select("node", "features")
+            .mapInPandas(run, schema))
+    banded = sigs.select(
+        "node",
+        F.posexplode(F.array(*[
+            F.md5(F.concat_ws(",", *[
+                F.col("sig")[band * rows + r].cast("string")
+                for r in range(rows)]))
+            for band in range(bands)])).alias("band", "bucket"))
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (x.join(y, (F.col("x.band") == F.col("y.band"))
+                   & (F.col("x.bucket") == F.col("y.bucket"))
+                   & (F.col("x.node") < F.col("y.node")))
+            .select(F.col("x.node").alias("src"),
+                    F.col("y.node").alias("dst"))
+            .dropDuplicates())
+    fa = features.select(F.col("node").alias("src"),
+                         F.col("features").alias("f_src"))
+    fb = features.select(F.col("node").alias("dst"),
+                         F.col("features").alias("f_dst"))
+    jac = (F.size(F.array_intersect("f_src", "f_dst"))
+           / F.greatest(F.size(F.array_union("f_src", "f_dst")), F.lit(1)))
+    return (cand.join(fa, "src").join(fb, "dst")
+            .where(jac >= min_jaccard)
+            .select("src", "dst"))
+
+
 def connected_components(edges: DataFrame,
                          max_iter: int = 20) -> DataFrame:
     """Hash-min connected components on an undirected edge list.

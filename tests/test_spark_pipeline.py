@@ -138,3 +138,26 @@ def test_graph_views(spark, pages):
     missing = (edges.select(F.col("src").alias("term")).distinct()
                .join(nodes, "term", "left_anti"))
     assert missing.count() == 0
+
+
+def test_fuzzy_canonicalization_minhash(spark):
+    # coreferent nodes with OVERLAPPING (not identical) feature sets:
+    # exact-hash blocking misses these; MinHash-LSH + Jaccard verify links
+    # them; an unrelated node stays unlinked.
+    rows = []
+    feats_a = [f"<http://s.org/f{i}>=\"v{i}\"" for i in range(10)]
+    for node, feats in [
+        ("<http://a.org/alice>", feats_a),
+        ("<http://b.org/alice>", feats_a[:9] + ['<http://s.org/x>="y"']),
+        ("<http://c.org/carol>", [f"<http://s.org/g{i}>=\"w{i}\""
+                                  for i in range(10)]),
+    ]:
+        rows.append((node, feats))
+    features = spark.createDataFrame(rows, "node string, features array<string>")
+    edges = canon.candidate_edges_minhash(features, min_jaccard=0.5)
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert ("<http://a.org/alice>", "<http://b.org/alice>") in got
+    assert all("carol" not in s and "carol" not in d for s, d in got)
+    comps = canon.connected_components(edges).collect()
+    labels = {r["node"]: r["component"] for r in comps}
+    assert labels["<http://a.org/alice>"] == labels["<http://b.org/alice>"]

@@ -89,3 +89,52 @@ def test_multimodal_features(spark):
 def test_multimodal_unknown_kind_raises():
     with pytest.raises(NotImplementedError):
         mm._decode_stub(b"xx", "hologram")
+
+
+def test_stateful_running_site_totals(spark):
+    from jsonld_streaming_parser_js_spark.streaming import stateful
+    workdir = tempfile.mkdtemp(prefix="kg_state_")
+    try:
+        pages = pages_from_documents(spark, SF).cache()
+        b1 = pages.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+        b2 = pages.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+        b1.write.mode("append").parquet(f"{workdir}/pages")
+
+        def drain():
+            stream = strm.read_pages_stream(spark, f"{workdir}/pages")
+            parsed = strm.stream_pages_to_quads(stream, CONTEXTS)
+            totals = stateful.running_site_totals(parsed)
+            # parquet sink only supports append; update-mode stateful
+            # output goes through foreachBatch (the standard pattern)
+            def write_batch(df, _epoch):
+                df.write.mode("append").parquet(f"{workdir}/totals")
+
+            sink = (totals.writeStream
+                    .foreachBatch(write_batch)
+                    .option("checkpointLocation", f"{workdir}/ckpt")
+                    .outputMode("update")
+                    .trigger(availableNow=True).start())
+            sink.awaitTermination(120)
+
+        drain()
+        b2.write.mode("append").parquet(f"{workdir}/pages")
+        drain()  # state recovered from checkpoint, counts accumulate
+
+        latest = (spark.read.parquet(f"{workdir}/totals")
+                  .groupBy("site")
+                  .agg(F.max("pages_total").alias("pages_total"),
+                       F.max("quads_total").alias("quads_total")))
+        got = {r["site"]: (r["pages_total"], r["quads_total"])
+               for r in latest.collect()}
+        # 7 sites; totals must equal the batch ground truth per site
+        assert len(got) == 7
+        truth = (pages_to_quads(pages, CONTEXTS).groupBy(
+                     F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+                     .alias("site"))
+                 .agg(F.countDistinct("url").alias("p"),
+                      F.count("*").alias("q")).collect())
+        for r in truth:
+            assert got[r["site"]][0] == r["p"]
+            assert got[r["site"]][1] == r["q"]
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
