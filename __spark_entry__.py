@@ -121,6 +121,15 @@ def _q_kg_canonical_clusters(spark, sf_dir):
     return canon.cluster_summary(_quads(spark, sf_dir))
 
 
+def _q_kg_quads_canonical(spark, sf_dir):
+    """Full north_rule pipeline: extract -> parse -> canonicalize (connected
+    components over blocked candidates) -> relabel -> materialized quads."""
+    quads = _quads(spark, sf_dir)
+    mapping = canon.canonical_mapping(quads)
+    return (canon.relabel_quads(quads, mapping)
+            .orderBy("url", "blk", "pred", "obj"))
+
+
 def _q_text_extract_identity(spark, sf_dir):
     from jsonld_streaming_parser_js_spark.operators.extract import (
         extracted_text)
@@ -271,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_author_labels": _q_kg_author_labels,
         "kg_lineage": _q_kg_lineage,
         "kg_canonical_clusters": _q_kg_canonical_clusters,
+        "kg_quads_canonical": _q_kg_quads_canonical,
         "text_extract_identity": _q_text_extract_identity,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -431,6 +441,23 @@ WITH {_D_CTE}
 SELECT min(author) AS canonical, count(DISTINCT author) AS n_members
 FROM d GROUP BY doc_id % 50
 HAVING count(DISTINCT author) > 1 ORDER BY canonical"""
+
+    oracles["kg_quads_canonical"] = _with_quads("""
+, canon AS (
+  SELECT doc_id % 50 AS k, min(author) AS c FROM d GROUP BY doc_id % 50
+),
+m AS (
+  SELECT DISTINCT d.author AS node, canon.c AS canonical
+  FROM d JOIN canon ON d.doc_id % 50 = canon.k
+  WHERE d.author <> canon.c
+)
+SELECT q.url, q.blk,
+       coalesce(ms.canonical, q.subj) AS subj, q.pred,
+       coalesce(mo.canonical, q.obj) AS obj, q.graph
+FROM q
+LEFT JOIN m ms ON q.subj = ms.node
+LEFT JOIN m mo ON q.obj = mo.node
+ORDER BY q.url, q.blk, q.pred, q.obj""")
 
     oracles["text_extract_identity"] = f"""
 WITH {_D_CTE}

@@ -25,8 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as ST
 
+# tolerate attributes before/after type= and whitespace around '=' —
+# real-world pages emit e.g. <script id="x" type="application/ld+json" async>
 _SCRIPT_RE = re.compile(
-    r'<script\s+type=(["\'])application/ld\+json\1\s*>(.*?)</script>',
+    r'<script\b[^>]*\btype\s*=\s*(["\'])application/ld\+json\1[^>]*>'
+    r"(.*?)</script>",
     re.DOTALL | re.IGNORECASE)
 
 

@@ -161,3 +161,24 @@ def test_fuzzy_canonicalization_minhash(spark):
     comps = canon.connected_components(edges).collect()
     labels = {r["node"]: r["component"] for r in comps}
     assert labels["<http://a.org/alice>"] == labels["<http://b.org/alice>"]
+
+
+def test_extraction_tag_variants():
+    from jsonld_streaming_parser_js_spark.operators.extract import (
+        extract_blocks_from_html)
+    html = (b'<html><script id="a" type="application/ld+json" async>{"x":1}'
+            b"</script>"
+            b"<script type='application/ld+json'>{\"y\":2}</script>"
+            b'<SCRIPT TYPE="APPLICATION/LD+JSON">{"z":3}</SCRIPT>'
+            b'<script type = "application/ld+json">{"w":4}</script>'
+            b'<script type="text/javascript">ignore()</script></html>')
+    assert extract_blocks_from_html(html) == [
+        '{"x":1}', '{"y":2}', '{"z":3}', '{"w":4}']
+
+
+def test_extraction_non_utf8_replaced():
+    from jsonld_streaming_parser_js_spark.operators.extract import (
+        extract_blocks_from_html)
+    html = (b'<script type="application/ld+json">{"a":"\xff\xfe"}</script>')
+    blocks = extract_blocks_from_html(html)
+    assert len(blocks) == 1 and blocks[0].startswith('{"a":"')
