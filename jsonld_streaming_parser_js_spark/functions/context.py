@@ -88,6 +88,12 @@ class Context:
     language: str | None = None
     direction: str | None = None
     previous_context: "Context | None" = None
+    # memo for expand_iri(vocab=True) results; safe because expansion never
+    # runs while a context is still being mutated by process_context (which
+    # always works on a fresh copy() with an empty cache). Mirrors the
+    # reference's per-depth keyword-unalias cache (lib/Util.ts:817-842).
+    _iri_cache: dict = field(default_factory=dict, compare=False,
+                             repr=False)
 
     def copy(self) -> "Context":
         return Context(terms=dict(self.terms), base=self.base,
@@ -189,11 +195,19 @@ def process_context(active: Context, local_ctx, base_url: str | None,
                     _REMOTE_MEMO[key] = memo
                 probe, base_dependent = memo
                 if not base_dependent:
-                    merged = probe.copy()
-                    merged.base = result.base
-                    merged.original_base = result.original_base
-                    merged.previous_context = result.previous_context
-                    result = merged
+                    # share terms dict AND iri cache with the memoized
+                    # probe: both are read-only from here on (any further
+                    # context processing copy()s before mutating), so the
+                    # vocab-expansion cache warms once per worker instead
+                    # of once per block
+                    result = Context(
+                        terms=probe.terms,
+                        base=result.base,
+                        original_base=result.original_base,
+                        vocab=probe.vocab, language=probe.language,
+                        direction=probe.direction,
+                        previous_context=result.previous_context,
+                        _iri_cache=probe._iri_cache)
                     continue
 
             result = process_context(
@@ -555,6 +569,30 @@ def expand_iri(active: Context, value: str | None, *, vocab: bool = False,
     """W3C JSON-LD 1.1 IRI Expansion (section 5.2)."""
     if value is None or is_keyword(value):
         return value
+    if local_ctx is None and not document_relative:
+        # document-relative results depend on the per-document base and are
+        # rarely repeated; vocab/plain expansions are hot and base-free, so
+        # only those are cached (cache may be shared across documents)
+        key = (value, vocab)
+        hit = active._iri_cache.get(key, UNSET)
+        if hit is not UNSET:
+            return hit
+        result = _expand_iri_uncached(active, value, vocab, False)
+        active._iri_cache[key] = result
+        return result
+    return _expand_iri_full(active, value, vocab, document_relative,
+                            local_ctx, defined, ctx_cache)
+
+
+def _expand_iri_uncached(active: Context, value: str, vocab: bool,
+                         document_relative: bool) -> str | None:
+    return _expand_iri_full(active, value, vocab, document_relative,
+                            None, None, None)
+
+
+def _expand_iri_full(active: Context, value: str, vocab: bool,
+                     document_relative: bool, local_ctx, defined,
+                     ctx_cache) -> str | None:
     if has_keyword_form(value):
         return None
     if (local_ctx is not None and value in local_ctx

@@ -403,14 +403,15 @@ def skolemize_label(url: str, blk: int) -> str:
 def skolemize_quads(quads: list[tuple], url: str, blk: int) -> list[tuple]:
     """Rewrite document-local ``_:bN`` / ``_:lN`` labels to globally-unique
     deterministic labels."""
-    prefix = skolemize_label(url, blk)
+    bnode_prefix = "_:" + skolemize_label(url, blk) + "x"
 
     def rewrite(term: str) -> str:
-        if term.startswith("_:"):
-            return f"_:{prefix}x{term[2:]}"
-        if "<< " in term or term.startswith("<<"):
+        c = term[0]
+        if c == "_":
+            return bnode_prefix + term[2:]
+        if c == "<" and term[1] == "<":
             # quoted triple: rewrite embedded bnode labels
-            return term.replace(" _:", f" _:{prefix}x")
+            return term.replace(" _:", " " + bnode_prefix)
         return term
 
     return [(rewrite(s), rewrite(p), rewrite(o), rewrite(g) if g else g)
