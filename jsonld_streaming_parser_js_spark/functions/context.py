@@ -88,12 +88,15 @@ class Context:
     language: str | None = None
     direction: str | None = None
     previous_context: "Context | None" = None
-    # memo for expand_iri(vocab=True) results; safe because expansion never
-    # runs while a context is still being mutated by process_context (which
-    # always works on a fresh copy() with an empty cache). Mirrors the
-    # reference's per-depth keyword-unalias cache (lib/Util.ts:817-842).
+    # memo for expand_iri(vocab=True) results (mirrors the reference's
+    # keyword-unalias cache, lib/Util.ts:817-842). Caching is disabled
+    # whenever any process_context is on the stack (module-level depth
+    # gate) so half-built contexts never produce cache entries.
     _iri_cache: dict = field(default_factory=dict, compare=False,
                              repr=False)
+    # terms/_iri_cache are shared with a _REMOTE_MEMO probe and must be
+    # unshared (copied) before any in-place term mutation
+    _shared: bool = field(default=False, compare=False, repr=False)
 
     def copy(self) -> "Context":
         return Context(terms=dict(self.terms), base=self.base,
@@ -138,6 +141,11 @@ def _mentions_sentinel(ctx: "Context") -> bool:
     return False
 
 
+# >0 while any process_context call is building a context: expand_iri must
+# not populate caches from half-built state (single-threaded per worker)
+_PROCESSING_DEPTH = 0
+
+
 def process_context(active: Context, local_ctx, base_url: str | None,
                     ctx_cache: dict | None = None,
                     remote_contexts: frozenset = frozenset(),
@@ -145,6 +153,22 @@ def process_context(active: Context, local_ctx, base_url: str | None,
                     propagate: bool = True,
                     validate_scoped: bool = True) -> Context:
     """W3C JSON-LD 1.1 Context Processing Algorithm (section 4.1)."""
+    global _PROCESSING_DEPTH
+    _PROCESSING_DEPTH += 1
+    try:
+        return _process_context_impl(
+            active, local_ctx, base_url, ctx_cache, remote_contexts,
+            override_protected, propagate, validate_scoped)
+    finally:
+        _PROCESSING_DEPTH -= 1
+
+
+def _process_context_impl(active: Context, local_ctx, base_url: str | None,
+                          ctx_cache: dict | None,
+                          remote_contexts: frozenset,
+                          override_protected: bool,
+                          propagate: bool,
+                          validate_scoped: bool) -> Context:
     ctx_cache = ctx_cache or {}
     result = active.copy()
     if isinstance(local_ctx, dict) and "@propagate" in local_ctx:
@@ -207,7 +231,8 @@ def process_context(active: Context, local_ctx, base_url: str | None,
                         vocab=probe.vocab, language=probe.language,
                         direction=probe.direction,
                         previous_context=result.previous_context,
-                        _iri_cache=probe._iri_cache)
+                        _iri_cache=probe._iri_cache,
+                        _shared=True)
                     continue
 
             result = process_context(
@@ -255,12 +280,8 @@ def process_context(active: Context, local_ctx, base_url: str | None,
             if value is None:
                 result.vocab = None
             elif isinstance(value, str):
-                if value.startswith("_:") or value == "":
-                    vocab = expand_iri(result, value, vocab=True,
-                                       document_relative=True)
-                else:
-                    vocab = expand_iri(result, value, vocab=True,
-                                       document_relative=True)
+                vocab = expand_iri(result, value, vocab=True,
+                                   document_relative=True)
                 if vocab is not None and (vocab.startswith("_:")
                                           or iri_mod.is_absolute_iri(vocab)
                                           or vocab == ""):
@@ -290,6 +311,14 @@ def process_context(active: Context, local_ctx, base_url: str | None,
                 result.direction = value
             else:
                 raise JsonLdError("invalid base direction", repr(value))
+
+        if result._shared:
+            # unshare before create_term_definition mutates terms in place
+            # (a later inline context in the same @context array must not
+            # corrupt the worker-global _REMOTE_MEMO entry)
+            result.terms = dict(result.terms)
+            result._iri_cache = {}
+            result._shared = False
 
         protected_default = context.get("@protected", False)
         defined: dict[str, Any] = {}
@@ -569,10 +598,13 @@ def expand_iri(active: Context, value: str | None, *, vocab: bool = False,
     """W3C JSON-LD 1.1 IRI Expansion (section 5.2)."""
     if value is None or is_keyword(value):
         return value
-    if local_ctx is None and not document_relative:
+    if local_ctx is None and not document_relative \
+            and _PROCESSING_DEPTH == 0:
         # document-relative results depend on the per-document base and are
         # rarely repeated; vocab/plain expansions are hot and base-free, so
-        # only those are cached (cache may be shared across documents)
+        # only those are cached (cache may be shared across documents).
+        # Never cache while a context is being built (_PROCESSING_DEPTH):
+        # a half-built context would poison the cache.
         key = (value, vocab)
         hit = active._iri_cache.get(key, UNSET)
         if hit is not UNSET:

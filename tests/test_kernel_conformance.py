@@ -434,3 +434,32 @@ def test_remote_context_memo_reuse_correct():
     expected = {("<http://ex.org/s>", "<http://s.org/n>", '"x"', "")}
     assert quads(doc, base="http://a.org/", ctx_cache=cache) == expected
     assert quads(doc, base="http://b.org/", ctx_cache=cache) == expected
+
+
+def test_remote_memo_not_corrupted_by_inline_override():
+    # doc A overrides a remote-context term with a later inline context in
+    # the same @context array; doc B (same worker) must still see the
+    # remote context's original mapping (memo must not be mutated)
+    cache = {"http://m.org/ctx": {"@context": {"name": "http://schema.org/name"}}}
+    doc_a = {"@context": ["http://m.org/ctx",
+                          {"name": "http://other.org/name"}],
+             "@id": "http://ex.org/a", "name": "A"}
+    doc_b = {"@context": "http://m.org/ctx",
+             "@id": "http://ex.org/b", "name": "B"}
+    assert quads(doc_a, ctx_cache=cache) == {
+        ("<http://ex.org/a>", "<http://other.org/name>", '"A"', "")}
+    assert quads(doc_b, ctx_cache=cache) == {
+        ("<http://ex.org/b>", "<http://schema.org/name>", '"B"', "")}
+
+
+def test_no_stale_cache_from_context_processing():
+    # the @index expansion during term definition must not poison the
+    # expansion cache before prefix 'p' is defined
+    doc = {"@context": {"t": {"@id": "http://e.org/t",
+                              "@container": "@index",
+                              "@index": "p:i"},
+                        "p": {"@id": "http://pre.org/", "@prefix": True}},
+           "@id": "http://ex.org/s",
+           "p:i": "v"}
+    got = quads(doc)
+    assert ("<http://ex.org/s>", "<http://pre.org/i>", '"v"', "") in got
