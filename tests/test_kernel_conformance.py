@@ -463,3 +463,49 @@ def test_no_stale_cache_from_context_processing():
            "p:i": "v"}
     got = quads(doc)
     assert ("<http://ex.org/s>", "<http://pre.org/i>", '"v"', "") in got
+
+
+def test_large_realistic_context():
+    # schema.org-scale remote context: ~600 terms incl. coercions and
+    # containers; exercises the memo path at realistic size
+    terms = {}
+    for i in range(200):
+        terms[f"prop{i}"] = f"http://schema.org/prop{i}"
+    for i in range(200):
+        terms[f"link{i}"] = {"@id": f"http://schema.org/link{i}",
+                             "@type": "@id"}
+    for i in range(100):
+        terms[f"date{i}"] = {"@id": f"http://schema.org/date{i}",
+                             "@type": "http://www.w3.org/2001/XMLSchema#date"}
+    for i in range(100):
+        terms[f"tags{i}"] = {"@id": f"http://schema.org/tags{i}",
+                             "@container": "@set"}
+    terms["@vocab"] = "http://schema.org/"
+    cache = {"https://big.example.org/ctx": {"@context": terms}}
+
+    import time
+    doc = {"@context": "https://big.example.org/ctx",
+           "@id": "http://ex.org/s",
+           "prop5": "v", "link7": "http://ex.org/o",
+           "date3": "2020-01-01", "tags9": ["a", "b"],
+           "unmapped": 1}
+    expected = {
+        ("<http://ex.org/s>", "<http://schema.org/prop5>", '"v"', ""),
+        ("<http://ex.org/s>", "<http://schema.org/link7>",
+         "<http://ex.org/o>", ""),
+        ("<http://ex.org/s>", "<http://schema.org/date3>",
+         '"2020-01-01"^^<http://www.w3.org/2001/XMLSchema#date>', ""),
+        ("<http://ex.org/s>", "<http://schema.org/tags9>", '"a"', ""),
+        ("<http://ex.org/s>", "<http://schema.org/tags9>", '"b"', ""),
+        ("<http://ex.org/s>", "<http://schema.org/unmapped>",
+         '"1"^^<http://www.w3.org/2001/XMLSchema#integer>', ""),
+    }
+    assert quads(doc, ctx_cache=cache) == expected
+
+    # memo effect: 500 parses of distinct docs must stay fast even though
+    # the context has 600 terms (without the memo this is ~600 term
+    # definitions per block). Loose bound to avoid flakiness on a noisy box.
+    t0 = time.perf_counter()
+    for i in range(500):
+        quads({**doc, "@id": f"http://ex.org/s{i}"}, ctx_cache=cache)
+    assert time.perf_counter() - t0 < 5.0
