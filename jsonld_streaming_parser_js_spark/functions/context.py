@@ -206,8 +206,15 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
                         and result.language is None
                         and result.direction is None)
             if pristine:
+                # the memo entry holds a strong reference to ctx_cache, so
+                # this id can never be reused by a different dict while the
+                # entry lives (id-keyed memos are otherwise unsound)
                 key = (id(ctx_cache), ctx_iri, propagate, validate_scoped)
                 memo = _REMOTE_MEMO.get(key)
+                if memo is not None and memo[2] is not ctx_cache:
+                    memo = None
+                if memo is None and len(_REMOTE_MEMO) >= 256:
+                    _REMOTE_MEMO.clear()  # bound worker-lifetime growth
                 if memo is None:
                     probe = process_context(
                         Context(base=_BASE_SENTINEL,
@@ -215,9 +222,10 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
                         remote_doc["@context"], ctx_iri, ctx_cache,
                         remote_contexts | {ctx_iri}, propagate=propagate,
                         validate_scoped=validate_scoped)
-                    memo = (probe, _mentions_sentinel(probe))
+                    memo = (probe, _mentions_sentinel(probe),
+                            ctx_cache)
                     _REMOTE_MEMO[key] = memo
-                probe, base_dependent = memo
+                probe, base_dependent, _ = memo
                 if not base_dependent:
                     # share terms dict AND iri cache with the memoized
                     # probe: both are read-only from here on (any further
@@ -473,7 +481,8 @@ def create_term_definition(active: Context, local_ctx: dict, term: str,
         if mapped == "@context":
             raise JsonLdError("invalid keyword alias", term)
         td.iri = mapped
-        if (":" in term[1:-1] if len(term) > 2 else ":" in term) or "/" in term:
+        # colon counts only in interior position (not first/last char)
+        if ":" in term[1:-1] or "/" in term:
             defined[term] = True
             re_expanded = expand_iri(active, term, vocab=True,
                                      local_ctx=local_ctx, defined=defined,
@@ -521,9 +530,16 @@ def create_term_definition(active: Context, local_ctx: dict, term: str,
             raise JsonLdError("invalid container mapping", term)
         _validate_container(container, term)
         td.container = container
+        if "@type" in container:
+            # CTD: a @type container requires an @id/@vocab type mapping,
+            # defaulting to @id (map values are node references)
+            if td.type_mapping not in (None, "@id", "@vocab"):
+                raise JsonLdError("invalid type mapping", term)
+            if td.type_mapping is None:
+                td.type_mapping = "@id"
 
     if "@index" in value:
-        if "@container" in value and "@index" not in td.container:
+        if "@index" not in td.container:
             raise JsonLdError("invalid term definition", term)
         idx = value["@index"]
         if not isinstance(idx, str):

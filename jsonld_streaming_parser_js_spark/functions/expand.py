@@ -410,6 +410,10 @@ def _expand_map(ctx: Context, key: str, td, container: frozenset,
                 expanded_idx = expand_iri(ctx, idx, document_relative=True)
                 item.setdefault("@id", expanded_idx)
             elif index_kind == "@type" and not idx_is_none:
+                if isinstance(item, dict) and "@value" in item:
+                    raise JsonLdError("invalid type mapping",
+                                      "@type container entry is a value "
+                                      "object")
                 expanded_idx = expand_iri(map_ctx, idx, vocab=True,
                                           document_relative=True)
                 item["@type"] = [expanded_idx] + as_list(

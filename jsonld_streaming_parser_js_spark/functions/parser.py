@@ -58,10 +58,11 @@ def jsonld_to_quads(doc: Any, options: ParserOptions | None = None
     options = options or ParserOptions()
     expanded = expand_document(doc, options)
     node_map: dict = {}
-    issuer = BlankNodeIssuer()
+    issuer = BlankNodeIssuer(rdf_direction=options.rdf_direction)
     generate_node_map(expanded, node_map, issuer)
     return emit_quads(node_map, rdf_direction=options.rdf_direction,
-                      produce_generalized_rdf=options.produce_generalized_rdf)
+                      produce_generalized_rdf=options.produce_generalized_rdf,
+                      doc_issuer=issuer)
 
 
 def parse_block(block_text: str, url: str, blk: int,
@@ -86,4 +87,8 @@ def parse_block(block_text: str, url: str, blk: int,
         return [], exc.code
     except RecursionError:
         return [], "document too deep"
+    except ValueError as exc:
+        # e.g. NaN/Infinity inside an @json literal (json.loads accepts
+        # them; RFC 8785 forbids them) — recoverable, never task-fatal
+        return [], f"invalid value: {exc}"
     return skolemize_quads(quads, url, blk), None

@@ -124,11 +124,18 @@ def canonical_double(value: float) -> str:
 
 
 def number_to_string(value, as_double: bool) -> str:
-    """JSON number -> canonical lexical form (reference ``intToString``)."""
+    """JSON number -> canonical lexical form (reference ``intToString``).
+
+    Integral values below 1e21 use ECMAScript ``Number.toString`` form:
+    plain decimal within +/-1e21, shortest exponential (``-1e+22``) beyond —
+    matching the reference exactly (its integer gate is ``value < 1e21``
+    with no abs(), so large-negative integral doubles stay "integers")."""
     if isinstance(value, bool):  # bool is an int subclass; guard first
         return "true" if value else "false"
-    if not as_double and float(value) == int(value) and abs(value) < 1e21:
-        return str(int(value))
+    if not as_double and float(value) == int(value) and value < 1e21:
+        if abs(value) < 1e21:
+            return str(int(value))
+        return repr(float(value))  # ECMAScript-style shortest exponential
     return canonical_double(float(value))
 
 

@@ -27,10 +27,16 @@ from .iri import is_absolute_iri
 
 
 class BlankNodeIssuer:
-    """Issues ``_:b0, _:b1, ...`` in first-use order (deterministic)."""
+    """Issues ``_:b0, _:b1, ...`` in first-use order (deterministic).
 
-    def __init__(self, prefix: str = "b"):
+    Also carries the document's ``rdf_direction`` option so deeply nested
+    consumers (RDF-star embedded-node serialization) honor it without
+    threading a parameter through every recursion level.
+    """
+
+    def __init__(self, prefix: str = "b", rdf_direction: str | None = None):
         self.prefix = prefix
+        self.rdf_direction = rdf_direction
         self.counter = 0
         self.issued: dict[str, str] = {}
 
@@ -44,15 +50,9 @@ class BlankNodeIssuer:
         return label
 
 
-def _node_ref_eq(a: Any, b: Any) -> bool:
-    return a == b
-
-
 def _append_unique(values: list, item: Any) -> None:
-    for v in values:
-        if _node_ref_eq(v, item):
-            return
-    values.append(item)
+    if item not in values:
+        values.append(item)
 
 
 def generate_node_map(element: Any, node_map: dict, issuer: BlankNodeIssuer,
@@ -173,10 +173,6 @@ def generate_node_map(element: Any, node_map: dict, issuer: BlankNodeIssuer,
         generate_node_map(values, node_map, issuer, active_graph, id_, prop)
 
 
-def T_as_list(value) -> list:
-    return value if isinstance(value, list) else [value]
-
-
 _EMBEDDED_PREFIX = "\x00star\x00"
 
 
@@ -187,9 +183,8 @@ def _embedded_node_key(embedded: dict, node_map: dict,
     triple (reference: lib/Util.ts:1062-1092 single-property constraint)."""
     sub_map: dict = {}
     generate_node_map(dict(embedded), sub_map, issuer, active_graph)
-    quads = [q for q in emit_quads(sub_map, rdf_direction=None,
-                                   produce_generalized_rdf=False)
-             if True]
+    quads = emit_quads(sub_map, rdf_direction=issuer.rdf_direction,
+                       produce_generalized_rdf=False, doc_issuer=issuer)
     if len(quads) != 1:
         raise JsonLdError("invalid embedded node",
                           f"expected exactly 1 triple, got {len(quads)}")
@@ -289,8 +284,13 @@ def _object_to_term(item: Any, quads: list, issuer: BlankNodeIssuer,
 
 
 def emit_quads(node_map: dict, rdf_direction: str | None = None,
-               produce_generalized_rdf: bool = False) -> list[tuple]:
-    """node map -> [(subj, pred, obj, graph)] N-Triples-lexical tuples."""
+               produce_generalized_rdf: bool = False,
+               doc_issuer: BlankNodeIssuer | None = None) -> list[tuple]:
+    """node map -> [(subj, pred, obj, graph)] N-Triples-lexical tuples.
+
+    ``doc_issuer`` is the document's node-map issuer: annotation bodies are
+    node-mapped with IT so blank nodes shared between the document body and
+    an @annotation keep one label (coreference)."""
     quads: list[tuple] = []
     issuer = BlankNodeIssuer(prefix="l")  # list/aux nodes, disjoint from b*
     for graph_name, graph in node_map.items():
@@ -337,23 +337,26 @@ def emit_quads(node_map: dict, rdf_direction: str | None = None,
                     if annotation:
                         _emit_annotation(T.quoted_triple(subj, pred, obj),
                                          annotation, quads, issuer,
+                                         doc_issuer or issuer,
                                          graph_term, rdf_direction,
                                          produce_generalized_rdf)
     return quads
 
 
 def _emit_annotation(quoted: str, annotation: list, quads: list,
-                     issuer: BlankNodeIssuer, graph_term: str,
+                     issuer: BlankNodeIssuer, node_issuer: BlankNodeIssuer,
+                     graph_term: str,
                      rdf_direction: str | None,
                      produce_generalized_rdf: bool) -> None:
     """RDF-star annotation: properties asserted on the quoted triple
-    (reference: lib/Util.ts:1097-1125 emitAnnotation)."""
+    (reference: lib/Util.ts:1097-1125 emitAnnotation). ``node_issuer`` is
+    the document issuer: labels like _:x used both in the body and in the
+    annotation must resolve to the same relabeled bnode."""
     for ann in annotation:
         sub_map: dict = {}
         ann = dict(ann)
         ann["@id"] = "\x00annotated\x00"
-        gen_issuer = issuer
-        generate_node_map(ann, sub_map, gen_issuer, "@default")
+        generate_node_map(ann, sub_map, node_issuer, "@default")
         for graph in sub_map.values():
             for subject_id, node in graph.items():
                 subj = (quoted if subject_id == "\x00annotated\x00"
@@ -385,8 +388,8 @@ def _emit_annotation(quoted: str, annotation: list, quads: list,
                         if nested_ann:
                             _emit_annotation(
                                 T.quoted_triple(subj, pred, obj), nested_ann,
-                                quads, issuer, graph_term, rdf_direction,
-                                produce_generalized_rdf)
+                                quads, issuer, node_issuer, graph_term,
+                                rdf_direction, produce_generalized_rdf)
 
 
 def skolemize_label(url: str, blk: int) -> str:
@@ -410,8 +413,11 @@ def skolemize_quads(quads: list[tuple], url: str, blk: int) -> list[tuple]:
         if c == "_":
             return bnode_prefix + term[2:]
         if c == "<" and term[1] == "<":
-            # quoted triple: rewrite embedded bnode labels
-            return term.replace(" _:", " " + bnode_prefix)
+            # quoted triple: term-aware rewrite (a blind string replace
+            # would corrupt " _:" sequences inside literal content)
+            from .isomorphism import _split_terms
+            inner = _split_terms(term[2:-2].strip())
+            return "<< " + " ".join(rewrite(t) for t in inner) + " >>"
         return term
 
     return [(rewrite(s), rewrite(p), rewrite(o), rewrite(g) if g else g)

@@ -509,3 +509,100 @@ def test_large_realistic_context():
     for i in range(500):
         quads({**doc, "@id": f"http://ex.org/s{i}"}, ctx_cache=cache)
     assert time.perf_counter() - t0 < 5.0
+
+
+# --- review-found regressions (round-1 high review) ---------------------------
+
+def test_memo_not_stale_across_fresh_caches():
+    # a NEW ctx_cache dict whose id() happens to be reused must not serve
+    # the previous cache's processed context
+    for i in range(4):
+        cache = {"http://m2.org/ctx": {"@context": {"@vocab": f"http://vocab{i}/"}}}
+        got = quads({"@context": "http://m2.org/ctx",
+                     "@id": "http://ex.org/s", "name": "x"},
+                    ctx_cache=cache)
+        assert got == {("<http://ex.org/s>", f"<http://vocab{i}/name>",
+                        '"x"', "")}, f"stale memo at iter {i}"
+
+
+def test_nan_in_json_literal_recoverable():
+    from jsonld_streaming_parser_js_spark.functions.parser import parse_block
+    block = ('{"@context":{"p":{"@id":"http://ex/p","@type":"@json"}},'
+             '"p": NaN}')
+    q, err = parse_block(block, "http://x.org/p", 0)
+    assert q == [] and err is not None
+
+
+def test_type_container_string_value():
+    # string values under @container:@type are node references (type
+    # mapping defaults to @id per CTD)
+    doc = {"@context": {"@vocab": "http://v.org/",
+                        "tmap": {"@id": "http://ex.org/p",
+                                 "@container": "@type"}},
+           "@id": "http://ex.org/s",
+           "tmap": {"T1": "http://ex.org/obj"}}
+    assert quads(doc) == {
+        ("<http://ex.org/s>", "<http://ex.org/p>", "<http://ex.org/obj>",
+         ""),
+        ("<http://ex.org/obj>", RDF_TYPE, "<http://v.org/T1>", "")}
+
+
+def test_annotation_bnode_coreference():
+    # _:x used in the body AND inside an @annotation keeps ONE label
+    doc = {"@id": "http://ex.org/s",
+           "http://ex.org/q": {"@id": "_:x"},
+           "http://ex.org/p": {
+               "@id": "http://ex.org/o",
+               "@annotation": {"http://ex.org/seenBy": {"@id": "_:x"}}}}
+    got = quads(doc)
+    body = [q for q in got if q[1] == "<http://ex.org/q>"]
+    ann = [q for q in got if q[1] == "<http://ex.org/seenBy>"]
+    assert len(body) == 1 and len(ann) == 1
+    assert body[0][2] == ann[0][2]
+
+
+def test_skolemize_does_not_touch_literal_content():
+    from jsonld_streaming_parser_js_spark.functions.parser import parse_block
+    import json as _json
+    block = _json.dumps({
+        "@id": {"@id": "http://ex.org/s",
+                "http://ex.org/p": "note _:b0 here"},
+        "http://ex.org/c": 1})
+    q, err = parse_block(block, "http://x.org/p", 0)
+    assert err is None and len(q) == 1
+    assert '"note _:b0 here"' in q[0][0]
+
+
+def test_large_negative_integral_double():
+    doc = {"@id": "http://ex.org/s", "http://ex.org/p": -1e22}
+    got = quads(doc)
+    # reference semantics: integer gate has no abs(), lexical is JS
+    # Number.toString -> "-1e+22"
+    assert got == {("<http://ex.org/s>", "<http://ex.org/p>",
+                    '"-1e+22"^^<' + T.XSD_INTEGER + ">", "")}
+
+
+def test_two_char_terms_with_colon():
+    doc = {"@context": {"a:": {"@id": "http://ex.org/x"},
+                        ":b": {"@id": "http://ex.org/y"}},
+           "@id": "http://ex.org/s", "a:": "1", ":b": "2"}
+    got = quads(doc)
+    assert ("<http://ex.org/s>", "<http://ex.org/x>", '"1"', "") in got
+    assert ("<http://ex.org/s>", "<http://ex.org/y>", '"2"', "") in got
+
+
+def test_index_without_index_container_errors():
+    with pytest.raises(JsonLdError):
+        quads({"@context": {"p": {"@id": "http://ex.org/p",
+                                  "@index": "http://ex.org/i"}},
+               "@id": "http://ex.org/s", "p": "v"})
+
+
+def test_embedded_node_honors_rdf_direction():
+    doc = {"@id": {"@id": "http://ex.org/s",
+                   "http://ex.org/p": {"@value": "v", "@language": "en",
+                                       "@direction": "ltr"}},
+           "http://ex.org/c": 1}
+    got = quads(doc, rdf_direction="i18n-datatype")
+    (s, p, o, g), = got
+    assert "i18n#en_ltr" in s
