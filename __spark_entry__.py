@@ -471,8 +471,9 @@ FROM documents GROUP BY md5(text) ORDER BY text_md5"""
     oracles["dedup_ngram_jaccard"] = """
 WITH t AS (
   SELECT doc_id, md5(substr(text, 1, 32)) AS blk_key,
-         list_sort(list_distinct(
-           string_split_regex(lower(text), '[^a-z0-9]+'))) AS toks
+         list_filter(list_sort(list_distinct(
+           string_split_regex(lower(text), '[^a-z0-9]+'))),
+           x -> x <> '') AS toks
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -41,15 +41,18 @@ def node_features(quads: DataFrame) -> DataFrame:
 def candidate_edges_exact(features: DataFrame) -> DataFrame:
     """Blocking by identical feature-set hash -> candidate edges (a, b).
 
-    Self-join within md5(features) blocks; emits each unordered pair once.
+    Edges form a STAR to the block's minimum node, not all pairs: a
+    boilerplate block of m nodes yields m-1 edges instead of m(m-1)/2
+    (identical connected components, linear shuffle). The min-node
+    aggregation is algebraic -> map-side combined, skew-free.
     """
     blocked = features.select(
         "node", F.md5(F.concat_ws("\x1f", "features")).alias("blk_key"))
-    a, b = blocked.alias("a"), blocked.alias("b")
-    return (a.join(b, (F.col("a.blk_key") == F.col("b.blk_key"))
-                   & (F.col("a.node") < F.col("b.node")))
-            .select(F.col("a.node").alias("src"),
-                    F.col("b.node").alias("dst")))
+    mins = (blocked.groupBy("blk_key")
+            .agg(F.min("node").alias("dst")))
+    return (blocked.join(mins, "blk_key")
+            .where(F.col("node") != F.col("dst"))
+            .select(F.col("node").alias("src"), "dst"))
 
 
 def candidate_edges_minhash(features: DataFrame, num_hashes: int = 32,
@@ -123,12 +126,16 @@ def candidate_edges_minhash(features: DataFrame, num_hashes: int = 32,
 
 
 def connected_components(edges: DataFrame,
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 50) -> DataFrame:
     """Hash-min connected components on an undirected edge list.
 
     Returns (node, component) where component = min node id (string order)
-    in the component. Driver loop with convergence check; localCheckpoint
-    every iteration truncates lineage so plans stay flat at depth n.
+    in the component. Convergence is O(component diameter) rounds (one
+    min-label hop per iteration); star-shaped candidate edges (see
+    candidate_edges_exact) keep diameters tiny. Raises if max_iter rounds
+    pass without converging — silently-partial components would corrupt
+    canonicalization. localCheckpoint every iteration truncates lineage so
+    plans stay flat at depth n.
     """
     sym = (edges.select("src", "dst")
            .union(edges.select(F.col("dst").alias("src"),
@@ -162,8 +169,10 @@ def connected_components(edges: DataFrame,
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        f"(component diameter exceeds max_iter; raise max_iter)")
 
 
 def canonical_mapping(quads: DataFrame) -> DataFrame:

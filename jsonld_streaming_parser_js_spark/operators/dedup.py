@@ -36,17 +36,18 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     return (docs
             .groupBy(F.md5("text").alias("text_md5"))
             .agg(F.min("doc_id").alias("keep_doc_id"),
-                 F.count("*").alias("n_dups"))
-            .where(F.col("n_dups") >= 1))
+                 F.count("*").alias("n_dups")))
 
 
 # -- token shingles -----------------------------------------------------------
 
 
 def tokens_col(col: str = "text"):
-    """Distinct lowercase word tokens (sorted for determinism)."""
-    return F.array_sort(F.array_distinct(
-        F.split(F.lower(F.col(col)), r"[^a-z0-9]+")))
+    """Distinct lowercase word tokens (sorted for determinism; empty
+    strings from leading/trailing separators removed — they would inflate
+    Jaccard)."""
+    return F.array_remove(F.array_sort(F.array_distinct(
+        F.split(F.lower(F.col(col)), r"[^a-z0-9]+"))), "")
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,

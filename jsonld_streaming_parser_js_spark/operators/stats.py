@@ -2,15 +2,23 @@
 
 The predicate column of a web-scale KG is pathologically skewed: rdf:type
 and a handful of schema.org boilerplate predicates cover most rows
-(north-star calls this out explicitly). Plain ``groupBy(pred)`` would put
-rdf:type's ~10^11 rows in one reducer. Two defenses, both used here:
+(north-star calls this out explicitly). Skew defenses, matched to where
+skew actually bites:
 
-1. **Salted two-phase aggregation**: group on (pred, salt) first
-   (map-side-combinable, 32-way fan-out of the hot key), then re-group on
-   pred. Cost: one extra tiny shuffle over the *already-aggregated* rows.
-2. **AQE skew handling** for the joins (enabled in sources/session.py).
-
-Counts are exact; the salt only changes physical distribution.
+1. **Algebraic counts (count/sum) are skew-immune already**: Spark's hash
+   aggregate does map-side partial aggregation, so each task emits at most
+   one partial row per predicate — the hot key never funnels raw rows to
+   one reducer. Salting a plain count only adds work; these aggs stay
+   un-salted on purpose.
+2. **Holistic/high-state aggs** (count DISTINCT objects per predicate)
+   are where the hot key hurts: the distinct-state for rdf:type is huge.
+   ``distinct_objects_per_predicate`` two-phases it: shuffle on
+   (pred, obj) first (uniform!), collapse to distincts, then count — the
+   classic skew-safe distinct.
+3. **Joins on skewed keys**: ``F.broadcast`` for small dims (join_labels)
+   and AQE skew-join splitting (sources/session.py) for the rest; salting
+   (pmod(xxhash64(subj), K) appended to join keys) is the fallback when
+   neither applies.
 """
 
 from __future__ import annotations
@@ -22,14 +30,22 @@ SALT_BUCKETS = 32
 
 
 def quads_by_predicate(quads: DataFrame) -> DataFrame:
-    """Exact per-predicate counts via salted two-phase aggregation."""
-    salted = quads.withColumn(
-        "salt", F.pmod(F.xxhash64("subj"), F.lit(SALT_BUCKETS)))
-    partial = (salted.groupBy("pred", "salt")
-               .agg(F.count("*").alias("n_partial")))
-    return (partial.groupBy("pred")
-            .agg(F.sum("n_partial").alias("n_quads"))
+    """Exact per-predicate counts. Map-side partial aggregation makes this
+    skew-immune without salting (see module docstring, point 1)."""
+    return (quads.groupBy("pred")
+            .agg(F.count("*").alias("n_quads"))
             .orderBy(F.desc("n_quads"), F.asc("pred")))
+
+
+def distinct_objects_per_predicate(quads: DataFrame) -> DataFrame:
+    """Distinct-object counts per predicate, skew-safe two-phase: the
+    (pred, obj) dedup shuffle is keyed on a uniform composite, so the hot
+    predicate's distinct-state is spread across all partitions before the
+    tiny per-pred count."""
+    return (quads.select("pred", "obj").distinct()
+            .groupBy("pred")
+            .agg(F.count("*").alias("n_distinct_objects"))
+            .orderBy(F.desc("n_distinct_objects"), F.asc("pred")))
 
 
 def type_counts(quads: DataFrame) -> DataFrame:
@@ -37,13 +53,9 @@ def type_counts(quads: DataFrame) -> DataFrame:
     filter + agg; the filter is pushed to the scan when quads land in
     parquet with predicate column stats)."""
     rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
-    salted = (quads.where(F.col("pred") == rdf_type)
-              .withColumn("salt",
-                          F.pmod(F.xxhash64("subj"), F.lit(SALT_BUCKETS))))
-    partial = (salted.groupBy("obj", "salt")
-               .agg(F.count("*").alias("n_partial")))
-    return (partial.groupBy(F.col("obj").alias("rdf_type"))
-            .agg(F.sum("n_partial").alias("n_instances"))
+    return (quads.where(F.col("pred") == rdf_type)
+            .groupBy(F.col("obj").alias("rdf_type"))
+            .agg(F.count("*").alias("n_instances"))
             .orderBy(F.desc("n_instances"), F.asc("rdf_type")))
 
 
@@ -82,6 +94,7 @@ def per_url_lineage(quads: DataFrame, errors: DataFrame) -> DataFrame:
                  .alias("bytes_checksum")))
     esum = (errors.groupBy("url")
             .agg(F.count("*").alias("n_errors")))
-    return (qsum.join(esum, "url", "left")
-            .fillna(0, ["n_errors"])
+    # full outer: a url whose EVERY block failed still gets a lineage row
+    return (qsum.join(esum, "url", "full")
+            .fillna(0, ["n_quads", "n_blocks", "bytes_checksum", "n_errors"])
             .orderBy("url"))

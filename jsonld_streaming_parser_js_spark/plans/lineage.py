@@ -75,7 +75,8 @@ def write_bucketed(parsed_with_bucket: DataFrame, out_dir: str) -> None:
 
 
 def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
-                    ctx_cache: dict, buckets: int = 64) -> dict:
+                    ctx_cache: dict, buckets: int = 64,
+                    rdf_direction: str | None = None) -> dict:
     """Process only urls in not-yet-committed buckets; returns stats.
 
     ``pages -> filter(uncommitted bucket) -> extract+parse -> write``.
@@ -91,7 +92,7 @@ def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
         n_done = done.count()
         pages_b = pages_b.join(F.broadcast(done), "bucket", "left_anti")
 
-    parsed = extract_and_parse(pages_b, ctx_cache)
+    parsed = extract_and_parse(pages_b, ctx_cache, rdf_direction)
     parsed_b = with_bucket(parsed, buckets)
     write_bucketed(parsed_b, out_dir)
 
@@ -106,7 +107,8 @@ def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
 
 def run_in_waves(spark: SparkSession, pages: DataFrame, out_dir: str,
                  ctx_cache: dict, buckets: int = 64,
-                 waves: int = 4) -> list[dict]:
+                 waves: int = 4,
+                 rdf_direction: str | None = None) -> list[dict]:
     """Process the corpus in `waves` independently-committed bucket ranges.
 
     Each wave write+commit is atomic at the wave level, so a crash between
@@ -127,8 +129,9 @@ def run_in_waves(spark: SparkSession, pages: DataFrame, out_dir: str,
         if done is not None:
             wave_pages = wave_pages.join(F.broadcast(done), "bucket",
                                          "left_anti")
-        parsed = with_bucket(extract_and_parse(wave_pages.drop("bucket"),
-                                               ctx_cache), buckets)
+        parsed = with_bucket(
+            extract_and_parse(wave_pages.drop("bucket"), ctx_cache,
+                              rdf_direction), buckets)
         write_bucketed(parsed, out_dir)
         stats.append({"wave": w, "buckets": [lo, hi]})
     return stats
@@ -142,5 +145,6 @@ def verify_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     recorded = spark.read.parquet(f"{out_dir}/lineage")
     return (recomputed.alias("a")
             .join(recorded.alias("b"), "bucket", "full")
-            .where((F.col("a.n_quads") != F.col("b.n_quads"))
-                   | (F.col("a.checksum") != F.col("b.checksum"))))
+            .where(~F.col("a.n_quads").eqNullSafe(F.col("b.n_quads"))
+                   | ~F.col("a.checksum").eqNullSafe(F.col("b.checksum"))
+                   | ~F.col("a.n_errors").eqNullSafe(F.col("b.n_errors"))))

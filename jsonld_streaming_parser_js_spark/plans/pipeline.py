@@ -34,7 +34,8 @@ def build_kg(spark: SparkSession, pages: DataFrame,
              cfg: PipelineConfig) -> dict:
     """Full run with checkpoint-resume; returns run stats."""
     stats = lin.run_with_resume(spark, pages, cfg.out_dir, cfg.ctx_cache,
-                                cfg.buckets)
+                                cfg.buckets,
+                                rdf_direction=cfg.rdf_direction)
     if cfg.canonicalize:
         quads = quads_table(spark, cfg.out_dir)
         mapping = canon.canonical_mapping(quads)

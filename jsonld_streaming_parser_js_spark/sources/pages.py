@@ -105,7 +105,10 @@ def html_sql() -> str:
         f"(CASE WHEN doc_id % 17 = 0 THEN "
         + _script(f"'{MALFORMED_BLOCK}'")
         + " ELSE '' END) || "
-        "'</head><body><p>' || text || '</p></body></html>'"
+        # body noise text is HTML-escaped: corpus text containing literal
+        # '<script' must not inject extra extractable blocks
+        "'</head><body><p>' || replace(text, '<', '&lt;') || "
+        "'</p></body></html>'"
     )
 
 

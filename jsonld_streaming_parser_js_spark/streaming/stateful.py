@@ -35,10 +35,12 @@ STATE_SCHEMA = ST.StructType([
 def _update(key, pdfs: Iterator[pd.DataFrame],
             state: GroupState) -> Iterator[pd.DataFrame]:
     pages, quads, errors = state.get if state.exists else (0, 0, 0)
+    seen_urls: set = set()  # a url's rows can straddle Arrow chunks
     for pdf in pdfs:
-        pages += pdf["url"].nunique()
+        seen_urls.update(pdf["url"].tolist())
         quads += int(pdf["is_quad"].sum())
         errors += int((~pdf["is_quad"]).sum())
+    pages += len(seen_urls)
     state.update((int(pages), int(quads), int(errors)))
     yield pd.DataFrame({"site": [key[0]], "pages_total": [pages],
                         "quads_total": [quads], "errors_total": [errors]})
