@@ -91,6 +91,10 @@ def _q_kg_type_counts(spark, sf_dir):
     return stats.type_counts(_quads(spark, sf_dir))
 
 
+def _q_kg_distinct_objects(spark, sf_dir):
+    return stats.distinct_objects_per_predicate(_quads(spark, sf_dir))
+
+
 def _q_kg_entity_degree(spark, sf_dir):
     return stats.entity_out_degree(_quads(spark, sf_dir), limit=50)
 
@@ -276,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_errors": _q_kg_errors,
         "kg_quads_by_predicate": _q_kg_quads_by_predicate,
         "kg_type_counts": _q_kg_type_counts,
+        "kg_distinct_objects": _q_kg_distinct_objects,
         "kg_entity_degree": _q_kg_entity_degree,
         "kg_author_labels": _q_kg_author_labels,
         "kg_lineage": _q_kg_lineage,
@@ -416,6 +421,10 @@ FROM d WHERE doc_id % 17 = 0 ORDER BY url, blk"""
         f"SELECT obj AS rdf_type, count(*) AS n_instances FROM q"
         f" WHERE pred = '<{RDF_NS}type>' GROUP BY obj"
         f" ORDER BY n_instances DESC, rdf_type")
+
+    oracles["kg_distinct_objects"] = _with_quads(
+        "SELECT pred, count(DISTINCT obj) AS n_distinct_objects FROM q"
+        " GROUP BY pred ORDER BY n_distinct_objects DESC, pred")
 
     oracles["kg_entity_degree"] = _with_quads(
         "SELECT subj, count(*) AS n_quads,"

@@ -26,7 +26,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-SALT_BUCKETS = 32
 
 
 def quads_by_predicate(quads: DataFrame) -> DataFrame:
