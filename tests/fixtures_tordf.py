@@ -263,3 +263,164 @@ _:n2 <http://ex.org/p> "v2" _:g2 .
 <http://b.org/dir/doc> <http://ex.org/link> <http://b.org/dir/doc#frag> .
 '''),
 ]
+
+# --- batch 2: interaction cases ---------------------------------------------
+
+FIXTURES += [
+    ("remote_context_mid_array", {"ctx_cache": {
+        "http://r.org/mid": {"@context": {"b": "http://b.org/b"}}}}, {
+        "@context": [{"a": "http://a.org/a"},
+                     "http://r.org/mid",
+                     {"c": "http://c.org/c"}],
+        "@id": "http://ex.org/s", "a": "1", "b": "2", "c": "3",
+    }, '''
+<http://ex.org/s> <http://a.org/a> "1" .
+<http://ex.org/s> <http://b.org/b> "2" .
+<http://ex.org/s> <http://c.org/c> "3" .
+'''),
+
+    ("language_map_uppercase_keys", {}, {
+        "@context": {"label": {"@id": "http://ex.org/l",
+                               "@container": ["@language", "@set"]}},
+        "@id": "http://ex.org/s",
+        "label": {"EN-us": "hi"},
+    }, '''
+<http://ex.org/s> <http://ex.org/l> "hi"@en-us .
+'''),
+
+    ("reverse_with_index_container", {}, {
+        "@context": {"kids": {"@reverse": "http://ex.org/parent",
+                              "@container": "@index"}},
+        "@id": "http://ex.org/dad",
+        "kids": {"first": {"@id": "http://ex.org/k1"},
+                 "second": {"@id": "http://ex.org/k2"}},
+    }, '''
+<http://ex.org/k1> <http://ex.org/parent> <http://ex.org/dad> .
+<http://ex.org/k2> <http://ex.org/parent> <http://ex.org/dad> .
+'''),
+
+    ("term_via_other_term_prefix", {}, {
+        "@context": {"ex": "http://ex.org/ns#",
+                     "sub": "ex:sub/"},
+        "@id": "http://ex.org/s",
+        "ex:p": "1",
+    }, '''
+<http://ex.org/s> <http://ex.org/ns#p> "1" .
+'''),
+
+    ("bnode_vocab", {}, {
+        "@context": {"@vocab": "_:"},
+        "@id": "http://ex.org/s", "p": "v",
+    }, ''),  # bnode predicates dropped without generalized RDF
+
+    ("json_in_list", {}, {
+        "@context": {"j": {"@id": "http://ex.org/j", "@type": "@json"}},
+        "@id": "http://ex.org/s",
+        "http://ex.org/l": {"@list": [{"@value": {"k": 1},
+                                       "@type": "@json"}]},
+    }, '''
+<http://ex.org/s> <http://ex.org/l> _:l0 .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "{\\"k\\":1}"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
+    ("chained_property_scoped", {}, {
+        "@context": {"a": {"@id": "http://ex.org/a",
+                           "@context": {"b": {"@id": "http://ex.org/b",
+                                              "@context": {
+                                                  "c": "http://deep.org/c"
+                                              }}}}},
+        "@id": "http://ex.org/s",
+        "a": {"@id": "http://ex.org/m", "b": {"@id": "http://ex.org/n",
+                                              "c": "v"}},
+    }, '''
+<http://ex.org/s> <http://ex.org/a> <http://ex.org/m> .
+<http://ex.org/m> <http://ex.org/b> <http://ex.org/n> .
+<http://ex.org/n> <http://deep.org/c> "v" .
+'''),
+
+    ("graph_alias_and_named_graph_props", {}, {
+        "@context": {"g": "@graph", "n": "http://ex.org/name"},
+        "@id": "http://ex.org/G", "n": "meta",
+        "g": [{"@id": "http://ex.org/s", "n": "inner"}],
+    }, '''
+<http://ex.org/G> <http://ex.org/name> "meta" .
+<http://ex.org/s> <http://ex.org/name> "inner" <http://ex.org/G> .
+'''),
+
+    ("index_on_node_object_ignored_in_rdf", {}, {
+        "@id": "http://ex.org/s",
+        "http://ex.org/p": {"@id": "http://ex.org/o", "@index": "idx",
+                            "http://ex.org/q": "v"},
+    }, '''
+<http://ex.org/s> <http://ex.org/p> <http://ex.org/o> .
+<http://ex.org/o> <http://ex.org/q> "v" .
+'''),
+
+    ("type_scoped_then_property_scoped", {}, {
+        "@context": {
+            "T": {"@id": "http://ex.org/T",
+                  "@context": {"p": {"@id": "http://typed.org/p",
+                                     "@context": {
+                                         "q": "http://proped.org/q"}}}}},
+        "@id": "http://ex.org/s", "@type": "T",
+        "p": {"@id": "http://ex.org/o", "q": "v"},
+    }, '''
+<http://ex.org/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/T> .
+<http://ex.org/s> <http://typed.org/p> <http://ex.org/o> .
+<http://ex.org/o> <http://proped.org/q> "v" .
+'''),
+
+    ("set_of_value_objects_mixed", {}, {
+        "@context": {"@language": "fr"},
+        "@id": "http://ex.org/s",
+        "http://ex.org/p": ["plain",
+                            {"@value": "typed",
+                             "@type": "http://ex.org/T"},
+                            {"@value": "justvalue"},
+                            42],
+    }, '''
+<http://ex.org/s> <http://ex.org/p> "plain"@fr .
+<http://ex.org/s> <http://ex.org/p> "typed"^^<http://ex.org/T> .
+<http://ex.org/s> <http://ex.org/p> "justvalue" .
+<http://ex.org/s> <http://ex.org/p> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+'''),
+
+    ("keyword_aliased_reverse", {}, {
+        "@context": {"rev": "@reverse"},
+        "@id": "http://ex.org/o",
+        "rev": {"http://ex.org/p": {"@id": "http://ex.org/s"}},
+    }, '''
+<http://ex.org/s> <http://ex.org/p> <http://ex.org/o> .
+'''),
+
+    ("context_propagate_false_top_level", {}, {
+        "@context": {"@propagate": False, "p": "http://top.org/p"},
+        "@id": "http://ex.org/s",
+        "p": {"@id": "http://ex.org/o", "p": "inner"},
+    }, '''
+<http://ex.org/s> <http://top.org/p> <http://ex.org/o> .
+'''),
+
+    ("nested_graph_container_and_id", {}, {
+        "@context": {"claims": {"@id": "http://ex.org/claims",
+                                "@container": ["@graph", "@id", "@set"]}},
+        "@id": "http://ex.org/s",
+        "claims": {"http://ex.org/g1": {"http://ex.org/p": "a"},
+                   "http://ex.org/g2": {"http://ex.org/p": "b"}},
+    }, '''
+<http://ex.org/s> <http://ex.org/claims> <http://ex.org/g1> .
+<http://ex.org/s> <http://ex.org/claims> <http://ex.org/g2> .
+_:n1 <http://ex.org/p> "a" <http://ex.org/g1> .
+_:n2 <http://ex.org/p> "b" <http://ex.org/g2> .
+'''),
+
+    ("empty_string_values", {}, {
+        "@id": "http://ex.org/s",
+        "http://ex.org/p": "",
+        "http://ex.org/q": {"@value": "", "@language": "en"},
+    }, '''
+<http://ex.org/s> <http://ex.org/p> "" .
+<http://ex.org/s> <http://ex.org/q> ""@en .
+'''),
+]
