@@ -35,8 +35,10 @@ class ParserOptions:
     context: Any = None                 # root context (object/IRI/array)
     rdf_direction: str | None = None    # None|'i18n-datatype'|'compound-literal'
     produce_generalized_rdf: bool = False
-    strict_values: bool = False         # errors raise instead of drop
     ctx_cache: dict = field(default_factory=dict)
+    # strictValues analog lives at the pipeline layer
+    # (plans/pipeline.py assert_no_errors): a distributed job fails fast on
+    # the first bad block there instead of per-kernel-call flags
 
 
 def expand_document(doc: Any, options: ParserOptions) -> Any:

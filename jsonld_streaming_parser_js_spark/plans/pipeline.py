@@ -46,6 +46,20 @@ def build_kg(spark: SparkSession, pages: DataFrame,
     return stats
 
 
+def assert_no_errors(parsed: DataFrame, sample: int = 5) -> None:
+    """strictValues analog (reference: errors abort the stream,
+    /root/reference/lib/ParsingContext.ts:380-382): fail the job if any
+    block errored, reporting a sample. Default pipelines instead keep the
+    error channel as data (the only sane choice at 10^12 docs)."""
+    bad = (parsed.where(F.col("error").isNotNull())
+           .select("url", "blk", "error").limit(sample).collect())
+    if bad:
+        raise ValueError(
+            "strict mode: malformed JSON-LD blocks present, e.g. "
+            + "; ".join(f"{r['url']}#{r['blk']}: {r['error']}"
+                        for r in bad))
+
+
 def quads_table(spark: SparkSession, out_dir: str) -> DataFrame:
     """The committed quads (error rows filtered), deduplicated."""
     parsed = spark.read.parquet(f"{out_dir}/quads")

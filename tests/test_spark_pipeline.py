@@ -182,3 +182,11 @@ def test_extraction_non_utf8_replaced():
     html = (b'<script type="application/ld+json">{"a":"\xff\xfe"}</script>')
     blocks = extract_blocks_from_html(html)
     assert len(blocks) == 1 and blocks[0].startswith('{"a":"')
+
+
+def test_strict_mode_fails_fast(spark, pages):
+    parsed = extract_and_parse(pages, CONTEXTS)
+    with pytest.raises(ValueError, match="strict mode"):
+        pipe.assert_no_errors(parsed)
+    clean = parsed.where(F.col("error").isNull())
+    pipe.assert_no_errors(clean)  # no raise
