@@ -502,7 +502,7 @@ SELECT doc_id,
             '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS bpeish_tokens
 FROM documents ORDER BY doc_id"""
 
-    en_stop = _LANG_SQL_VOTES["en"].replace("lower(text)", "lower(text)")
+    en_stop = _LANG_SQL_VOTES["en"]
     oracles["text_quality"] = rf"""
 SELECT doc_id,
        CAST(length(text) AS INT) AS n_chars_computed,

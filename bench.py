@@ -9,7 +9,7 @@ local[N/4] and local[N] (subprocess, fresh JVM) on the same input:
 Env knobs:
   SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     cores for the main run (default 32)
-  SPARK_GRAFT_AMPLIFY  corpus amplification factor (default 100)
+  SPARK_GRAFT_AMPLIFY  corpus amplification factor (default 200)
   SPARK_GRAFT_SCALING  "0" to skip the low-core subprocess run
 """
 
@@ -122,6 +122,10 @@ def main() -> None:
     # per-query timings on the un-amplified sf tables
     spark = get_spark(app="bench-queries", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    # the parse leg tuned split sizes for the tiny amplified pages; restore
+    # defaults so query timings on the sf tables aren't distorted
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
     headline = ["kg_quads", "kg_quads_by_predicate", "kg_canonical_clusters",
                 "dedup_exact", "dedup_minhash_lsh", "sim_topk_cosine",
                 "text_quality", "tpch_q1", "events_hourly"]

@@ -49,15 +49,15 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.waves > 1:
         lin.run_in_waves(spark, pages, args.out, CONTEXTS,
-                         buckets=args.buckets, waves=args.waves)
-        stats = lin.run_with_resume(spark, pages, args.out, CONTEXTS,
-                                    buckets=args.buckets)
-    else:
-        cfg = PipelineConfig(out_dir=args.out, buckets=args.buckets,
-                             canonicalize=args.canonicalize,
-                             rdf_direction=args.rdf_direction,
-                             ctx_cache=CONTEXTS)
-        stats = build_kg(spark, pages, cfg)
+                         buckets=args.buckets, waves=args.waves,
+                         rdf_direction=args.rdf_direction)
+    cfg = PipelineConfig(out_dir=args.out, buckets=args.buckets,
+                         canonicalize=args.canonicalize,
+                         rdf_direction=args.rdf_direction,
+                         ctx_cache=CONTEXTS)
+    # with waves > 1 this is a no-op resume pass (all buckets committed)
+    # followed by the optional canonicalization step
+    stats = build_kg(spark, pages, cfg)
     print(json.dumps(stats))
 
 
