@@ -28,10 +28,16 @@ def with_bucket(df: DataFrame, buckets: int, col: str = "url") -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.xxhash64(col), F.lit(buckets)))
 
 
-def bucket_lineage(parsed: DataFrame) -> DataFrame:
-    """parsed rows (quads + error rows, with bucket col) -> lineage rows."""
+def bucket_lineage(parsed: DataFrame,
+                   snapshot_id: str = "") -> DataFrame:
+    """parsed rows (quads + error rows, with bucket col) -> lineage rows.
+
+    ``snapshot_id`` identifies the input table version (an Iceberg snapshot
+    id in production; any caller-provided tag here) so a resume can refuse
+    to mix buckets produced from different input snapshots."""
     quad = F.col("error").isNull()
     return (parsed.groupBy("bucket").agg(
+        F.lit(snapshot_id).alias("snapshot_id"),
         F.countDistinct("url").alias("n_urls"),
         F.countDistinct("url", "blk").alias("n_blocks"),
         F.sum(quad.cast("long")).alias("n_quads"),
@@ -53,7 +59,8 @@ def completed_buckets(spark: SparkSession, out_dir: str) -> DataFrame | None:
         return None
 
 
-def write_bucketed(parsed_with_bucket: DataFrame, out_dir: str) -> None:
+def write_bucketed(parsed_with_bucket: DataFrame, out_dir: str,
+                   snapshot_id: str = "") -> None:
     """Write quads (+error rows) partitioned by bucket, then commit lineage.
 
     Ordering is the crash-safety contract: quads land first (dynamic
@@ -68,7 +75,7 @@ def write_bucketed(parsed_with_bucket: DataFrame, out_dir: str) -> None:
         (cached.write.mode("overwrite")
          .partitionBy("bucket")
          .parquet(f"{out_dir}/quads"))
-        (bucket_lineage(cached).write.mode("append")
+        (bucket_lineage(cached, snapshot_id).write.mode("append")
          .parquet(f"{out_dir}/lineage"))
     finally:
         cached.unpersist()
@@ -76,7 +83,8 @@ def write_bucketed(parsed_with_bucket: DataFrame, out_dir: str) -> None:
 
 def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
                     ctx_cache: dict, buckets: int = 64,
-                    rdf_direction: str | None = None) -> dict:
+                    rdf_direction: str | None = None,
+                    snapshot_id: str = "") -> dict:
     """Process only urls in not-yet-committed buckets; returns stats.
 
     ``pages -> filter(uncommitted bucket) -> extract+parse -> write``.
@@ -94,7 +102,7 @@ def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
 
     parsed = extract_and_parse(pages_b, ctx_cache, rdf_direction)
     parsed_b = with_bucket(parsed, buckets)
-    write_bucketed(parsed_b, out_dir)
+    write_bucketed(parsed_b, out_dir, snapshot_id)
 
     lineage = spark.read.parquet(f"{out_dir}/lineage")
     agg = lineage.agg(F.countDistinct("bucket").alias("b"),
@@ -141,7 +149,7 @@ def verify_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     """Recompute per-bucket stats from the quads table and diff against the
     lineage records — the audit every resume can run cheaply."""
     quads = spark.read.parquet(f"{out_dir}/quads")
-    recomputed = bucket_lineage(quads)
+    recomputed = bucket_lineage(quads).drop("snapshot_id")
     recorded = spark.read.parquet(f"{out_dir}/lineage")
     return (recomputed.alias("a")
             .join(recorded.alias("b"), "bucket", "full")
