@@ -190,3 +190,24 @@ def test_strict_mode_fails_fast(spark, pages):
         pipe.assert_no_errors(parsed)
     clean = parsed.where(F.col("error").isNull())
     pipe.assert_no_errors(clean)  # no raise
+
+
+def test_rdf_direction_plumbed_through_pipeline(spark):
+    # a page whose block carries @direction must honor the configured
+    # rdfDirection all the way through the distributed pipeline
+    import json as _json
+    block = _json.dumps({"@context": {"@language": "ar", "@direction": "rtl"},
+                         "@id": "http://ex.org/s", "http://ex.org/p": "v"})
+    html = ('<script type="application/ld+json">' + block
+            + "</script>").encode()
+    pages_df = spark.createDataFrame(
+        [("http://site.org/p1", html)], "url string, html binary")
+    out = tempfile.mkdtemp(prefix="kg_dir_")
+    try:
+        lin.run_with_resume(spark, pages_df, out, {}, buckets=2,
+                            rdf_direction="i18n-datatype")
+        objs = [r["obj"] for r in
+                spark.read.parquet(f"{out}/quads").collect()]
+        assert any("i18n#ar_rtl" in (o or "") for o in objs), objs
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
