@@ -606,3 +606,59 @@ def test_embedded_node_honors_rdf_direction():
     got = quads(doc, rdf_direction="i18n-datatype")
     (s, p, o, g), = got
     assert "i18n#en_ltr" in s
+
+
+# --- negative battery: error codes for classic invalid documents -------------
+
+NEGATIVE_CASES = [
+    ("colliding keywords",
+     {"@context": {"i1": "@id", "i2": "@id"},
+      "i1": "http://e/a", "i2": "http://e/b", "http://e/p": "v"}),
+    ("invalid @id value", {"@id": 5, "http://e/p": "v"}),
+    ("invalid type value",
+     {"@id": "http://e/s", "@type": {"bad": "object"}}),
+    ("invalid value object",
+     {"@id": "http://e/s",
+      "http://e/p": {"@value": "x", "http://e/extra": 1}}),
+    ("invalid language-tagged value",
+     {"@id": "http://e/s", "http://e/p": {"@value": 5, "@language": "en"}}),
+    ("invalid base direction",
+     {"@id": "http://e/s",
+      "http://e/p": {"@value": "x", "@direction": "sideways"}}),
+    ("invalid @index value",
+     {"@id": "http://e/s", "http://e/p": {"@value": "x", "@index": 9}}),
+    ("invalid reverse property map",
+     {"@id": "http://e/s", "@reverse": {"@type": "http://e/T"}}),
+    ("invalid @reverse value",
+     {"@id": "http://e/s", "@reverse": "not-a-map"}),
+    ("invalid @nest value",
+     {"@context": {"n": "@nest"}, "@id": "http://e/s",
+      "n": {"@value": "x"}}),
+    ("invalid set or list object",
+     {"@id": "http://e/s",
+      "http://e/p": {"@list": ["x"], "@id": "http://e/o"}}),
+    ("keyword redefinition",
+     {"@context": {"@id": "http://e/x"}, "http://e/p": "v"}),
+    ("cyclic IRI mapping",
+     {"@context": {"a": "b:x", "b": "a:y"}, "@id": "http://e/s",
+      "a": "v"}),
+    ("invalid container mapping",
+     {"@context": {"p": {"@id": "http://e/p",
+                         "@container": ["@list", "@set"]}},
+      "@id": "http://e/s", "p": "v"}),
+    ("invalid @propagate value",
+     {"@context": {"@propagate": "yes", "p": "http://e/p"},
+      "@id": "http://e/s", "p": "v"}),
+    ("invalid @version value",
+     {"@context": {"@version": 2.0}, "http://e/p": "v"}),
+]
+
+
+@pytest.mark.parametrize("expected_code,doc", NEGATIVE_CASES,
+                         ids=[c[0].replace(" ", "_")
+                              for c in NEGATIVE_CASES])
+def test_negative_error_codes(expected_code, doc):
+    with pytest.raises(JsonLdError) as exc:
+        quads(doc)
+    assert exc.value.code == expected_code, (
+        f"expected {expected_code!r}, got {exc.value.code!r}")
