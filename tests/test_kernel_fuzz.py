@@ -1,0 +1,94 @@
+"""Property-based fuzzing of the kernel (hypothesis).
+
+Web-scale input is adversarial: random JSON mixed with JSON-LD keywords
+must never escape the error channel, must be deterministic, and every
+emitted term must be grammatical N-Triples. (The reference survives its
+fuzz exposure through the W3C negative suites; this is our equivalent.)
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings, strategies as st
+
+from jsonld_streaming_parser_js_spark.functions.parser import parse_block
+from jsonld_streaming_parser_js_spark.functions.isomorphism import (
+    _split_terms)
+
+KEYWORDS = ["@id", "@type", "@value", "@language", "@list", "@set",
+            "@graph", "@context", "@reverse", "@index", "@nest",
+            "@included", "@vocab", "@base", "@container", "@direction",
+            "@json", "@none", "@version", "@propagate", "@protected"]
+
+keys = st.one_of(
+    st.sampled_from(KEYWORDS),
+    st.sampled_from(["p", "name", "ex:p", "http://ex.org/p", "_:b",
+                     "", " ", "a:", "@bogus", "rel/path"]),
+    st.text(max_size=8),
+)
+
+scalars = st.one_of(
+    st.none(), st.booleans(),
+    st.integers(min_value=-10**22, max_value=10**22),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=12),
+    st.sampled_from(["http://ex.org/x", "en", "ltr", "rtl", "@id", "_:x",
+                     "../rel", "#frag"]),
+)
+
+json_docs = st.recursive(
+    scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(keys, children, max_size=5),
+    ),
+    max_leaves=25,
+)
+
+
+def _terms_ok(term: str) -> bool:
+    if term.startswith("<<"):
+        inner = _split_terms(term[2:-2].strip())
+        return len(inner) == 3 and all(_terms_ok(t) for t in inner)
+    if term.startswith("_:"):
+        return len(term) > 2 and " " not in term
+    if term.startswith("<"):
+        return term.endswith(">") and ">" not in term[1:-1]
+    if term.startswith('"'):
+        return True  # escaping is checked by round-trip below
+    return False
+
+
+@settings(max_examples=300, deadline=None)
+@given(json_docs)
+def test_fuzz_never_crashes_and_is_deterministic(doc):
+    block = json.dumps(doc)
+    q1, e1 = parse_block(block, "https://fuzz.example.org/p", 0)
+    q2, e2 = parse_block(block, "https://fuzz.example.org/p", 0)
+    assert (q1, e1) == (q2, e2)  # deterministic
+    for s, p, o, g in q1:
+        assert _terms_ok(s), s
+        assert _terms_ok(p) and not p.startswith('"'), p
+        assert _terms_ok(o), o
+        assert g == "" or _terms_ok(g), g
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=60))
+def test_fuzz_literal_escaping_roundtrip(value):
+    doc = {"@id": "http://ex.org/s", "http://ex.org/p": value}
+    q, err = parse_block(json.dumps(doc), "https://f.org/p", 0)
+    assert err is None and len(q) == 1
+    term = q[0][2]
+    # unescape N-Triples literal and compare to the original value
+    body = term[1:term.rindex('"')]
+    sentinel = "\ue000"  # private-use char: cannot collide with input? no —
+    # hypothesis may generate it; strip such inputs instead
+    if sentinel in value:
+        return
+    unescaped = (body.replace("\\\\", sentinel)
+                 .replace('\\"', '"').replace("\\n", "\n")
+                 .replace("\\r", "\r").replace("\\t", "\t")
+                 .replace(sentinel, "\\"))
+    assert unescaped == value
