@@ -156,12 +156,14 @@ def main() -> None:
         eff = hi4["quads_per_sec"] / (4 * lo["quads_per_sec"])
         if eff < 0.8 and time.time() - bench_t0 < 200:
             # one bounded re-measure round; keep the better observation
+            # (each leg re-checks the deadline so the bound actually holds)
             redo_lo = _subprocess_parse(2, scale_amp, pin=True)
             if redo_lo["quads_per_sec"] > lo["quads_per_sec"]:
                 lo = redo_lo
-            redo_hi = _subprocess_parse(8, scale_amp, pin=True)
-            if redo_hi["quads_per_sec"] > hi4["quads_per_sec"]:
-                hi4 = redo_hi
+            if time.time() - bench_t0 < 300:
+                redo_hi = _subprocess_parse(8, scale_amp, pin=True)
+                if redo_hi["quads_per_sec"] > hi4["quads_per_sec"]:
+                    hi4 = redo_hi
         eff = hi4["quads_per_sec"] / (4 * lo["quads_per_sec"])
         scaling = {"lo": lo, "hi": hi4,
                    "unpinned_full_machine": {

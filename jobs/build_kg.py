@@ -26,6 +26,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--waves", type=int, default=1)
     ap.add_argument("--canonicalize", action="store_true")
+    ap.add_argument("--snapshot-id", default="",
+                    help="input table version tag recorded in lineage; "
+                         "resume refuses a mismatched snapshot")
     ap.add_argument("--rdf-direction", default=None,
                     choices=[None, "i18n-datatype", "compound-literal",
                              "base"])
@@ -50,11 +53,13 @@ def main(argv: list[str] | None = None) -> None:
     if args.waves > 1:
         lin.run_in_waves(spark, pages, args.out, CONTEXTS,
                          buckets=args.buckets, waves=args.waves,
-                         rdf_direction=args.rdf_direction)
+                         rdf_direction=args.rdf_direction,
+                         snapshot_id=args.snapshot_id)
     cfg = PipelineConfig(out_dir=args.out, buckets=args.buckets,
                          canonicalize=args.canonicalize,
                          rdf_direction=args.rdf_direction,
-                         ctx_cache=CONTEXTS)
+                         ctx_cache=CONTEXTS,
+                         snapshot_id=args.snapshot_id)
     # with waves > 1 this is a no-op resume pass (all buckets committed)
     # followed by the optional canonicalization step
     stats = build_kg(spark, pages, cfg)

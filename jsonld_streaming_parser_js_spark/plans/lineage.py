@@ -76,7 +76,10 @@ def write_bucketed(parsed_with_bucket: DataFrame, out_dir: str,
         # inside each file, so parquet dictionary/RLE encoding collapses the
         # boilerplate-heavy pred column — a large compression win at corpus
         # scale — and pred-filtered scans skip row groups via column stats
-        (cached.sortWithinPartitions("pred", "subj")
+        # NB: "bucket" must lead the sort — the dynamic-partition writer
+        # needs Sort(bucket) and the optimizer ELIMINATES any other
+        # sortWithinPartitions beneath it (verified on PySpark 4.1.2)
+        (cached.sortWithinPartitions("bucket", "pred", "subj")
          .write.mode("overwrite")
          .partitionBy("bucket")
          .parquet(f"{out_dir}/quads"))
@@ -102,6 +105,16 @@ def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
     done = completed_buckets(spark, out_dir)
     n_done = 0
     if done is not None:
+        if snapshot_id:
+            # refuse to resume across input snapshots: mixing buckets from
+            # two table versions is silent corruption
+            prior = (spark.read.parquet(f"{out_dir}/lineage")
+                     .select("snapshot_id").distinct().collect())
+            prior_ids = {r["snapshot_id"] for r in prior} - {""}
+            if prior_ids and prior_ids != {snapshot_id}:
+                raise ValueError(
+                    f"resume refused: lineage records snapshot(s) "
+                    f"{sorted(prior_ids)} but this run is {snapshot_id!r}")
         n_done = done.count()
         pages_b = pages_b.join(F.broadcast(done), "bucket", "left_anti")
 
@@ -121,7 +134,8 @@ def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
 def run_in_waves(spark: SparkSession, pages: DataFrame, out_dir: str,
                  ctx_cache: dict, buckets: int = 64,
                  waves: int = 4,
-                 rdf_direction: str | None = None) -> list[dict]:
+                 rdf_direction: str | None = None,
+                 snapshot_id: str = "") -> list[dict]:
     """Process the corpus in `waves` independently-committed bucket ranges.
 
     Each wave write+commit is atomic at the wave level, so a crash between
@@ -145,7 +159,7 @@ def run_in_waves(spark: SparkSession, pages: DataFrame, out_dir: str,
         parsed = with_bucket(
             extract_and_parse(wave_pages.drop("bucket"), ctx_cache,
                               rdf_direction), buckets)
-        write_bucketed(parsed, out_dir)
+        write_bucketed(parsed, out_dir, snapshot_id)
         stats.append({"wave": w, "buckets": [lo, hi]})
     return stats
 

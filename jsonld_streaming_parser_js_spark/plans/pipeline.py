@@ -28,6 +28,7 @@ class PipelineConfig:
     canonicalize: bool = False
     rdf_direction: str | None = None
     ctx_cache: dict = field(default_factory=dict)
+    snapshot_id: str = ""  # input table version tag recorded in lineage
 
 
 def build_kg(spark: SparkSession, pages: DataFrame,
@@ -35,7 +36,8 @@ def build_kg(spark: SparkSession, pages: DataFrame,
     """Full run with checkpoint-resume; returns run stats."""
     stats = lin.run_with_resume(spark, pages, cfg.out_dir, cfg.ctx_cache,
                                 cfg.buckets,
-                                rdf_direction=cfg.rdf_direction)
+                                rdf_direction=cfg.rdf_direction,
+                                snapshot_id=cfg.snapshot_id)
     if cfg.canonicalize:
         quads = quads_table(spark, cfg.out_dir)
         mapping = canon.canonical_mapping(quads)

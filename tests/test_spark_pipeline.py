@@ -211,3 +211,33 @@ def test_rdf_direction_plumbed_through_pipeline(spark):
         assert any("i18n#ar_rtl" in (o or "") for o in objs), objs
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_resume_refuses_snapshot_mismatch(spark, pages):
+    out = tempfile.mkdtemp(prefix="kg_snap_")
+    try:
+        lin.run_with_resume(spark, pages, out, CONTEXTS, buckets=4,
+                            snapshot_id="v1")
+        with pytest.raises(ValueError, match="resume refused"):
+            lin.run_with_resume(spark, pages, out, CONTEXTS, buckets=4,
+                                snapshot_id="v2")
+        # same snapshot resumes fine
+        s = lin.run_with_resume(spark, pages, out, CONTEXTS, buckets=4,
+                                snapshot_id="v1")
+        assert s["buckets_previously_done"] == 4
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_quads_files_clustered_by_pred(spark, pages):
+    out = tempfile.mkdtemp(prefix="kg_sort_")
+    try:
+        lin.run_with_resume(spark, pages, out, CONTEXTS, buckets=2)
+        import glob
+        import pyarrow.parquet as pq
+        f = sorted(glob.glob(f"{out}/quads/bucket=*/*.parquet"))[0]
+        preds = [p for p in pq.read_table(f, columns=["pred"])
+                 .column("pred").to_pylist() if p is not None]
+        assert preds == sorted(preds), "pred column not clustered in file"
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
