@@ -424,3 +424,80 @@ _:n2 <http://ex.org/p> "b" <http://ex.org/g2> .
 <http://ex.org/s> <http://ex.org/q> ""@en .
 '''),
 ]
+
+# --- batch 3 ------------------------------------------------------------------
+
+FIXTURES += [
+    ("null_context_then_redefine", {}, {
+        "@context": [{"p": "http://a.org/p"}, None,
+                     {"p": "http://b.org/p"}],
+        "@id": "http://ex.org/s", "p": "v",
+    }, '''
+<http://ex.org/s> <http://b.org/p> "v" .
+'''),
+
+    ("base_restored_after_null_context", {"base_iri": "http://doc.org/d"}, {
+        "@context": [{"@base": "http://other.org/"}, None],
+        "@id": "rel", "http://ex.org/p": "v",
+    }, '''
+<http://doc.org/rel> <http://ex.org/p> "v" .
+'''),
+
+    ("id_map_key_document_relative_not_term", {}, {
+        # id-map keys IRI-expand document-relative with vocab=false, so the
+        # term definition for "known" is NOT consulted (spec 13.8.3.7.4)
+        "@context": {"@base": "http://ex.org/",
+                     "p": {"@id": "http://ex.org/p", "@container": "@id"},
+                     "known": "http://ex.org/known-entity"},
+        "@id": "http://ex.org/s",
+        "p": {"known": {"http://ex.org/q": "v"}},
+    }, '''
+<http://ex.org/s> <http://ex.org/p> <http://ex.org/known> .
+<http://ex.org/known> <http://ex.org/q> "v" .
+'''),
+
+    ("list_container_null_entry", {}, {
+        "@context": {"p": {"@id": "http://ex.org/p",
+                           "@container": "@list"}},
+        "@id": "http://ex.org/s",
+        "p": ["a", None, "b"],
+    }, '''
+<http://ex.org/s> <http://ex.org/p> _:l0 .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "a" .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> _:l1 .
+_:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "b" .
+_:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
+    ("vocab_term_maps_to_keyword_none_ignored_as_pred", {}, {
+        "@context": {"skipme": "@none", "keep": "http://ex.org/keep"},
+        "@id": "http://ex.org/s", "skipme": "x", "keep": "y",
+    }, '''
+<http://ex.org/s> <http://ex.org/keep> "y" .
+'''),
+
+    ("numeric_string_not_coerced", {}, {
+        "@id": "http://ex.org/s",
+        "http://ex.org/p": "42",
+    }, '''
+<http://ex.org/s> <http://ex.org/p> "42" .
+'''),
+
+    ("fragment_only_id", {"base_iri": "http://d.org/doc?q=1"}, {
+        "@id": "#me", "http://ex.org/p": "v",
+    }, '''
+<http://d.org/doc?q=1#me> <http://ex.org/p> "v" .
+'''),
+
+    ("query_relative_id", {"base_iri": "http://d.org/doc"}, {
+        "@id": "?x=2", "http://ex.org/p": "v",
+    }, '''
+<http://d.org/doc?x=2> <http://ex.org/p> "v" .
+'''),
+
+    ("protocol_relative_id", {"base_iri": "https://d.org/doc"}, {
+        "@id": "//cdn.org/x", "http://ex.org/p": "v",
+    }, '''
+<https://cdn.org/x> <http://ex.org/p> "v" .
+'''),
+]
