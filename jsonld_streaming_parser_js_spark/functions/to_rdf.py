@@ -355,6 +355,11 @@ def _emit_annotation(quoted: str, annotation: list, quads: list,
     for ann in annotation:
         sub_map: dict = {}
         ann = dict(ann)
+        if "@id" in ann:
+            # the annotation's subject IS the quoted triple; a user @id is
+            # invalid (reference: annotations are anonymous node objects)
+            raise JsonLdError("invalid annotation",
+                              "@id is not allowed in an annotation")
         ann["@id"] = "\x00annotated\x00"
         generate_node_map(ann, sub_map, node_issuer, "@default")
         for graph in sub_map.values():

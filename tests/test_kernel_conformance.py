@@ -662,3 +662,13 @@ def test_negative_error_codes(expected_code, doc):
         quads(doc)
     assert exc.value.code == expected_code, (
         f"expected {expected_code!r}, got {exc.value.code!r}")
+
+
+def test_annotation_with_id_errors():
+    doc = {"@id": "http://ex.org/s",
+           "http://ex.org/p": {
+               "@id": "http://ex.org/o",
+               "@annotation": {"@id": "http://ex.org/bad",
+                               "http://ex.org/q": "v"}}}
+    with pytest.raises(JsonLdError):
+        quads(doc)
