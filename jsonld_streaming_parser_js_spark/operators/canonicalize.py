@@ -176,9 +176,24 @@ def connected_components(edges: DataFrame,
 
 
 def canonical_mapping(quads: DataFrame) -> DataFrame:
-    """(node, canonical) for every node that belongs to a merged cluster."""
+    """(node, canonical) for every node that belongs to a merged cluster.
+
+    Exact-feature blocking makes each block a complete component, so the
+    canonical member is simply the block minimum — no CC iterations needed
+    (the CC loop is reserved for the fuzzy MinHash path, where candidate
+    edges can chain across blocks: see canonical_mapping_fuzzy)."""
     features = node_features(quads)
-    edges = candidate_edges_exact(features)
+    edges = candidate_edges_exact(features)  # star: (node, block-min)
+    return edges.select(F.col("src").alias("node"),
+                        F.col("dst").alias("canonical"))
+
+
+def canonical_mapping_fuzzy(quads: DataFrame,
+                            min_jaccard: float = 0.5) -> DataFrame:
+    """Fuzzy variant: MinHash-LSH candidates can chain A~B~C across
+    blocks, so real connected components are required."""
+    features = node_features(quads)
+    edges = candidate_edges_minhash(features, min_jaccard=min_jaccard)
     comps = connected_components(edges)
     return (comps
             .where(F.col("node") != F.col("component"))
@@ -206,11 +221,9 @@ def relabel_quads(quads: DataFrame, mapping: DataFrame) -> DataFrame:
 
 def cluster_summary(quads: DataFrame) -> DataFrame:
     """(canonical, n_members) for merged clusters — the oracle-friendly
-    view of canonicalization output."""
-    features = node_features(quads)
-    edges = candidate_edges_exact(features)
-    comps = connected_components(edges)
-    return (comps.groupBy(F.col("component").alias("canonical"))
-            .agg(F.countDistinct("node").alias("n_members"))
-            .where(F.col("n_members") > 1)
+    view of canonicalization output (exact blocking: block == component,
+    so members = star size + the canonical itself)."""
+    edges = candidate_edges_exact(node_features(quads))
+    return (edges.groupBy(F.col("dst").alias("canonical"))
+            .agg((F.countDistinct("src") + F.lit(1)).alias("n_members"))
             .orderBy("canonical"))
