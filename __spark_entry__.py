@@ -437,13 +437,28 @@ FROM d WHERE doc_id % 17 = 0 ORDER BY url, blk"""
         f" FROM q WHERE pred = '<{_SCHEMA}author>'"
         f" ORDER BY url, entity")
 
-    oracles["kg_lineage"] = _with_quads(
-        "SELECT q.url, count(*) AS n_quads,"
-        " count(DISTINCT blk) AS n_blocks,"
-        " sum(length(subj || '|' || pred || '|' || obj || '|' || graph))"
-        " AS bytes_checksum,"
-        " CASE WHEN max(d.doc_id) % 17 = 0 THEN 1 ELSE 0 END AS n_errors"
-        " FROM q JOIN d ON q.url = d.url GROUP BY q.url ORDER BY q.url")
+    # All aggregates CAST to BIGINT: DuckDB's sum(length(...)) is HUGEINT
+    # and bare CASE arms are INTEGER — both hash-diverge from Spark's LONG
+    # in the driver's normalizer. n_errors comes from a real error-count
+    # CTE (same derivation as the kg_errors oracle), not a doc_id hack.
+    oracles["kg_lineage"] = _with_quads("""
+, qs AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_quads,
+         CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks,
+         CAST(sum(length(subj || '|' || pred || '|' || obj || '|' || graph))
+              AS BIGINT) AS bytes_checksum
+  FROM q GROUP BY url
+), es AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_errors
+  FROM d WHERE doc_id % 17 = 0 GROUP BY url
+)
+SELECT coalesce(qs.url, es.url) AS url,
+       coalesce(qs.n_quads, CAST(0 AS BIGINT)) AS n_quads,
+       coalesce(qs.n_blocks, CAST(0 AS BIGINT)) AS n_blocks,
+       coalesce(qs.bytes_checksum, CAST(0 AS BIGINT)) AS bytes_checksum,
+       coalesce(es.n_errors, CAST(0 AS BIGINT)) AS n_errors
+FROM qs FULL OUTER JOIN es ON qs.url = es.url
+ORDER BY url""")
 
     oracles["kg_canonical_clusters"] = f"""
 WITH {_D_CTE}

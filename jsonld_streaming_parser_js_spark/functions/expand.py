@@ -193,6 +193,12 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
                     if embedded is None:
                         embedded = expand(active_ctx, "@annotation", value,
                                           base_url, ctx_cache)
+                    # expand() can unwrap a top-level @graph to a list (e.g.
+                    # {"@id": {"p": {"@id": {"@graph": ...}}}}); an embedded
+                    # node must be exactly one node object
+                    if not isinstance(embedded, dict):
+                        raise JsonLdError("invalid embedded node",
+                                          repr(value))
                     result["@id"] = embedded
                 elif not isinstance(value, str):
                     raise JsonLdError("invalid @id value", repr(value))

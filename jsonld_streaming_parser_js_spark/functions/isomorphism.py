@@ -125,9 +125,14 @@ def _split_terms(body: str) -> list[str]:
             terms.append(body[i:j + 1])
             i = j + 1
         elif c == '"':
+            # escape-aware scan: skip 2 chars on '\' so a literal ending in
+            # an escaped backslash ("x\\") terminates correctly (a look-back
+            # check would mis-read backslash-run parity)
             j = i + 1
-            while body[j] != '"' or body[j - 1] == "\\":
-                j += 1
+            while j < n and body[j] != '"':
+                j += 2 if body[j] == "\\" else 1
+            if j >= n:
+                raise ValueError("unterminated literal in quad term")
             # datatype/lang suffix
             k = j + 1
             while k < n and not body[k].isspace():

@@ -93,4 +93,11 @@ def parse_block(block_text: str, url: str, blk: int,
         # e.g. NaN/Infinity inside an @json literal (json.loads accepts
         # them; RFC 8785 forbids them) — recoverable, never task-fatal
         return [], f"invalid value: {exc}"
-    return skolemize_quads(quads, url, blk), None
+    except Exception as exc:  # noqa: BLE001 — kernel-bug backstop
+        # No kernel defect may kill a Spark task on untrusted input: route
+        # anything unforeseen to the error channel instead
+        return [], f"internal error: {type(exc).__name__}: {exc}"
+    try:
+        return skolemize_quads(quads, url, blk), None
+    except Exception as exc:  # noqa: BLE001 — same backstop for skolemizer
+        return [], f"internal error: {type(exc).__name__}: {exc}"

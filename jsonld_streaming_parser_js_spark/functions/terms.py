@@ -161,16 +161,31 @@ def _jcs_number(num) -> str:
         raise ValueError("NaN/Infinity not allowed in JSON")
     if num == int(num) and abs(num) < 1e21:
         return str(int(num))
-    # ECMAScript Number::toString shortest round-trip form
+    # ECMAScript Number::toString (ECMA-262 6.1.6.1.20): place the decimal
+    # point among repr()'s shortest-round-trip digits — never reformat with
+    # fixed precision, which truncates digits (RFC 8785 divergence)
     out = repr(num)
-    if "e" in out:
-        mant, exp = out.split("e")
-        iexp = int(exp)
-        if -6 <= iexp < 21:
-            return f"{num:.{max(0, 20)}f}".rstrip("0").rstrip(".")
-        mant = mant.rstrip("0").rstrip(".")
-        return f"{mant}e{'+' if iexp >= 0 else ''}{iexp}"
-    return out
+    sign = ""
+    if out.startswith("-"):
+        sign, out = "-", out[1:]
+    mant, _, exp = out.partition("e")
+    int_part, _, frac_part = mant.partition(".")
+    raw = int_part + frac_part
+    digits = raw.lstrip("0")
+    lead_zeros = len(raw) - len(digits)
+    # value = 0.<digits> * 10^n
+    n = len(int_part) - lead_zeros + (int(exp) if exp else 0)
+    digits = digits.rstrip("0")
+    k = len(digits)
+    if k <= n <= 21:
+        return sign + digits + "0" * (n - k)
+    if 0 < n <= 21:
+        return sign + digits[:n] + "." + digits[n:]
+    if -6 < n <= 0:
+        return sign + "0." + "0" * (-n) + digits
+    e = n - 1
+    body = digits[0] + ("." + digits[1:] if k > 1 else "")
+    return f"{sign}{body}e{'+' if e >= 0 else '-'}{abs(e)}"
 
 
 def _jcs(value) -> str:

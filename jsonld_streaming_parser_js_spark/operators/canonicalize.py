@@ -74,9 +74,12 @@ def candidate_edges_minhash(features: DataFrame, num_hashes: int = 32,
 
     rows = num_hashes // bands
     mersenne = (1 << 61) - 1
+    # params and token hashes < 2^31 so a*x+b < 2^62 never wraps uint64
+    # before the Mersenne mod (wrapping breaks the universal-family
+    # collision probabilities the banding math assumes)
     rng = np.random.RandomState(7)
-    a = rng.randint(1, mersenne, size=num_hashes).astype(np.uint64)
-    b = rng.randint(0, mersenne, size=num_hashes).astype(np.uint64)
+    a = rng.randint(1, 1 << 31, size=num_hashes).astype(np.uint64)
+    b = rng.randint(0, 1 << 31, size=num_hashes).astype(np.uint64)
 
     schema = ST.StructType([
         ST.StructField("node", ST.StringType()),
@@ -91,8 +94,8 @@ def candidate_edges_minhash(features: DataFrame, num_hashes: int = 32,
                     sigs.append([0] * num_hashes)
                     continue
                 hv = np.array(
-                    [int.from_bytes(hashlib.md5(f.encode()).digest()[:8],
-                                    "big") for f in feats],
+                    [int.from_bytes(hashlib.md5(f.encode()).digest()[:4],
+                                    "big") & 0x7FFFFFFF for f in feats],
                     dtype=np.uint64)
                 m = (hv[None, :] * a[:, None] + b[:, None]) % mersenne
                 sigs.append([int(x) for x in m.min(axis=1)])

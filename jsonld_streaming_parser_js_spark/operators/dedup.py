@@ -76,15 +76,27 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
 # -- MinHash + LSH ------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+# a, b and token hashes are kept < 2^31 so a*x + b < 2^62 fits uint64 with
+# NO wraparound before the Mersenne mod — with 61-bit params the uint64
+# product silently wrapped mod 2^64 first, which is not the universal hash
+# family the LSH band/row collision math assumes
+_PARAM_MAX = 1 << 31
 
 
 def _hash_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = np.random.RandomState(seed)
-    return [(int(rng.randint(1, _MERSENNE)), int(rng.randint(0, _MERSENNE)))
+    return [(int(rng.randint(1, _PARAM_MAX)), int(rng.randint(0, _PARAM_MAX)))
             for _ in range(n)]
 
 
 def _token_hash(tok: str) -> int:
+    """31-bit token hash (4 md5 bytes, sign bit cleared): see _PARAM_MAX."""
+    return int.from_bytes(hashlib.md5(tok.encode()).digest()[:4],
+                          "big") & 0x7FFFFFFF
+
+
+def _token_hash64(tok: str) -> int:
+    """Full 64-bit token hash — SimHash needs votes on all 64 bit lanes."""
     return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
 
 
@@ -179,7 +191,7 @@ def simhash64(docs: DataFrame) -> DataFrame:
                 if not words:
                     out.append(0)
                     continue
-                hv = np.array([_token_hash(w) for w in set(words)],
+                hv = np.array([_token_hash64(w) for w in set(words)],
                               dtype=np.uint64)
                 bits = ((hv[:, None] >> bit_idx[None, :]) & 1).astype(
                     np.int64)

@@ -89,6 +89,27 @@ def write_bucketed(parsed_with_bucket: DataFrame, out_dir: str,
         cached.unpersist()
 
 
+def check_snapshot(spark: SparkSession, out_dir: str,
+                   snapshot_id: str) -> None:
+    """Refuse to write alongside lineage from a different input snapshot.
+
+    Mixing buckets produced from two table versions is silent corruption;
+    every writer entry point (resume AND waves) must call this before its
+    first commit."""
+    if not snapshot_id:
+        return
+    try:
+        prior = (spark.read.parquet(f"{out_dir}/lineage")
+                 .select("snapshot_id").distinct().collect())
+    except Exception:  # noqa: BLE001 — first run: no lineage yet
+        return
+    prior_ids = {r["snapshot_id"] for r in prior} - {""}
+    if prior_ids and prior_ids != {snapshot_id}:
+        raise ValueError(
+            f"resume refused: lineage records snapshot(s) "
+            f"{sorted(prior_ids)} but this run is {snapshot_id!r}")
+
+
 def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
                     ctx_cache: dict, buckets: int = 64,
                     rdf_direction: str | None = None,
@@ -102,19 +123,10 @@ def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
     from ..operators.parse import extract_and_parse
 
     pages_b = with_bucket(pages, buckets)
+    check_snapshot(spark, out_dir, snapshot_id)
     done = completed_buckets(spark, out_dir)
     n_done = 0
     if done is not None:
-        if snapshot_id:
-            # refuse to resume across input snapshots: mixing buckets from
-            # two table versions is silent corruption
-            prior = (spark.read.parquet(f"{out_dir}/lineage")
-                     .select("snapshot_id").distinct().collect())
-            prior_ids = {r["snapshot_id"] for r in prior} - {""}
-            if prior_ids and prior_ids != {snapshot_id}:
-                raise ValueError(
-                    f"resume refused: lineage records snapshot(s) "
-                    f"{sorted(prior_ids)} but this run is {snapshot_id!r}")
         n_done = done.count()
         pages_b = pages_b.join(F.broadcast(done), "bucket", "left_anti")
 
@@ -149,6 +161,7 @@ def run_in_waves(spark: SparkSession, pages: DataFrame, out_dir: str,
     stats = []
     pages_b = with_bucket(pages, buckets)
     per_wave = (buckets + waves - 1) // waves
+    check_snapshot(spark, out_dir, snapshot_id)
     done = completed_buckets(spark, out_dir)
     for w in range(waves):
         lo, hi = w * per_wave, min((w + 1) * per_wave, buckets)

@@ -92,3 +92,49 @@ def test_fuzz_literal_escaping_roundtrip(value):
                  .replace("\\r", "\r").replace("\\t", "\t")
                  .replace(sentinel, "\\"))
     assert unescaped == value
+
+
+# -- regression: task-fatal crash classes found by advisor fuzzing ------------
+
+
+def test_rdfstar_annotation_on_escaped_backslash_literal():
+    """A quoted triple containing a literal ending in an escaped backslash
+    must skolemize cleanly (the _split_terms literal scan previously
+    mis-read backslash-run parity and raised IndexError)."""
+    doc = {"@id": "http://ex.org/s",
+           "http://ex.org/p": {"@value": "x\\",
+                               "@annotation": {"http://ex.org/q": "y"}}}
+    quads, err = parse_block(json.dumps(doc), "https://f.org/p", 0)
+    assert err is None and len(quads) == 2
+    assert any(s.startswith("<<") and '"x\\\\"' in s for s, _, _, _ in quads)
+
+
+def test_graph_inside_embedded_id_is_recoverable_error():
+    """expand() unwraps a top-level @graph to a list; a dict-valued @id
+    whose expansion is not a single node object must become a recoverable
+    'invalid embedded node' error, not an AttributeError in node-map."""
+    doc = {"@id": {"p": {"@id": {"@graph": [{"http://ex.org/a": 1}]}}},
+           "http://ex.org/p2": "v"}
+    quads, err = parse_block(json.dumps(doc), "https://f.org/p", 0)
+    assert quads == [] and err == "invalid embedded node"
+
+
+def test_parse_block_backstop_never_lets_exceptions_escape():
+    """No kernel defect may kill a Spark task: parse_block routes unforeseen
+    exception classes to the error channel."""
+    from unittest import mock
+    import jsonld_streaming_parser_js_spark.functions.parser as parser_mod
+    with mock.patch.object(parser_mod, "jsonld_to_quads",
+                           side_effect=KeyError("boom")):
+        quads, err = parse_block("{}", "https://f.org/p", 0)
+    assert quads == [] and err.startswith("internal error: KeyError")
+
+
+def test_jcs_small_high_precision_double():
+    """RFC 8785: decimal form must carry repr()'s shortest-round-trip
+    digits, not fixed-precision truncation."""
+    from jsonld_streaming_parser_js_spark.functions.terms import _jcs_number
+    assert _jcs_number(1.2345678901234567e-6) == "0.0000012345678901234567"
+    assert _jcs_number(1e21) == "1e+21"
+    assert _jcs_number(-1e-7) == "-1e-7"
+    assert _jcs_number(333333333.3333333) == "333333333.3333333"
