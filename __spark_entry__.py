@@ -207,6 +207,15 @@ def _q_dedup_embedding_cosine(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _q_dedup_embedding_lsh(spark, sf_dir):
+    """The 100 TB shape: hyperplane-bucketed candidates -> exact cosine
+    verify (two plane seeds union'd for recall). Never all-pairs — compare
+    dedup_embedding_cosine, its exact all-pairs oracle twin."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return (similarity.embedding_lsh_pairs(emb, threshold=0.4)
+            .orderBy("id_a", "id_b"))
+
+
 def _q_text_quality_filter(spark, sf_dir):
     """Composite training-data filter: quality thresholds + exact-dedup
     survivorship in one pipeline (the everyday corpus-cleaning query)."""
@@ -298,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_nodes": _q_kg_graph_nodes,
         "kg_graph_edges": _q_kg_graph_edges,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "text_quality_filter": _q_text_quality_filter,
         "sim_topk_cosine": _q_sim_topk_cosine,
         "sim_lsh_topk": _q_sim_lsh_topk,
@@ -674,7 +684,144 @@ SELECT event_type,
        round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY event_type, hour"""
 
-    # dedup_minhash_lsh / dedup_simhash / sim_lsh_topk: signature-based ops
-    # are not ANSI-SQL-expressible -> rows-only driver check; exact-verified
-    # counterparts (dedup_ngram_jaccard / sim_topk_cosine) cover values.
+    # -- signature-based ops: the signatures themselves are deterministic
+    # (fixed seeds, md5 token hashes), so the oracle RECOMPUTES the full
+    # algorithm in SQL — the (a,b) / hyperplane constants are inlined as
+    # literals into both engines. No recall assumption anywhere: a banding
+    # off-by-one or hash-family regression now breaks the value hash.
+
+    params = dedup._hash_params(64)
+    param_rows = ", ".join(f"({j}, {a}, {b})"
+                           for j, (a, b) in enumerate(params))
+    oracles["dedup_minhash_lsh"] = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+g AS (  -- distinct word 3-shingles; <3 words degrades to one short gram
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(ws) - 2, 1) + 1),
+           i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS gram
+  FROM w
+),
+hv AS (  -- 31-bit gram hash: first 4 md5 bytes, sign bit cleared
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT & 2147483647 AS h
+  FROM g
+),
+params(j, a, b) AS (VALUES {param_rows}),
+sig AS (  -- minhash_j = min (a_j*h + b_j) mod M  (fits BIGINT: a,h < 2^31)
+  SELECT doc_id, j, min((a * h + b) % {dedup._MERSENNE}) AS m
+  FROM hv CROSS JOIN params GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // 4 AS band,
+         string_agg(CAST(m AS STRING), ',' ORDER BY j) AS bkey
+  FROM sig GROUP BY doc_id, j // 4
+),
+cand AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0, 6)
+         AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+GROUP BY 1, 2
+HAVING round(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0, 6) >= 0.5
+ORDER BY doc_a, doc_b"""
+
+    oracles["dedup_simhash"] = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+           AS t
+  FROM documents
+),
+hv AS (  -- 64-bit token hash: first 8 md5 bytes, big-endian
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok
+),
+votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hv CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sig0 AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << bit)
+                     ELSE 0::UBIGINT END) AS s
+  FROM votes GROUP BY doc_id
+),
+sig AS (  -- docs with zero tokens get signature 0, like the Spark kernel
+  SELECT d.doc_id, coalesce(sig0.s, 0::UBIGINT) AS s
+  FROM documents d LEFT JOIN sig0 ON d.doc_id = sig0.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+ORDER BY doc_a, doc_b"""
+
+    def duck_bucket(n_planes: int, seed: int) -> str:
+        """DuckDB twin of similarity.hyperplane_bucket_sql: identical plane
+        literals, identical left-fold summation order -> identical bits."""
+        planes = similarity.lsh_planes(n_planes, 64, seed)
+        terms = []
+        for j, plane in enumerate(planes):
+            arr = ", ".join(similarity._f64_lit(v) for v in plane)
+            dot = (f"list_reduce(list_transform(range(1, 65),"
+                   f" i -> CAST(embedding[i] AS DOUBLE) * ([{arr}])[i]),"
+                   f" (acc, v) -> acc + v)")
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    oracles["sim_lsh_topk"] = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {duck_bucket(6, 42)} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qe, bucket AS qb FROM b
+  WHERE vec_id IN ({ids})
+),
+p AS (
+  SELECT q.qid, e.vec_id AS nid,
+         ({dot}) / greatest(({na}) * ({nb}), 1e-12) AS sim
+  FROM q JOIN b e ON e.bucket = q.qb AND e.vec_id <> q.qid
+),
+r AS (
+  SELECT qid AS query_id, nid AS neighbor_id, round(sim, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(sim, 6) DESC, nid) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
+    lsh_tables = "\nUNION\n".join(
+        f"  SELECT x.vec_id AS id_a, y.vec_id AS id_b\n"
+        f"  FROM (SELECT vec_id, {duck_bucket(4, seed)} AS bucket"
+        f" FROM embeddings) x\n"
+        f"  JOIN (SELECT vec_id, {duck_bucket(4, seed)} AS bucket"
+        f" FROM embeddings) y\n"
+        f"    ON x.bucket = y.bucket AND x.vec_id < y.vec_id"
+        for seed in (42, 7, 13, 99))
+    oracles["dedup_embedding_lsh"] = f"""
+WITH cand AS (
+{lsh_tables}
+)
+SELECT c.id_a, c.id_b,
+       round(({dot_ab}) / greatest(({norm.format(side='a')})
+             * ({norm.format(side='b')}), 1e-12), 6) AS cos_sim
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.id_a
+JOIN embeddings b ON b.vec_id = c.id_b
+WHERE round(({dot_ab}) / greatest(({norm.format(side='a')})
+      * ({norm.format(side='b')}), 1e-12), 6) >= 0.4
+ORDER BY id_a, id_b"""
+
     return oracles

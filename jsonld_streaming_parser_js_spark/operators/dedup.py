@@ -20,6 +20,7 @@ Scale design notes (the whole point of these being Spark-native):
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -95,6 +96,16 @@ def _token_hash(tok: str) -> int:
                           "big") & 0x7FFFFFFF
 
 
+# Tokenizer shared by MinHash/SimHash — deliberately regex-defined so the
+# DuckDB value oracle reproduces it exactly: regexp_extract_all(lower(text),
+# '[a-z0-9]+') is the same relation in both engines.
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def _words(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text.lower())
+
+
 def _token_hash64(tok: str) -> int:
     """Full 64-bit token hash — SimHash needs votes on all 64 bit lanes."""
     return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
@@ -116,14 +127,9 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
         for batch in batches:
             sigs = []
             for text in batch["text"]:
-                words = [w for w in
-                         "".join(c if c.isalnum() else " "
-                                 for c in text.lower()).split() if w]
+                words = _words(text)
                 grams = {" ".join(words[i:i + shingle])
                          for i in range(max(1, len(words) - shingle + 1))}
-                if not grams:
-                    sigs.append([0] * len(params))
-                    continue
                 hv = np.array([_token_hash(g) for g in grams],
                               dtype=np.uint64)
                 # (a*x + b) mod p, vectorized over grams x hashes
@@ -185,9 +191,7 @@ def simhash64(docs: DataFrame) -> DataFrame:
         for batch in batches:
             out = []
             for text in batch["text"]:
-                words = [w for w in
-                         "".join(c if c.isalnum() else " "
-                                 for c in text.lower()).split() if w]
+                words = _words(text)
                 if not words:
                     out.append(0)
                     continue

@@ -14,13 +14,9 @@ explicitly ``F.broadcast`` the query side for that plan shape.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as ST
 
 
 def _cosine(a: str, b: str):
@@ -79,27 +75,76 @@ def embedding_near_pairs(embeddings: DataFrame,
             .where(F.col("cos_sim") >= threshold))
 
 
+def lsh_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random-hyperplane constants, shared by the Spark plan
+    and the DuckDB oracle (both engines inline the same literals)."""
+    rng = np.random.RandomState(seed)
+    return [[float(v) for v in rng.randn(dim)] for _ in range(n_planes)]
+
+
+def _f64_lit(v: float) -> str:
+    """SQL literal that parses to this exact float64 in Spark AND DuckDB:
+    repr() is shortest-round-trip; an exponent forces DOUBLE typing (a bare
+    decimal literal is DECIMAL in both engines, which rounds differently)."""
+    s = repr(v)
+    return s if "e" in s or "inf" in s or "nan" in s else s + "e0"
+
+
+def hyperplane_bucket_sql(planes: list[list[float]],
+                          col: str = "embedding") -> str:
+    """Bucket id as a pure SQL expression: bit j set iff the left-fold dot
+    product with plane j is > 0. Identical text works in Spark SQL and
+    (modulo array() -> list_value(), handled by the oracle builder) DuckDB,
+    so the two engines agree bit-for-bit — the fold fixes the summation
+    order, unlike a NumPy matmul."""
+    terms = []
+    for j, plane in enumerate(planes):
+        arr = ", ".join(_f64_lit(v) for v in plane)
+        dot = (f"aggregate(zip_with({col}, array({arr}),"
+               f" (x, y) -> CAST(x AS DOUBLE) * y),"
+               f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
 def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
-                       dim: int | None = None, seed: int = 42) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector (Arrow-batched NumPy)."""
-    schema = ST.StructType([
-        ST.StructField("vec_id", ST.LongType()),
-        ST.StructField("bucket", ST.IntegerType()),
-    ])
+                       dim: int = 64, seed: int = 42) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        planes = None
-        for batch in batches:
-            mat = np.array(list(batch["embedding"]), dtype=np.float64)
-            if planes is None:
-                rng = np.random.RandomState(seed)
-                planes = rng.randn(mat.shape[1], n_planes)
-            bits = (mat @ planes) > 0
-            bucket = (bits * (1 << np.arange(n_planes))).sum(axis=1)
-            yield pd.DataFrame({"vec_id": batch["vec_id"],
-                                "bucket": bucket.astype(np.int32)})
+    100% JVM-side (whole-stage-codegen'd fold over the array column — no
+    Python crossing, unlike the previous NumPy version) and exactly
+    reproducible by the DuckDB oracle via hyperplane_bucket_sql."""
+    planes = lsh_planes(n_planes, dim, seed)
+    return embeddings.select(
+        "vec_id", F.expr(hyperplane_bucket_sql(planes)).alias("bucket"))
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(run, schema)
+
+def embedding_lsh_pairs(embeddings: DataFrame, threshold: float = 0.4,
+                        n_planes: int = 4, dim: int = 64,
+                        seeds: tuple[int, ...] = (42, 7, 13, 99)) -> DataFrame:
+    """Scale-shape embedding near-dup: bucket-restricted candidates ->
+    exact float64 cosine verify. NEVER all-pairs — each hash table is an
+    equi-join on the bucket id; multiple plane seeds union'd for recall
+    (a pair missed by every table is a false negative, the LSH trade).
+    ``embedding_near_pairs`` is the sf-scale oracle twin for recall audits.
+    """
+    cands = None
+    emb = embeddings.select("vec_id", "embedding")
+    for seed in seeds:
+        b = emb.join(hyperplane_buckets(embeddings, n_planes, dim, seed),
+                     "vec_id")
+        x = b.select(F.col("vec_id").alias("id_a"),
+                     F.col("embedding").alias("emb_a"), "bucket")
+        y = b.select(F.col("vec_id").alias("id_b"),
+                     F.col("embedding").alias("emb_b"), "bucket")
+        c = (x.join(y, ["bucket"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "emb_a", "emb_b"))
+        cands = c if cands is None else cands.unionByName(c)
+    return (cands.dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b",
+                    F.round(_cosine("emb_a", "emb_b"), 6).alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold))
 
 
 def lsh_topk(embeddings: DataFrame, query_ids: list[int],
