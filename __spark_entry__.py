@@ -22,6 +22,7 @@ from jsonld_streaming_parser_js_spark.sources.pages import (
     block_a_sql,
     block_b_sql,
     block_c_sql,
+    i18n_blocks,
     pages_from_documents,
 )
 from jsonld_streaming_parser_js_spark.operators.extract import extract_blocks
@@ -119,6 +120,24 @@ def _q_kg_lineage(spark, sf_dir):
     parsed = parse_blocks(extract_blocks(_pages(spark, sf_dir)), CONTEXTS)
     return stats.per_url_lineage(
         quads_only(parsed).dropDuplicates(), errors_only(parsed))
+
+
+def _q_kg_quads_i18n_datatype(spark, sf_dir):
+    """rdfDirection=i18n-datatype over the @direction fixture block
+    (reference: lib/Util.ts:753-767 — https://www.w3.org/ns/i18n# datatype
+    encodes language+direction)."""
+    parsed = parse_blocks(i18n_blocks(spark, sf_dir), CONTEXTS,
+                          rdf_direction="i18n-datatype")
+    return quads_only(parsed).orderBy("url", "pred")
+
+
+def _q_kg_quads_i18n_compound(spark, sf_dir):
+    """rdfDirection=compound-literal: each directional literal becomes a
+    bnode with rdf:value/rdf:language/rdf:direction (lib/Util.ts:768-782);
+    bnode labels are the deterministic skolemized per-block sequence."""
+    parsed = parse_blocks(i18n_blocks(spark, sf_dir), CONTEXTS,
+                          rdf_direction="compound-literal")
+    return quads_only(parsed).orderBy("url", "subj", "pred")
 
 
 def _q_kg_canonical_clusters(spark, sf_dir):
@@ -293,6 +312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_degree": _q_kg_entity_degree,
         "kg_author_labels": _q_kg_author_labels,
         "kg_lineage": _q_kg_lineage,
+        "kg_quads_i18n_datatype": _q_kg_quads_i18n_datatype,
+        "kg_quads_i18n_compound": _q_kg_quads_i18n_compound,
         "kg_canonical_clusters": _q_kg_canonical_clusters,
         "kg_quads_canonical": _q_kg_quads_canonical,
         "text_extract_identity": _q_text_extract_identity,
@@ -469,6 +490,54 @@ SELECT coalesce(qs.url, es.url) AS url,
        coalesce(es.n_errors, CAST(0 AS BIGINT)) AS n_errors
 FROM qs FULL OUTER JOIN es ON qs.url = es.url
 ORDER BY url""")
+
+    i18n_s = "'<' || url || '#i18n>'"
+    i18n_ns = "https://www.w3.org/ns/i18n#"
+    oracles["kg_quads_i18n_datatype"] = f"""
+WITH {_D_CTE}
+SELECT url, 0 AS blk, subj, pred, obj, graph FROM (
+  SELECT url, {i18n_s} AS subj, '<{_SCHEMA}headline>' AS pred,
+         '"Doc ' || did || '"^^<{i18n_ns}ar_rtl>' AS obj, '' AS graph
+  FROM d
+  UNION ALL
+  SELECT url, {i18n_s}, '<{_SCHEMA}alternativeHeadline>',
+         '"Alt ' || did || '"^^<{i18n_ns}en_ltr>', '' FROM d
+  UNION ALL
+  SELECT url, {i18n_s}, '<{_SCHEMA}name>',
+         '"Plain ' || did || '"^^<{i18n_ns}_ltr>', '' FROM d
+) ORDER BY url, pred"""
+
+    bn = "'_:s' || substr(md5(url), 1, 16) || 'x0xl'"
+    oracles["kg_quads_i18n_compound"] = f"""
+WITH {_D_CTE}
+SELECT url, 0 AS blk, subj, pred, obj, graph FROM (
+  SELECT url, {i18n_s} AS subj, '<{_SCHEMA}headline>' AS pred,
+         {bn} || '0' AS obj, '' AS graph FROM d
+  UNION ALL
+  SELECT url, {i18n_s}, '<{_SCHEMA}alternativeHeadline>',
+         {bn} || '1', '' FROM d
+  UNION ALL
+  SELECT url, {i18n_s}, '<{_SCHEMA}name>', {bn} || '2', '' FROM d
+  UNION ALL
+  SELECT url, {bn} || '0', '<{RDF_NS}value>',
+         '"Doc ' || did || '"', '' FROM d
+  UNION ALL
+  SELECT url, {bn} || '0', '<{RDF_NS}language>', '"ar"', '' FROM d
+  UNION ALL
+  SELECT url, {bn} || '0', '<{RDF_NS}direction>', '"rtl"', '' FROM d
+  UNION ALL
+  SELECT url, {bn} || '1', '<{RDF_NS}value>',
+         '"Alt ' || did || '"', '' FROM d
+  UNION ALL
+  SELECT url, {bn} || '1', '<{RDF_NS}language>', '"en"', '' FROM d
+  UNION ALL
+  SELECT url, {bn} || '1', '<{RDF_NS}direction>', '"ltr"', '' FROM d
+  UNION ALL
+  SELECT url, {bn} || '2', '<{RDF_NS}value>',
+         '"Plain ' || did || '"', '' FROM d
+  UNION ALL
+  SELECT url, {bn} || '2', '<{RDF_NS}direction>', '"ltr"', '' FROM d
+) ORDER BY url, subj, pred"""
 
     oracles["kg_canonical_clusters"] = f"""
 WITH {_D_CTE}

@@ -76,6 +76,35 @@ def block_c_sql(url: str = "url") -> str:
 
 MALFORMED_BLOCK = '{"@id": broken'
 
+
+def block_d_sql(url: str = "url") -> str:
+    """i18n fixture block: default @language+@direction from the context,
+    a per-value @direction override, and a direction-without-language value
+    — exercises all three rdfDirection emission modes
+    (reference: lib/Util.ts:753-782)."""
+    return (
+        "'{\"@context\":{\"@language\":\"ar\",\"@direction\":\"rtl\"},"
+        "\"@id\":\"' || " + url + " || '#i18n\","
+        "\"http://schema.org/headline\":\"Doc ' || "
+        "CAST(doc_id AS STRING) || '\","
+        "\"http://schema.org/alternativeHeadline\":{\"@value\":\"Alt ' || "
+        "CAST(doc_id AS STRING) || '\",\"@language\":\"en\","
+        "\"@direction\":\"ltr\"},"
+        "\"http://schema.org/name\":{\"@value\":\"Plain ' || "
+        "CAST(doc_id AS STRING) || '\",\"@direction\":\"ltr\"}}'"
+    )
+
+
+def i18n_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, blk, block) frame of i18n fixture blocks — one per document,
+    SQL-expressible so the driver oracle can reconstruct expected quads."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.expr(page_url_sql()).alias("url"),
+        F.lit(0).alias("blk"),
+        F.expr(block_d_sql(page_url_sql())).alias("block"),
+    )
+
 # SQL that evaluates to the newline-joined block payloads == the ``text``
 # column (byte-identical-extraction invariant target).
 def text_sql() -> str:
