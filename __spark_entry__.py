@@ -24,6 +24,11 @@ from jsonld_streaming_parser_js_spark.sources.pages import (
     block_c_sql,
     i18n_blocks,
     pages_from_documents,
+    response_url_sql,
+    responses_from_documents,
+)
+from jsonld_streaming_parser_js_spark.operators.responses import (
+    parse_responses,
 )
 from jsonld_streaming_parser_js_spark.operators.extract import extract_blocks
 from jsonld_streaming_parser_js_spark.operators.parse import (
@@ -138,6 +143,21 @@ def _q_kg_quads_i18n_compound(spark, sf_dir):
     parsed = parse_blocks(i18n_blocks(spark, sf_dir), CONTEXTS,
                           rdf_direction="compound-literal")
     return quads_only(parsed).orderBy("url", "subj", "pred")
+
+
+def _q_kg_http_quads(spark, sf_dir):
+    """fromHttpResponse analog: media-type gate + Link-header root context
+    (reference: lib/JsonLdParser.ts:109-162) over a captured-responses
+    table."""
+    parsed = parse_responses(responses_from_documents(spark, sf_dir),
+                             CONTEXTS)
+    return quads_only(parsed).orderBy("url", "pred")
+
+
+def _q_kg_http_errors(spark, sf_dir):
+    parsed = parse_responses(responses_from_documents(spark, sf_dir),
+                             CONTEXTS)
+    return errors_only(parsed).orderBy("url")
 
 
 def _q_kg_canonical_clusters(spark, sf_dir):
@@ -314,6 +334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_lineage": _q_kg_lineage,
         "kg_quads_i18n_datatype": _q_kg_quads_i18n_datatype,
         "kg_quads_i18n_compound": _q_kg_quads_i18n_compound,
+        "kg_http_quads": _q_kg_http_quads,
+        "kg_http_errors": _q_kg_http_errors,
         "kg_canonical_clusters": _q_kg_canonical_clusters,
         "kg_quads_canonical": _q_kg_quads_canonical,
         "text_extract_identity": _q_text_extract_identity,
@@ -506,6 +528,26 @@ SELECT url, 0 AS blk, subj, pred, obj, graph FROM (
   SELECT url, {i18n_s}, '<{_SCHEMA}name>',
          '"Plain ' || did || '"^^<{i18n_ns}_ltr>', '' FROM d
 ) ORDER BY url, pred"""
+
+    rurl = response_url_sql("doc_id")
+    rsubj = f"'<' || {rurl} || '#r>'"
+    oracles["kg_http_quads"] = f"""
+SELECT url, 0 AS blk, subj, pred, obj, graph FROM (
+  SELECT {rurl} AS url, {rsubj} AS subj, '<{_SCHEMA}name>' AS pred,
+         '"Doc ' || CAST(doc_id AS STRING) || '"' AS obj, '' AS graph
+  FROM documents WHERE doc_id % 10 <= 5
+  UNION ALL
+  SELECT {rurl}, {rsubj}, '<{_SCHEMA}headline>',
+         '"H ' || CAST(doc_id AS STRING) || '"', ''
+  FROM documents WHERE doc_id % 10 IN (6, 7)
+) ORDER BY url, pred"""
+
+    oracles["kg_http_errors"] = f"""
+SELECT {rurl} AS url, 0 AS blk,
+       CASE WHEN doc_id % 10 = 8 THEN 'loading document failed'
+            ELSE 'multiple context link headers' END AS error
+FROM documents WHERE doc_id % 10 IN (8, 9)
+ORDER BY url"""
 
     bn = "'_:s' || substr(md5(url), 1, 16) || 'x0xl'"
     oracles["kg_quads_i18n_compound"] = f"""

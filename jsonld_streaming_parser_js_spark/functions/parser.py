@@ -69,7 +69,8 @@ def jsonld_to_quads(doc: Any, options: ParserOptions | None = None
 
 def parse_block(block_text: str, url: str, blk: int,
                 ctx_cache: dict | None = None,
-                rdf_direction: str | None = None) -> tuple[list[Quad], str | None]:
+                rdf_direction: str | None = None,
+                context: Any = None) -> tuple[list[Quad], str | None]:
     """One extracted JSON-LD block -> (skolemized quads, error_code).
 
     Errors never abort the job: bad blocks yield ``([], code)`` — the Spark
@@ -83,7 +84,8 @@ def parse_block(block_text: str, url: str, blk: int,
         return [], "invalid json"
     try:
         options = ParserOptions(base_iri=url, ctx_cache=ctx_cache or {},
-                                rdf_direction=rdf_direction)
+                                rdf_direction=rdf_direction,
+                                context=context)
         quads = jsonld_to_quads(doc, options)
     except JsonLdError as exc:
         return [], exc.code

@@ -141,6 +141,51 @@ def html_sql() -> str:
     )
 
 
+def response_url_sql(doc_id: str = "doc_id") -> str:
+    return (f"'https://api.ex' || CAST({doc_id} % 7 AS STRING)"
+            f" || '.example.org/items/' || CAST({doc_id} AS STRING)")
+
+
+def responses_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic HTTP-response capture table (url, media_type, link_headers,
+    body) — SQL-expressible, exercising every fromHttpResponse branch:
+
+    - doc_id%10 in 0..5: raw ``application/json`` + exactly one context
+      Link header (plus a decoy ``rel=alternate`` link) -> parsed with the
+      linked context
+    - %10 in 6,7: ``application/ld+json`` with inline context (Link header
+      present but correctly IGNORED for the JSON-LD media type)
+    - %10 == 8: ``text/plain`` -> 'loading document failed'
+    - %10 == 9: two context Link headers -> 'multiple context link headers'
+    """
+    u = response_url_sql()
+    ctx_link = f'\'<{CTX_IRI}>; rel="http://www.w3.org/ns/json-ld#context"\''
+    decoy = "'<https://cdn.example.org/other>; rel=\"alternate\"'"
+    media = ("CASE WHEN doc_id % 10 <= 5 THEN 'application/json'"
+             " WHEN doc_id % 10 <= 7 THEN 'application/ld+json'"
+             " WHEN doc_id % 10 = 8 THEN 'text/plain'"
+             " ELSE 'application/json' END")
+    links = (f"CASE WHEN doc_id % 10 <= 5 THEN array({decoy}, {ctx_link})"
+             f" WHEN doc_id % 10 <= 7 THEN array({ctx_link})"
+             f" WHEN doc_id % 10 = 8 THEN CAST(array() AS array<string>)"
+             f" ELSE array({ctx_link}, {ctx_link}) END")
+    body = (
+        "CASE WHEN doc_id % 10 <= 5 THEN"
+        " '{\"@id\":\"' || " + u + " || '#r\",\"name\":\"Doc ' ||"
+        " CAST(doc_id AS STRING) || '\"}'"
+        " WHEN doc_id % 10 <= 7 THEN"
+        " '{\"@context\":{\"@vocab\":\"http://schema.org/\"},"
+        "\"@id\":\"' || " + u + " || '#r\",\"headline\":\"H ' ||"
+        " CAST(doc_id AS STRING) || '\"}'"
+        " ELSE '{}' END")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.expr(u).alias("url"),
+        F.expr(media).alias("media_type"),
+        F.expr(links).alias("link_headers"),
+        F.expr(body).alias("body"))
+
+
 def amplified_documents(spark: SparkSession, sf_dir: str, amplify: int,
                         repartition: int | None = None) -> DataFrame:
     """Deterministically replicate documents ``amplify``x with distinct
