@@ -68,11 +68,12 @@ def expand(active_ctx: Context, active_prop: str | None, element: Any,
         for item in element:
             expanded = expand(active_ctx, active_prop, item, base_url,
                               ctx_cache, from_map)
+            # JSON-LD 1.1 expansion step 5.2.1: under a @list container a
+            # nested array becomes a nested list object (the 1.0 "list of
+            # lists" error no longer applies)
             if (td is not None and "@list" in td.container
-                    and (isinstance(expanded, list)
-                         or (isinstance(expanded, dict)
-                             and "@list" in expanded))):
-                raise JsonLdError("list of lists")
+                    and isinstance(expanded, list)):
+                expanded = {"@list": expanded}
             if isinstance(expanded, list):
                 result.extend(e for e in expanded if e is not None)
             elif expanded is not None:

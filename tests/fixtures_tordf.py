@@ -500,4 +500,566 @@ _:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/0
     }, '''
 <https://cdn.org/x> <http://ex.org/p> "v" .
 '''),
+
+    # -- round 2 additions -----------------------------------------------
+    # Families mirror the W3C toRdf manifest groups the reference passes
+    # (spec/earl-tordf.ttl): m* container maps, li* lists, e* expansion,
+    # js* JSON literals, so* scoped contexts, pr* protected, in* included,
+    # di* direction, c* context.
+
+    # --- m-family: @container: @type maps --------------------------------
+    ("type_map_basic", {}, {
+        "@context": {"p": {"@id": "http://e/p", "@container": "@type"}},
+        "@id": "http://e/s",
+        "p": {"http://e/T": {"@id": "http://e/o"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+<http://e/o> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T> .
+'''),
+
+    ("type_map_id_typed_strings", {}, {
+        # @type map whose term is @type: @id -> string items are node refs
+        "@context": {"p": {"@id": "http://e/p", "@container": "@type",
+                           "@type": "@id"}},
+        "@id": "http://e/s", "p": {"http://e/T": "http://e/o"},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+<http://e/o> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T> .
+'''),
+
+    ("type_map_none_key_adds_no_type", {}, {
+        "@context": {"p": {"@id": "http://e/p", "@container": "@type"}},
+        "@id": "http://e/s",
+        "p": {"@none": {"@id": "http://e/o", "http://e/q": "v"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+<http://e/o> <http://e/q> "v" .
+'''),
+
+    ("type_map_none_alias", {}, {
+        "@context": {"none": "@none",
+                     "p": {"@id": "http://e/p", "@container": "@type"}},
+        "@id": "http://e/s",
+        "p": {"none": {"@id": "http://e/o", "http://e/q": "v"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+<http://e/o> <http://e/q> "v" .
+'''),
+
+    ("type_map_key_term_scoped_ctx", {}, {
+        # the map KEY's term definition carries a type-scoped context that
+        # applies to the value (toRdf m-family / so-family interaction)
+        "@context": {"p": {"@id": "http://e/p", "@container": "@type"},
+                     "T": {"@id": "http://e/T",
+                           "@context": {"inner": "http://e/inner"}}},
+        "@id": "http://e/s",
+        "p": {"T": {"@id": "http://e/o", "inner": "v"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+<http://e/o> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T> .
+<http://e/o> <http://e/inner> "v" .
+'''),
+
+    ("type_map_vocab_key_expansion", {}, {
+        "@context": {"@vocab": "http://v/",
+                     "p": {"@id": "http://e/p", "@container": "@type"}},
+        "@id": "http://e/s", "p": {"T": {"@id": "http://e/o"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+<http://e/o> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://v/T> .
+'''),
+
+    # --- m-family: @container: @id maps ----------------------------------
+    ("id_map_basic", {}, {
+        "@context": {"p": {"@id": "http://e/p", "@container": "@id"}},
+        "@id": "http://e/s",
+        "p": {"http://e/o": {"http://e/q": "v"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+<http://e/o> <http://e/q> "v" .
+'''),
+
+    ("id_map_none_key_is_bnode", {}, {
+        "@context": {"p": {"@id": "http://e/p", "@container": "@id"}},
+        "@id": "http://e/s", "p": {"@none": {"http://e/q": "v"}},
+    }, '''
+<http://e/s> <http://e/p> _:b0 .
+_:b0 <http://e/q> "v" .
+'''),
+
+    ("id_map_relative_keys", {"base_iri": "http://b.org/dir/doc"}, {
+        "@context": {"p": {"@id": "http://e/p", "@container": "@id"}},
+        "@id": "http://e/s", "p": {"item": {"http://e/q": "v"}},
+    }, '''
+<http://e/s> <http://e/p> <http://b.org/dir/item> .
+<http://b.org/dir/item> <http://e/q> "v" .
+'''),
+
+    ("id_map_inner_id_wins_consistency", {}, {
+        # key and inner @id refer to the same node -> merged
+        "@context": {"p": {"@id": "http://e/p", "@container": "@id"}},
+        "@id": "http://e/s",
+        "p": {"http://e/o": {"@id": "http://e/o", "http://e/q": "v"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+<http://e/o> <http://e/q> "v" .
+'''),
+
+    # --- pi-family: property-based index --------------------------------
+    ("property_index_emits_key_as_property", {}, {
+        "@context": {"p": {"@id": "http://e/p", "@container": "@index",
+                           "@index": "http://e/prop"}},
+        "@id": "http://e/s", "p": {"k1": {"@id": "http://e/o1"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o1> .
+<http://e/o1> <http://e/prop> "k1" .
+'''),
+
+    ("plain_index_map_keys_dropped", {}, {
+        "@context": {"p": {"@id": "http://e/p", "@container": "@index"}},
+        "@id": "http://e/s",
+        "p": {"i1": {"@id": "http://e/a"}, "i2": {"@id": "http://e/b"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/a> .
+<http://e/s> <http://e/p> <http://e/b> .
+'''),
+
+    # --- language maps ---------------------------------------------------
+    ("language_map_none_key_plain", {}, {
+        "@context": {"p": {"@id": "http://e/p", "@container": "@language"}},
+        "@id": "http://e/s", "p": {"en": "hi", "@none": "plain"},
+    }, '''
+<http://e/s> <http://e/p> "hi"@en .
+<http://e/s> <http://e/p> "plain" .
+'''),
+
+    ("language_map_array_values", {}, {
+        "@context": {"p": {"@id": "http://e/p", "@container": "@language"}},
+        "@id": "http://e/s", "p": {"de": ["a", "b"]},
+    }, '''
+<http://e/s> <http://e/p> "a"@de .
+<http://e/s> <http://e/p> "b"@de .
+'''),
+
+    # --- graph containers -------------------------------------------------
+    ("graph_container_keeps_value_id", {}, {
+        # @container: @graph wraps the node in a fresh bnode-named graph;
+        # the node keeps its own @id
+        "@context": {"g": {"@id": "http://e/g", "@container": "@graph"}},
+        "@id": "http://e/s",
+        "g": {"@id": "http://e/n", "http://e/q": "v"},
+    }, '''
+<http://e/s> <http://e/g> _:g .
+<http://e/n> <http://e/q> "v" _:g .
+'''),
+
+    ("graph_index_container_drops_index", {}, {
+        "@context": {"g": {"@id": "http://e/g",
+                           "@container": ["@graph", "@index"]}},
+        "@id": "http://e/s",
+        "g": {"i1": {"@id": "http://e/n", "http://e/q": "v"}},
+    }, '''
+<http://e/s> <http://e/g> _:g .
+<http://e/n> <http://e/q> "v" _:g .
+'''),
+
+    ("graph_id_container_named", {}, {
+        "@context": {"g": {"@id": "http://e/g",
+                           "@container": ["@graph", "@id"]}},
+        "@id": "http://e/s",
+        "g": {"http://e/G1": {"@id": "http://e/n", "http://e/q": "v"}},
+    }, '''
+<http://e/s> <http://e/g> <http://e/G1> .
+<http://e/n> <http://e/q> "v" <http://e/G1> .
+'''),
+
+    ("graph_id_container_none_key", {}, {
+        "@context": {"g": {"@id": "http://e/g",
+                           "@container": ["@graph", "@id"]}},
+        "@id": "http://e/s",
+        "g": {"@none": {"@id": "http://e/n", "http://e/q": "v"}},
+    }, '''
+<http://e/s> <http://e/g> _:g .
+<http://e/n> <http://e/q> "v" _:g .
+'''),
+
+    # --- li-family: lists -------------------------------------------------
+    ("list_nested_lists", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@list": [{"@list": ["a"]}]},
+    }, '''
+<http://e/s> <http://e/p> _:outer .
+_:outer <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> _:inner .
+_:outer <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+_:inner <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "a" .
+_:inner <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
+    ("list_empty_nested_is_nil_first", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@list": [{"@list": []}]},
+    }, '''
+<http://e/s> <http://e/p> _:l .
+_:l <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+_:l <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
+    ("list_with_index_ignored", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@list": ["a"], "@index": "i"},
+    }, '''
+<http://e/s> <http://e/p> _:l .
+_:l <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "a" .
+_:l <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
+    ("list_container_nested_arrays", {}, {
+        # @container: @list on term: outer array IS the list; a doubly
+        # nested array makes a list of lists (JSON-LD 1.1)
+        "@context": {"p": {"@id": "http://e/p", "@container": "@list"}},
+        "@id": "http://e/s", "p": [["a"]],
+    }, '''
+<http://e/s> <http://e/p> _:outer .
+_:outer <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> _:inner .
+_:outer <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+_:inner <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "a" .
+_:inner <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
+    ("free_floating_list_in_graph_dropped", {}, {
+        # expansion step 19: a map containing only @list is free-floating
+        "@graph": [{"@list": ["v"]},
+                   {"@id": "http://e/s", "http://e/p": "x"}],
+    }, '''
+<http://e/s> <http://e/p> "x" .
+'''),
+
+    ("list_of_node_objects", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@list": [{"@id": "http://e/a", "http://e/q": "1"},
+                                 {"@id": "http://e/b"}]},
+    }, '''
+<http://e/s> <http://e/p> _:l0 .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> <http://e/a> .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> _:l1 .
+_:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> <http://e/b> .
+_:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+<http://e/a> <http://e/q> "1" .
+'''),
+
+    # --- e-family: relative IRI resolution (RFC 3986 section 5.4) --------
+    ("rfc3986_dot_segment", {"base_iri": "http://a/b/c/d;p?q"}, {
+        "@id": "./g", "http://e/p": "v",
+    }, '''
+<http://a/b/c/g> <http://e/p> "v" .
+'''),
+
+    ("rfc3986_dotdot", {"base_iri": "http://a/b/c/d;p?q"}, {
+        "@id": "../g", "http://e/p": "v",
+    }, '''
+<http://a/b/g> <http://e/p> "v" .
+'''),
+
+    ("rfc3986_excess_dotdots_clamp", {"base_iri": "http://a/b/c/d;p?q"}, {
+        "@id": "../../../../g", "http://e/p": "v",
+    }, '''
+<http://a/g> <http://e/p> "v" .
+'''),
+
+    ("rfc3986_empty_ref_is_base", {"base_iri": "http://a/b/c/d;p?q"}, {
+        "@id": "", "http://e/p": "v",
+    }, '''
+<http://a/b/c/d;p?q> <http://e/p> "v" .
+'''),
+
+    ("rfc3986_query_only", {"base_iri": "http://a/b/c/d;p?q"}, {
+        "@id": "?y", "http://e/p": "v",
+    }, '''
+<http://a/b/c/d;p?y> <http://e/p> "v" .
+'''),
+
+    ("rfc3986_network_path", {"base_iri": "http://a/b/c/d;p?q"}, {
+        "@id": "//g", "http://e/p": "v",
+    }, '''
+<http://g> <http://e/p> "v" .
+'''),
+
+    ("rfc3986_mid_dot_segments", {"base_iri": "http://a/b/c/d;p?q"}, {
+        "@id": "g/./h", "http://e/p": "v",
+    }, '''
+<http://a/b/c/g/h> <http://e/p> "v" .
+'''),
+
+    ("rfc3986_mid_dotdot_segments", {"base_iri": "http://a/b/c/d;p?q"}, {
+        "@id": "g/../h", "http://e/p": "v",
+    }, '''
+<http://a/b/c/h> <http://e/p> "v" .
+'''),
+
+    ("rfc3986_trailing_dot_name", {"base_iri": "http://a/b/c/d;p?q"}, {
+        "@id": "g.", "http://e/p": "v",
+    }, '''
+<http://a/b/c/g.> <http://e/p> "v" .
+'''),
+
+    ("rfc3986_semicolon_params", {"base_iri": "http://a/b/c/d;p?q"}, {
+        "@id": "g;x=1/./y", "http://e/p": "v",
+    }, '''
+<http://a/b/c/g;x=1/y> <http://e/p> "v" .
+'''),
+
+    ("base_in_context_with_query", {}, {
+        "@context": {"@base": "http://x/y?q"},
+        "@id": "z", "http://e/p": "v",
+    }, '''
+<http://x/z> <http://e/p> "v" .
+'''),
+
+    # --- js-family: @json literals (RFC 8785 canonicalization) -----------
+    ("json_literal_sorted_keys", {}, {
+        "@context": {"j": {"@id": "http://e/j", "@type": "@json"}},
+        "@id": "http://e/s", "j": {"b": 2, "a": 1},
+    }, '''
+<http://e/s> <http://e/j> "{\\"a\\":1,\\"b\\":2}"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+'''),
+
+    ("json_literal_array_order_preserved", {}, {
+        "@context": {"j": {"@id": "http://e/j", "@type": "@json"}},
+        "@id": "http://e/s", "j": [2, 1],
+    }, '''
+<http://e/s> <http://e/j> "[2,1]"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+'''),
+
+    ("json_literal_scalars", {}, {
+        "@context": {"j": {"@id": "http://e/j", "@type": "@json"}},
+        "@id": "http://e/s",
+        "j": [True, None, 1.5e10],
+    }, '''
+<http://e/s> <http://e/j> "[true,null,15000000000]"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+'''),
+
+    ("json_literal_keywords_not_special", {}, {
+        # inside an @json value, @id etc. are plain JSON keys
+        "@context": {"j": {"@id": "http://e/j", "@type": "@json"}},
+        "@id": "http://e/s", "j": {"@id": "not-an-iri"},
+    }, '''
+<http://e/s> <http://e/j> "{\\"@id\\":\\"not-an-iri\\"}"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+'''),
+
+    ("json_literal_via_value_type", {}, {
+        "@id": "http://e/s",
+        "http://e/j": {"@value": {"x": [1]}, "@type": "@json"},
+    }, '''
+<http://e/s> <http://e/j> "{\\"x\\":[1]}"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+'''),
+
+    # --- nt-family: native types ------------------------------------------
+    ("native_double_e21_boundary", {}, {
+        "@id": "http://e/s", "http://e/p": [1e21, 1e22],
+    }, '''
+<http://e/s> <http://e/p> "1.0E21"^^<http://www.w3.org/2001/XMLSchema#double> .
+<http://e/s> <http://e/p> "1.0E22"^^<http://www.w3.org/2001/XMLSchema#double> .
+'''),
+
+    ("native_negative_zero_is_integer_zero", {}, {
+        # reference Util.ts:545 — value % 1 === 0 -> integer; String(-0)='0'
+        "@id": "http://e/s", "http://e/p": -0.0,
+    }, '''
+<http://e/s> <http://e/p> "0"^^<http://www.w3.org/2001/XMLSchema#integer> .
+'''),
+
+    ("native_integral_double_to_integer", {}, {
+        # 1.1e1 is integral -> xsd:integer "11" (reference semantics)
+        "@id": "http://e/s", "http://e/p": 1.1e1,
+    }, '''
+<http://e/s> <http://e/p> "11"^^<http://www.w3.org/2001/XMLSchema#integer> .
+'''),
+
+    ("native_int_coerced_double", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@value": 1,
+                       "@type": "http://www.w3.org/2001/XMLSchema#double"},
+    }, '''
+<http://e/s> <http://e/p> "1.0E0"^^<http://www.w3.org/2001/XMLSchema#double> .
+'''),
+
+    ("native_bool_coerced_integer_keeps_lexical", {}, {
+        # explicit datatype wins; lexical form is the JSON lexical
+        "@id": "http://e/s",
+        "http://e/p": {"@value": True,
+                       "@type": "http://e/dt"},
+    }, '''
+<http://e/s> <http://e/p> "true"^^<http://e/dt> .
+'''),
+
+    ("xsd_string_explicit_type_is_plain", {}, {
+        # "v"^^xsd:string IS the plain literal term in RDF 1.1
+        "@id": "http://e/s",
+        "http://e/p": {"@value": "v",
+                       "@type": "http://www.w3.org/2001/XMLSchema#string"},
+    }, '''
+<http://e/s> <http://e/p> "v" .
+'''),
+
+    # --- so-family: scoped contexts ---------------------------------------
+    ("property_scoped_ctx_defines_terms", {}, {
+        "@context": {"p": {"@id": "http://e/p",
+                           "@context": {"inner": "http://e/inner"}}},
+        "@id": "http://e/s", "p": {"inner": "v"},
+    }, '''
+<http://e/s> <http://e/p> _:b0 .
+_:b0 <http://e/inner> "v" .
+'''),
+
+    ("property_scoped_ctx_propagates", {}, {
+        # property-scoped contexts propagate to nested nodes (unlike
+        # type-scoped ones)
+        "@context": {"p": {"@id": "http://e/p",
+                           "@context": {"inner": "http://e/inner"}}},
+        "@id": "http://e/s",
+        "p": {"inner": {"@id": "http://e/n", "inner": "deep"}},
+    }, '''
+<http://e/s> <http://e/p> _:b0 .
+_:b0 <http://e/inner> <http://e/n> .
+<http://e/n> <http://e/inner> "deep" .
+'''),
+
+    ("type_scoped_ctx_does_not_propagate", {}, {
+        "@context": {"T": {"@id": "http://e/T",
+                           "@context": {"x": "http://e/x"}},
+                     "q": "http://e/q"},
+        "@id": "http://e/s", "@type": "T", "x": "1",
+        "q": {"@id": "http://e/n", "x": "2"},
+    }, '''
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T> .
+<http://e/s> <http://e/x> "1" .
+<http://e/s> <http://e/q> <http://e/n> .
+'''),
+
+    ("type_scoped_lexicographic_order", {}, {
+        # multiple types: scoped contexts applied in lexicographic order of
+        # the ORIGINAL type strings; later overrides earlier
+        "@context": {"A": {"@id": "http://e/A",
+                           "@context": {"x": "http://e/xA"}},
+                     "B": {"@id": "http://e/B",
+                           "@context": {"x": "http://e/xB"}}},
+        "@id": "http://e/s", "@type": ["B", "A"], "x": "v",
+    }, '''
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/A> .
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/B> .
+<http://e/s> <http://e/xB> "v" .
+'''),
+
+    ("type_scoped_null_ctx_resets", {}, {
+        "@context": {"@vocab": "http://v/",
+                     "T": {"@id": "http://v/T", "@context": None}},
+        "@id": "http://e/s", "@type": "T", "p": "dropped",
+    }, '''
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://v/T> .
+'''),
+
+    ("property_scoped_overrides_protected", {}, {
+        # the ONE place protected terms may be overridden: property-scoped
+        # contexts (JSON-LD 1.1 section 4.1.11)
+        "@context": {"@protected": True, "t": "http://e/t",
+                     "p": {"@id": "http://e/p",
+                           "@context": {"t": "http://e/t2"}}},
+        "@id": "http://e/s", "p": {"t": "v"},
+    }, '''
+<http://e/s> <http://e/p> _:b0 .
+_:b0 <http://e/t2> "v" .
+'''),
+
+    ("protected_redefinition_identical_ok", {}, {
+        "@context": [{"@protected": True, "t": "http://e/t"},
+                     {"t": "http://e/t"}],
+        "@id": "http://e/s", "t": "v",
+    }, '''
+<http://e/s> <http://e/t> "v" .
+'''),
+
+    # --- c-family: @import -------------------------------------------------
+    ("import_merges_local_wins", {"ctx_cache": {
+        "https://c/i": {"@context": {"a": "http://e/a",
+                                     "b": "http://e/WRONG"}}}}, {
+        "@context": {"@import": "https://c/i", "b": "http://e/b"},
+        "@id": "http://e/s", "a": "1", "b": "2",
+    }, '''
+<http://e/s> <http://e/a> "1" .
+<http://e/s> <http://e/b> "2" .
+'''),
+
+    ("import_with_protected_wrapper", {"ctx_cache": {
+        "https://c/i": {"@context": {"t": "http://e/t"}}}}, {
+        # the @import use case: retrofit @protected onto an existing
+        # remote context's terms
+        "@context": {"@import": "https://c/i", "@protected": True},
+        "@id": "http://e/s", "t": "v",
+    }, '''
+<http://e/s> <http://e/t> "v" .
+'''),
+
+    # --- in-family: @included ----------------------------------------------
+    ("included_basic", {}, {
+        "@id": "http://e/s", "http://e/p": "v",
+        "@included": [{"@id": "http://e/t", "http://e/q": "w"}],
+    }, '''
+<http://e/s> <http://e/p> "v" .
+<http://e/t> <http://e/q> "w" .
+'''),
+
+    ("included_nested", {}, {
+        "@id": "http://e/s", "http://e/p": "v",
+        "@included": {"@id": "http://e/t", "http://e/q": "w",
+                      "@included": {"@id": "http://e/u",
+                                    "http://e/r": "x"}},
+    }, '''
+<http://e/s> <http://e/p> "v" .
+<http://e/t> <http://e/q> "w" .
+<http://e/u> <http://e/r> "x" .
+'''),
+
+    ("included_alias", {}, {
+        "@context": {"also": "@included"},
+        "@id": "http://e/s", "http://e/p": "v",
+        "also": {"@id": "http://e/t", "http://e/q": "w"},
+    }, '''
+<http://e/s> <http://e/p> "v" .
+<http://e/t> <http://e/q> "w" .
+'''),
+
+    # --- value objects / language ------------------------------------------
+    ("value_null_dropped", {}, {
+        "@id": "http://e/s", "http://e/p": [{"@value": None}, "k"],
+    }, '''
+<http://e/s> <http://e/p> "k" .
+'''),
+
+    ("language_tag_case_preserved_lowercased", {}, {
+        # toRdf emits language tags lowercase (well-formed literal rule)
+        "@id": "http://e/s",
+        "http://e/p": {"@value": "x", "@language": "EN-us"},
+    }, '''
+<http://e/s> <http://e/p> "x"@en-us .
+'''),
+
+    ("default_language_applies_to_strings", {}, {
+        # NB: "@language": null inside a VALUE OBJECT is an error per
+        # expansion step 13.4.6 (must be a string); null-suppression is
+        # term-definition-only (see null_language_override_in_term)
+        "@context": {"@language": "fr"},
+        "@id": "http://e/s",
+        "http://e/p": ["a", {"@value": 7}],
+    }, '''
+<http://e/s> <http://e/p> "a"@fr .
+<http://e/s> <http://e/p> "7"^^<http://www.w3.org/2001/XMLSchema#integer> .
+'''),
+
+    ("null_language_override_in_term", {}, {
+        "@context": {"@language": "fr",
+                     "p": {"@id": "http://e/p", "@language": None}},
+        "@id": "http://e/s", "p": "plain",
+    }, '''
+<http://e/s> <http://e/p> "plain" .
+'''),
 ]

@@ -257,13 +257,17 @@ def test_included_nested():
 
 # --- lists -------------------------------------------------------------------
 
-def test_list_of_lists_in_container_errors():
+def test_list_container_nested_array_becomes_nested_list():
+    """JSON-LD 1.1 expansion step 5.2.1: a nested array under a @list
+    container is a nested list object (1.0's 'list of lists' error is
+    gone). Full quad shape covered by fixture list_container_nested_arrays."""
     doc = {"@context": {"p": {"@id": "http://ex.org/p",
                               "@container": "@list"}},
            "@id": "http://ex.org/s",
            "p": [["a"]]}
-    with pytest.raises(JsonLdError):
-        quads(doc)
+    got = quads(doc)
+    firsts = [q for q in got if q[1].endswith("#first>")]
+    assert len(firsts) == 2  # outer list cell + inner list cell
 
 
 def test_list_with_iri_items():
