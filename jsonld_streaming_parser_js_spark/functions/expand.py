@@ -230,6 +230,18 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
                 result["@graph"] = [e for e in as_list(expanded)
                                     if e is not None]
             elif expanded_prop == "@included":
+                # validate the RAW shape before expansion (the expansion
+                # would silently drop free-floating @value/@list nodes) —
+                # mirrors EntryHandlerKeywordIncluded.ts:22-33
+                if not isinstance(value, (dict, list)):
+                    raise JsonLdError("invalid @included value", repr(value))
+                for item in as_list(value):
+                    if isinstance(item, dict):
+                        item_keys = set(
+                            _unalias_keys(active_ctx, item).values())
+                        if "@value" in item_keys or "@list" in item_keys:
+                            raise JsonLdError("invalid @included value",
+                                              repr(item))
                 expanded = [e for e in as_list(
                     expand(active_ctx, None, value, base_url, ctx_cache))
                     if e is not None]

@@ -1062,4 +1062,226 @@ _:b0 <http://e/t2> "v" .
     }, '''
 <http://e/s> <http://e/p> "plain" .
 '''),
+
+    # --- e-family: @reverse -------------------------------------------------
+    ("reverse_term_definition", {}, {
+        "@context": {"children": {"@reverse": "http://e/parent"}},
+        "@id": "http://e/s",
+        "children": [{"@id": "http://e/a"}, {"@id": "http://e/b"}],
+    }, '''
+<http://e/a> <http://e/parent> <http://e/s> .
+<http://e/b> <http://e/parent> <http://e/s> .
+'''),
+
+    ("double_reverse_cancels_out", {}, {
+        "@context": {"r": {"@reverse": "http://e/p"}},
+        "@id": "http://e/s", "@reverse": {"r": {"@id": "http://e/o"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+'''),
+
+    ("reverse_and_forward_same_node", {}, {
+        "@id": "http://e/s", "http://e/p": {"@id": "http://e/o"},
+        "@reverse": {"http://e/q": {"@id": "http://e/r"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+<http://e/r> <http://e/q> <http://e/s> .
+'''),
+
+    # --- n-family: @nest -----------------------------------------------------
+    ("nest_alias_flattens", {}, {
+        "@context": {"meta": "@nest", "p": "http://e/p"},
+        "@id": "http://e/s", "meta": {"p": "v"},
+    }, '''
+<http://e/s> <http://e/p> "v" .
+'''),
+
+    ("nest_array_of_maps", {}, {
+        "@context": {"p": "http://e/p"},
+        "@id": "http://e/s", "@nest": [{"p": "1"}, {"p": "2"}],
+    }, '''
+<http://e/s> <http://e/p> "1" .
+<http://e/s> <http://e/p> "2" .
+'''),
+
+    ("nest_nested_in_nest", {}, {
+        "@context": {"meta": "@nest", "p": "http://e/p"},
+        "@id": "http://e/s", "meta": {"meta": {"p": "v"}},
+    }, '''
+<http://e/s> <http://e/p> "v" .
+'''),
+
+    # --- wf-family: generalized RDF / bnode predicates ----------------------
+    ("bnode_predicate_dropped_by_default", {}, {
+        "@id": "http://e/s", "_:p": "v", "http://e/q": "k",
+    }, '''
+<http://e/s> <http://e/q> "k" .
+'''),
+
+    ("bnode_predicate_generalized_rdf", {"produce_generalized_rdf": True}, {
+        "@id": "http://e/s", "_:p": "v",
+    }, '''
+<http://e/s> _:p "v" .
+'''),
+
+    # --- di-family: base direction -------------------------------------------
+    ("direction_ignored_without_rdf_direction", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@value": "x", "@language": "ar", "@direction": "rtl"},
+    }, '''
+<http://e/s> <http://e/p> "x"@ar .
+'''),
+
+    ("direction_i18n_no_language", {"rdf_direction": "i18n-datatype"}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@value": "x", "@direction": "rtl"},
+    }, '''
+<http://e/s> <http://e/p> "x"^^<https://www.w3.org/ns/i18n#_rtl> .
+'''),
+
+    ("direction_context_defaults_i18n", {"rdf_direction": "i18n-datatype"}, {
+        "@context": {"@direction": "rtl", "@language": "he"},
+        "@id": "http://e/s", "http://e/p": "x",
+    }, '''
+<http://e/s> <http://e/p> "x"^^<https://www.w3.org/ns/i18n#he_rtl> .
+'''),
+
+    ("direction_compound_literal", {"rdf_direction": "compound-literal"}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@value": "x", "@direction": "rtl"},
+    }, '''
+<http://e/s> <http://e/p> _:c .
+_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#value> "x" .
+_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#direction> "rtl" .
+'''),
+
+    # --- c-family: prefixes, term precedence, keyword aliases ----------------
+    ("prefix_false_blocks_compact_iri", {}, {
+        # term with @prefix: false may not be used as a compact-IRI prefix;
+        # 'pre:x' then reads as an absolute IRI with scheme 'pre'
+        "@context": {"pre": {"@id": "http://e/pre#", "@prefix": False},
+                     "p": "http://e/p"},
+        "@id": "http://e/s", "p": {"@id": "pre:x"},
+    }, '''
+<http://e/s> <http://e/p> <pre:x> .
+'''),
+
+    ("prefix_true_expands_compact_iri", {}, {
+        "@context": {"pre": {"@id": "http://e/pre#", "@prefix": True}},
+        "@id": "http://e/s", "pre:x": "v",
+    }, '''
+<http://e/s> <http://e/pre#x> "v" .
+'''),
+
+    ("undefined_prefix_kept_as_iri", {}, {
+        # 'ex:p' with no matching term: scheme-bearing IRI, kept verbatim
+        "@id": "http://e/s", "ex:p": "v",
+    }, '''
+<http://e/s> <ex:p> "v" .
+'''),
+
+    ("keyword_aliases_id_type", {}, {
+        "@context": {"id": "@id", "type": "@type"},
+        "id": "http://e/s", "type": "http://e/T",
+    }, '''
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T> .
+'''),
+
+    ("keyword_alias_graph", {}, {
+        "@context": {"g": "@graph"},
+        "@id": "http://e/G",
+        "g": {"@id": "http://e/s", "http://e/p": "v"},
+    }, '''
+<http://e/s> <http://e/p> "v" <http://e/G> .
+'''),
+
+    ("keyword_alias_value_language", {}, {
+        "@context": {"v": "@value", "l": "@language"},
+        "@id": "http://e/s", "http://e/p": {"v": "x", "l": "en"},
+    }, '''
+<http://e/s> <http://e/p> "x"@en .
+'''),
+
+    ("keyword_like_term_ignored_silently", {}, {
+        # '@ignoreMe' has keyword form -> dropped, not an error
+        "@context": {"p": "http://e/p"},
+        "@id": "http://e/s", "@ignoreMe": "v", "p": "k",
+    }, '''
+<http://e/s> <http://e/p> "k" .
+'''),
+
+    ("vocab_and_absolute_term_coexist", {}, {
+        "@context": {"@vocab": "http://v/", "p": {"@id": "http://e/p"}},
+        "@id": "http://e/s", "p": "v", "other": "w",
+    }, '''
+<http://e/s> <http://e/p> "v" .
+<http://e/s> <http://v/other> "w" .
+'''),
+
+    ("type_alias_with_set_container", {}, {
+        "@context": {"type": {"@id": "@type", "@container": "@set"}},
+        "@id": "http://e/s", "type": ["http://e/T"],
+    }, '''
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T> .
+'''),
+
+    ("propagate_true_on_type_scoped", {}, {
+        # @propagate: true makes a type-scoped context behave like a
+        # property-scoped one (JSON-LD 1.1 section 4.1.8)
+        "@context": {"T": {"@id": "http://e/T",
+                           "@context": {"@propagate": True,
+                                        "x": "http://e/x"}},
+                     "q": "http://e/q"},
+        "@id": "http://e/s", "@type": "T",
+        "q": {"@id": "http://e/n", "x": "2"},
+    }, '''
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T> .
+<http://e/s> <http://e/q> <http://e/n> .
+<http://e/n> <http://e/x> "2" .
+'''),
+
+    # --- value objects / @index --------------------------------------------
+    ("node_index_dropped_in_tordf", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@id": "http://e/o", "@index": "idx"},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+'''),
+
+    ("set_with_index_unwraps", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@set": ["a"], "@index": "i"},
+    }, '''
+<http://e/s> <http://e/p> "a" .
+'''),
+
+    ("graph_set_container", {}, {
+        "@context": {"g": {"@id": "http://e/g",
+                           "@container": ["@graph", "@set"]}},
+        "@id": "http://e/s", "g": [{"http://e/q": "v"}],
+    }, '''
+<http://e/s> <http://e/g> _:g .
+_:n <http://e/q> "v" _:g .
+'''),
+
+    ("empty_graph_no_quads", {}, {
+        "@id": "http://e/s", "@graph": [],
+    }, ''),
+
+    # --- star-family: RDF-star embedded nodes / annotations ------------------
+    ("star_annotation_on_iri_object", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@id": "http://e/o",
+                       "@annotation": {"http://e/certainty": 0.8}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+<< <http://e/s> <http://e/p> <http://e/o> >> <http://e/certainty> "8.0E-1"^^<http://www.w3.org/2001/XMLSchema#double> .
+'''),
+
+    ("star_embedded_subject", {}, {
+        "@id": {"@id": "http://e/s2", "http://e/p2": "v2"},
+        "http://e/p": "v",
+    }, '''
+<< <http://e/s2> <http://e/p2> "v2" >> <http://e/p> "v" .
+'''),
 ]

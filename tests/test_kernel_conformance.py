@@ -655,7 +655,112 @@ NEGATIVE_CASES = [
       "@id": "http://e/s", "p": "v"}),
     ("invalid @version value",
      {"@context": {"@version": 2.0}, "http://e/p": "v"}),
+    # --- round-2 extension: full coverage of every code the kernel raises
+    ("conflicting indexes",
+     {"@id": "http://e/s",
+      "http://e/p": [{"@id": "http://e/o", "@index": "a"}],
+      "http://e/q": [{"@id": "http://e/o", "@index": "b"}]}),
+    ("invalid @import value",
+     {"@context": {"@import": 5}, "http://e/p": "v"}),
+    ("invalid @included value",
+     {"@id": "http://e/s", "@included": "str"}),
+    ("invalid @included value",
+     {"@id": "http://e/s", "@included": {"@value": "x"}}),
+    ("invalid @prefix value",
+     {"@context": {"t": {"@id": "http://e/t#", "@prefix": "yes"}},
+      "@id": "http://e/s", "t:x": "v"}),
+    ("invalid @protected value",
+     {"@context": {"t": {"@id": "http://e/t", "@protected": "yes"}},
+      "@id": "http://e/s", "t": "v"}),
+    ("invalid IRI mapping",
+     {"@context": {"a": "http://e/a#", "a:b": "http://e/direct"},
+      "@id": "http://e/s", "a:b": "v"}),
+    ("invalid annotation",
+     {"@id": "http://e/s", "@annotation": {"http://e/q": "v"},
+      "http://e/p": "x"}),
+    ("invalid annotation",
+     {"@id": "http://e/s",
+      "http://e/p": {"@id": "http://e/o",
+                     "@annotation": {"@id": "http://e/bad",
+                                     "http://e/q": "v"}}}),
+    ("invalid base IRI",
+     {"@context": {"@base": 5}, "http://e/p": "v"}),
+    ("invalid default language",
+     {"@context": {"@language": 5}, "http://e/p": "v"}),
+    ("invalid embedded node",
+     {"@id": {"p": {"@id": {"@graph": [{"http://e/a": 1}]}}},
+      "http://e/p2": "v"}),
+    ("invalid keyword alias",
+     {"@context": {"ctx": "@context"}, "@id": "http://e/s",
+      "http://e/p": "v"}),
+    ("invalid language map value",
+     {"@context": {"p": {"@id": "http://e/p", "@container": "@language"}},
+      "@id": "http://e/s", "p": {"en": 5}}),
+    ("invalid language mapping",
+     {"@context": {"p": {"@id": "http://e/p", "@language": 5}},
+      "@id": "http://e/s", "p": "v"}),
+    ("invalid language-tagged string",
+     {"@id": "http://e/s", "http://e/p": {"@value": "x",
+                                          "@language": None}}),
+    ("invalid local context",
+     {"@context": 5, "http://e/p": "v"}),
+    ("invalid reverse property",
+     {"@context": {"r": {"@reverse": "http://e/p", "@container": "@list"}},
+      "@id": "http://e/s", "r": {"@id": "http://e/o"}}),
+    ("invalid reverse property value",
+     {"@id": "http://e/s", "@reverse": {"http://e/p": "lit"}}),
+    ("invalid scoped context",
+     {"@context": {"T": {"@id": "http://e/T", "@context": 5}},
+      "@id": "http://e/s", "@type": "T"}),
+    ("invalid term definition",
+     {"@context": {"": "http://e/empty"}, "@id": "http://e/s", "": "v"}),
+    ("invalid type mapping",
+     {"@context": {"p": {"@id": "http://e/p", "@type": 5}},
+      "@id": "http://e/s", "p": "v"}),
+    ("invalid typed value",
+     {"@id": "http://e/s", "http://e/p": {"@value": "x",
+                                          "@type": "not an iri"}}),
+    ("invalid value object value",
+     {"@id": "http://e/s", "http://e/p": {"@value": {"a": 1}}}),
+    ("invalid vocab mapping",
+     {"@context": {"@vocab": 5}, "http://e/p": "v"}),
+    ("protected term redefinition",
+     {"@context": [{"@protected": True, "t": "http://e/t"},
+                   {"t": "http://e/OTHER"}],
+      "@id": "http://e/s", "t": "v"}),
+    ("loading remote context failed",
+     {"@context": "https://absent.example.org/ctx", "http://e/p": "v"}),
 ]
+
+# codes that need a remote-context cache to trigger: (code, doc, ctx_cache)
+_MAX = 33  # > context.MAX_REMOTE_CONTEXTS (32)
+NEGATIVE_REMOTE_CASES = [
+    ("recursive context inclusion",
+     {"@context": "https://c/a", "http://e/p": "v"},
+     {"https://c/a": {"@context": ["https://c/b"]},
+      "https://c/b": {"@context": ["https://c/a"]}}),
+    ("invalid remote context",
+     {"@context": "https://c/bad", "http://e/p": "v"},
+     {"https://c/bad": "not a context"}),
+    ("invalid context entry",  # @import inside an imported context
+     {"@context": {"@import": "https://c/i"}, "http://e/p": "v"},
+     {"https://c/i": {"@context": {"@import": "https://c/j"}}}),
+    ("context overflow",
+     {"@context": "https://c/0", "http://e/p": "v"},
+     {**{f"https://c/{i}": {"@context": [f"https://c/{i+1}"]}
+         for i in range(_MAX + 1)},
+      f"https://c/{_MAX + 1}": {"@context": {"p": "http://e/p"}}}),
+]
+
+
+@pytest.mark.parametrize("expected_code,doc,cache", NEGATIVE_REMOTE_CASES,
+                         ids=[c[0].replace(" ", "_")
+                              for c in NEGATIVE_REMOTE_CASES])
+def test_negative_remote_error_codes(expected_code, doc, cache):
+    with pytest.raises(JsonLdError) as exc:
+        quads(doc, ctx_cache=cache)
+    assert exc.value.code == expected_code, (
+        f"expected {expected_code!r}, got {exc.value.code!r}")
 
 
 @pytest.mark.parametrize("expected_code,doc", NEGATIVE_CASES,
