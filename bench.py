@@ -166,7 +166,22 @@ def main() -> None:
                 if redo_hi["quads_per_sec"] > hi4["quads_per_sec"]:
                     hi4 = redo_hi
             eff = hi4["quads_per_sec"] / (4 * lo["quads_per_sec"])
+        # third point of the pinned curve: full 32 cores. Documents the
+        # single-socket memory-bandwidth knee every round (BENCH.md) rather
+        # than asserting it — the efficiency gate stays on the 2->8 pair,
+        # both legs of which sit below the knee.
+        p32 = None
+        if CPUS >= 32 and time.time() - bench_t0 < 400:
+            try:
+                p32 = _subprocess_parse(32, scale_amp, pin=True)
+            except subprocess.CalledProcessError:
+                p32 = None
+        curve = [lo, hi4] + ([p32] if p32 else [])
         scaling = {"lo": lo, "hi": hi4,
+                   "curve_pinned": [
+                       {k: leg[k] for k in
+                        ("cores", "wall_sec", "quads_per_sec")}
+                       for leg in curve],
                    "unpinned_full_machine": {
                        k: hi[k] for k in
                        ("cores", "wall_sec", "quads_per_sec")},

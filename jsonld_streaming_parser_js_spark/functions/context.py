@@ -16,6 +16,7 @@ cache"), so executors do no per-row network I/O.
 
 from __future__ import annotations
 
+import json as _json
 from dataclasses import dataclass, field, replace
 from typing import Any
 
@@ -75,8 +76,15 @@ class TermDefinition:
     type_mapping: str | None = None
 
     def same_except_protected(self, other: "TermDefinition") -> bool:
-        return (replace(self, protected=False)
-                == replace(other, protected=False))
+        # base_url is only consulted when a scoped @context exists (it is
+        # the resolution base for that context) — without one, definitions
+        # that differ only in base_url are semantically identical (and the
+        # inline-context memo legitimately bakes a sentinel base there)
+        a, b = replace(self, protected=False), replace(other, protected=False)
+        if a.context is UNSET and b.context is UNSET:
+            a = replace(a, base_url=None)
+            b = replace(b, base_url=None)
+        return a == b
 
 
 @dataclass
@@ -87,6 +95,10 @@ class Context:
     vocab: str | None = None
     language: str | None = None
     direction: str | None = None
+    # 'json-ld-1.1' (default) or 'json-ld-1.0' (the reference's
+    # processingMode option, lib/JsonLdParser.ts:652): 1.0 mode rejects
+    # 1.1-only context features with the spec's coded errors
+    mode: str = "json-ld-1.1"
     previous_context: "Context | None" = None
     # memo for expand_iri(vocab=True) results (mirrors the reference's
     # keyword-unalias cache, lib/Util.ts:817-842). Caching is disabled
@@ -102,6 +114,7 @@ class Context:
         return Context(terms=dict(self.terms), base=self.base,
                        original_base=self.original_base, vocab=self.vocab,
                        language=self.language, direction=self.direction,
+                       mode=self.mode,
                        previous_context=self.previous_context)
 
     def has_protected_terms(self) -> bool:
@@ -113,8 +126,9 @@ class Context:
         return self.terms.get(key)
 
 
-def initial_context(base_iri: str | None) -> Context:
-    return Context(base=base_iri, original_base=base_iri)
+def initial_context(base_iri: str | None,
+                    mode: str = "json-ld-1.1") -> Context:
+    return Context(base=base_iri, original_base=base_iri, mode=mode)
 
 
 MAX_REMOTE_CONTEXTS = 32
@@ -172,6 +186,9 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
     ctx_cache = ctx_cache or {}
     result = active.copy()
     if isinstance(local_ctx, dict) and "@propagate" in local_ctx:
+        if active.mode == "json-ld-1.0":
+            raise JsonLdError("invalid context entry",
+                              "@propagate requires json-ld-1.1")
         propagate = local_ctx["@propagate"]
         if not isinstance(propagate, bool):
             raise JsonLdError("invalid @propagate value", repr(propagate))
@@ -186,6 +203,7 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
                     "tried to nullify a context with protected terms")
             result = Context(base=active.original_base,
                              original_base=active.original_base,
+                             mode=active.mode,
                              previous_context=None if propagate else active)
             continue
 
@@ -209,7 +227,8 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
                 # the memo entry holds a strong reference to ctx_cache, so
                 # this id can never be reused by a different dict while the
                 # entry lives (id-keyed memos are otherwise unsound)
-                key = (id(ctx_cache), ctx_iri, propagate, validate_scoped)
+                key = (id(ctx_cache), ctx_iri, propagate, validate_scoped,
+                       result.mode)
                 memo = _REMOTE_MEMO.get(key)
                 if memo is not None and memo[2] is not ctx_cache:
                     memo = None
@@ -218,7 +237,8 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
                 if memo is None:
                     probe = process_context(
                         Context(base=_BASE_SENTINEL,
-                                original_base=_BASE_SENTINEL),
+                                original_base=_BASE_SENTINEL,
+                                mode=result.mode),
                         remote_doc["@context"], ctx_iri, ctx_cache,
                         remote_contexts | {ctx_iri}, propagate=propagate,
                         validate_scoped=validate_scoped)
@@ -237,7 +257,7 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
                         base=result.base,
                         original_base=result.original_base,
                         vocab=probe.vocab, language=probe.language,
-                        direction=probe.direction,
+                        direction=probe.direction, mode=result.mode,
                         previous_context=result.previous_context,
                         _iri_cache=probe._iri_cache,
                         _shared=True)
@@ -252,12 +272,81 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
         if not isinstance(context, dict):
             raise JsonLdError("invalid local context", repr(context))
 
+        # Inline-dict memo: web corpora repeat the SAME inline @context
+        # across millions of pages (fixture block C's language-map context,
+        # schema.org snippets). When the active context is pristine, key by
+        # the canonical JSON of the dict and reuse the processed result —
+        # the sentinel probe detects base-dependence exactly like the
+        # remote-context memo above.
+        pristine_inline = (not result.terms and result.vocab is None
+                           and result.language is None
+                           and result.direction is None
+                           and not override_protected and not remote_contexts
+                           # a sentinel base marks probe processing itself:
+                           # never re-enter the memo from inside a probe
+                           and active.original_base != _BASE_SENTINEL)
+        if pristine_inline:
+            try:
+                ser = _json.dumps(context, sort_keys=True)
+            except (TypeError, ValueError):
+                ser = None
+            if ser is not None:
+                key = (id(ctx_cache), "\x00inline", ser, propagate,
+                       validate_scoped, result.mode)
+                memo = _REMOTE_MEMO.get(key)
+                if memo is not None and memo[2] is not ctx_cache:
+                    memo = None
+                if memo is None and len(_REMOTE_MEMO) >= 256:
+                    _REMOTE_MEMO.clear()
+                if memo is None:
+                    probe = process_context(
+                        Context(base=_BASE_SENTINEL,
+                                original_base=_BASE_SENTINEL,
+                                mode=result.mode),
+                        context, _BASE_SENTINEL, ctx_cache,
+                        remote_contexts, propagate=propagate,
+                        validate_scoped=validate_scoped)
+                    # scoped-context terms bake base_url into the term
+                    # definition -> never share those; relative @base /
+                    # @vocab show up as sentinel mentions
+                    shareable = (not _mentions_sentinel(probe)
+                                 and all(td.context is UNSET
+                                         for td in probe.terms.values())
+                                 and not (isinstance(probe.base, str)
+                                          and _BASE_SENTINEL in probe.base
+                                          and probe.base != _BASE_SENTINEL))
+                    memo = (probe, shareable, ctx_cache)
+                    _REMOTE_MEMO[key] = memo
+                probe, shareable, _ = memo
+                if shareable:
+                    result = Context(
+                        terms=probe.terms,
+                        # untouched sentinel base = ctx has no @base ->
+                        # keep the document base; else take the absolute
+                        # @base (incl. None for @base: null)
+                        base=(result.base
+                              if probe.base == _BASE_SENTINEL
+                              else probe.base),
+                        original_base=result.original_base,
+                        vocab=probe.vocab, language=probe.language,
+                        direction=probe.direction, mode=result.mode,
+                        previous_context=result.previous_context,
+                        _iri_cache=probe._iri_cache,
+                        _shared=True)
+                    continue
+
         if "@version" in context:
+            if result.mode == "json-ld-1.0":
+                raise JsonLdError("processing mode conflict",
+                                  "@version in json-ld-1.0 mode")
             if context["@version"] != 1.1:
                 raise JsonLdError("invalid @version value",
                                   repr(context["@version"]))
 
         if "@import" in context:
+            if result.mode == "json-ld-1.0":
+                raise JsonLdError("invalid context entry",
+                                  "@import requires json-ld-1.1")
             imp = context["@import"]
             if not isinstance(imp, str):
                 raise JsonLdError("invalid @import value", repr(imp))
@@ -312,6 +401,9 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
                 raise JsonLdError("invalid default language", repr(value))
 
         if "@direction" in context:
+            if result.mode == "json-ld-1.0":
+                raise JsonLdError("invalid context entry",
+                                  "@direction requires json-ld-1.1")
             value = context["@direction"]
             if value is None:
                 result.direction = None
@@ -411,6 +503,10 @@ def create_term_definition(active: Context, local_ctx: dict, term: str,
     allowed_keys = {"@id", "@reverse", "@type", "@language", "@container",
                     "@context", "@prefix", "@propagate", "@protected",
                     "@nest", "@index", "@direction"}
+    if active.mode == "json-ld-1.0":
+        # 1.1-only term-definition keys are rejected in 1.0 mode
+        allowed_keys = {"@id", "@reverse", "@type", "@language",
+                        "@container"}
     if set(value) - allowed_keys:
         raise JsonLdError("invalid term definition",
                           f"{term}: {sorted(set(value) - allowed_keys)}")
@@ -426,6 +522,10 @@ def create_term_definition(active: Context, local_ctx: dict, term: str,
                                    local_ctx=local_ctx, defined=defined,
                                    ctx_cache=ctx_cache)
         if expanded_type in ("@json", "@none", "@id", "@vocab"):
+            if (expanded_type in ("@json", "@none")
+                    and active.mode == "json-ld-1.0"):
+                raise JsonLdError("invalid type mapping",
+                                  f"{term}: {type_} requires json-ld-1.1")
             td.type_mapping = expanded_type
         elif expanded_type is not None and (
                 iri_mod.is_absolute_iri(expanded_type)

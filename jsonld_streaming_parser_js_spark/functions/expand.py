@@ -69,11 +69,16 @@ def expand(active_ctx: Context, active_prop: str | None, element: Any,
             expanded = expand(active_ctx, active_prop, item, base_url,
                               ctx_cache, from_map)
             # JSON-LD 1.1 expansion step 5.2.1: under a @list container a
-            # nested array becomes a nested list object (the 1.0 "list of
-            # lists" error no longer applies)
+            # nested array becomes a nested list object; in 1.0 mode the
+            # classic "list of lists" error still applies
             if (td is not None and "@list" in td.container
-                    and isinstance(expanded, list)):
-                expanded = {"@list": expanded}
+                    and (isinstance(expanded, list)
+                         or (isinstance(expanded, dict)
+                             and "@list" in expanded))):
+                if active_ctx.mode == "json-ld-1.0":
+                    raise JsonLdError("list of lists")
+                if isinstance(expanded, list):
+                    expanded = {"@list": expanded}
             if isinstance(expanded, list):
                 result.extend(e for e in expanded if e is not None)
             elif expanded is not None:

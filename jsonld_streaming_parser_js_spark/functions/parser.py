@@ -35,6 +35,13 @@ class ParserOptions:
     context: Any = None                 # root context (object/IRI/array)
     rdf_direction: str | None = None    # None|'i18n-datatype'|'compound-literal'
     produce_generalized_rdf: bool = False
+    # named graph to emit otherwise-default-graph quads into (the
+    # reference's defaultGraph option, lib/JsonLdParser.ts:686-688);
+    # an N-Triples term ('<iri>' or '_:label'), or None for the default
+    default_graph: str | None = None
+    # 'json-ld-1.1' | 'json-ld-1.0' (reference: lib/JsonLdParser.ts:652) —
+    # 1.0 mode rejects 1.1-only features with the spec's coded errors
+    processing_mode: str = "json-ld-1.1"
     ctx_cache: dict = field(default_factory=dict)
     # strictValues analog lives at the pipeline layer
     # (plans/pipeline.py assert_no_errors): a distributed job fails fast on
@@ -42,7 +49,7 @@ class ParserOptions:
 
 
 def expand_document(doc: Any, options: ParserOptions) -> Any:
-    ctx = initial_context(options.base_iri)
+    ctx = initial_context(options.base_iri, options.processing_mode)
     if options.context is not None:
         ctx = process_context(ctx, options.context, options.base_iri,
                               options.ctx_cache)
@@ -62,15 +69,21 @@ def jsonld_to_quads(doc: Any, options: ParserOptions | None = None
     node_map: dict = {}
     issuer = BlankNodeIssuer(rdf_direction=options.rdf_direction)
     generate_node_map(expanded, node_map, issuer)
-    return emit_quads(node_map, rdf_direction=options.rdf_direction,
-                      produce_generalized_rdf=options.produce_generalized_rdf,
-                      doc_issuer=issuer)
+    quads = emit_quads(node_map, rdf_direction=options.rdf_direction,
+                       produce_generalized_rdf=options.produce_generalized_rdf,
+                       doc_issuer=issuer)
+    if options.default_graph:
+        dg = options.default_graph
+        quads = [(s, p, o, dg if g == "" else g) for s, p, o, g in quads]
+    return quads
 
 
 def parse_block(block_text: str, url: str, blk: int,
                 ctx_cache: dict | None = None,
                 rdf_direction: str | None = None,
-                context: Any = None) -> tuple[list[Quad], str | None]:
+                context: Any = None,
+                default_graph: str | None = None
+                ) -> tuple[list[Quad], str | None]:
     """One extracted JSON-LD block -> (skolemized quads, error_code).
 
     Errors never abort the job: bad blocks yield ``([], code)`` — the Spark
@@ -85,7 +98,8 @@ def parse_block(block_text: str, url: str, blk: int,
     try:
         options = ParserOptions(base_iri=url, ctx_cache=ctx_cache or {},
                                 rdf_direction=rdf_direction,
-                                context=context)
+                                context=context,
+                                default_graph=default_graph)
         quads = jsonld_to_quads(doc, options)
     except JsonLdError as exc:
         return [], exc.code

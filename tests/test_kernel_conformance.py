@@ -15,10 +15,11 @@ RDF_TYPE = "<" + T.RDF_TYPE + ">"
 
 
 def quads(doc, base=None, ctx_cache=None, rdf_direction=None,
-          generalized=False):
+          generalized=False, default_graph=None):
     opts = ParserOptions(base_iri=base, ctx_cache=ctx_cache or {},
                          rdf_direction=rdf_direction,
-                         produce_generalized_rdf=generalized)
+                         produce_generalized_rdf=generalized,
+                         default_graph=default_graph)
     return set(jsonld_to_quads(doc, opts))
 
 
@@ -781,3 +782,87 @@ def test_annotation_with_id_errors():
                                "http://ex.org/q": "v"}}}
     with pytest.raises(JsonLdError):
         quads(doc)
+
+
+def test_default_graph_option_renames_default():
+    doc = {"@id": "http://e/s", "http://e/p": "v",
+           "@graph": [{"@id": "http://e/n", "http://e/q": "w"}]}
+    got = quads(doc, default_graph="<http://e/DG>")
+    assert ("<http://e/s>", "<http://e/p>", '"v"', "<http://e/DG>") in got
+    # quads already in a named graph keep their graph
+    assert ("<http://e/n>", "<http://e/q>", '"w"', "<http://e/s>") in got
+
+
+# --- processingMode: json-ld-1.0 (reference: lib/JsonLdParser.ts:652) --------
+
+def quads10(doc, **kw):
+    opts = ParserOptions(processing_mode="json-ld-1.0",
+                         ctx_cache=kw.pop("ctx_cache", {}), **kw)
+    return set(jsonld_to_quads(doc, opts))
+
+
+MODE10_ERRORS = [
+    ("processing mode conflict",
+     {"@context": {"@version": 1.1, "p": "http://e/p"}, "p": "v"}),
+    ("invalid context entry",
+     {"@context": {"@import": "https://c/i"}, "http://e/p": "v"}),
+    ("invalid context entry",
+     {"@context": {"@propagate": True, "p": "http://e/p"}, "p": "v"}),
+    ("invalid context entry",
+     {"@context": {"@direction": "rtl"}, "http://e/p": "v"}),
+    ("invalid term definition",  # scoped contexts are 1.1-only
+     {"@context": {"p": {"@id": "http://e/p",
+                         "@context": {"x": "http://e/x"}}},
+      "@id": "http://e/s", "p": {"x": "v"}}),
+    ("invalid term definition",  # @prefix is 1.1-only
+     {"@context": {"t": {"@id": "http://e/t#", "@prefix": True}},
+      "@id": "http://e/s", "t:x": "v"}),
+    ("invalid term definition",  # @protected is 1.1-only
+     {"@context": {"t": {"@id": "http://e/t", "@protected": True}},
+      "@id": "http://e/s", "t": "v"}),
+    ("invalid term definition",  # @nest is 1.1-only
+     {"@context": {"t": {"@id": "http://e/t", "@nest": "@nest"}},
+      "@id": "http://e/s", "t": "v"}),
+    ("invalid type mapping",  # @type: @json is 1.1-only
+     {"@context": {"t": {"@id": "http://e/t", "@type": "@json"}},
+      "@id": "http://e/s", "t": {"a": 1}}),
+    ("invalid type mapping",  # @type: @none is 1.1-only
+     {"@context": {"t": {"@id": "http://e/t", "@type": "@none"}},
+      "@id": "http://e/s", "t": "v"}),
+    ("list of lists",
+     {"@context": {"p": {"@id": "http://e/p", "@container": "@list"}},
+      "@id": "http://e/s", "p": [["a"]]}),
+]
+
+
+@pytest.mark.parametrize("expected_code,doc", MODE10_ERRORS,
+                         ids=[f"{c[0].replace(' ', '_')}_{i}"
+                              for i, c in enumerate(MODE10_ERRORS)])
+def test_json_ld_10_mode_rejects_11_features(expected_code, doc):
+    with pytest.raises(JsonLdError) as exc:
+        quads10(doc)
+    assert exc.value.code == expected_code, (
+        f"expected {expected_code!r}, got {exc.value.code!r}")
+
+
+def test_json_ld_10_mode_still_parses_10_documents():
+    doc = {"@context": {"p": "http://e/p",
+                        "l": {"@id": "http://e/l", "@container": "@list"},
+                        "t": {"@id": "http://e/t", "@type": "@id"}},
+           "@id": "http://e/s", "p": "v", "l": ["a"],
+           "t": "http://e/o"}
+    got = quads10(doc)
+    assert ("<http://e/s>", "<http://e/p>", '"v"', "") in got
+    assert ("<http://e/s>", "<http://e/t>", "<http://e/o>", "") in got
+
+
+def test_mode_does_not_leak_through_context_memo():
+    """A 1.0-mode parse of an inline context must not poison (or be
+    poisoned by) the worker-global memo shared with 1.1-mode parses."""
+    ctx = {"p": {"@id": "http://e/p", "@context": {"x": "http://e/x"}}}
+    doc = {"@context": ctx, "@id": "http://e/s", "p": {"x": "v"}}
+    ok = quads(doc)  # 1.1: fine, scoped context applies
+    assert ("<http://e/s>", "<http://e/p>", "_:b0", "") in ok or len(ok) == 2
+    with pytest.raises(JsonLdError):
+        quads10(doc)
+    assert quads(doc) == ok  # 1.1 unaffected after the 1.0 failure
