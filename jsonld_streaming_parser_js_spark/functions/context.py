@@ -776,3 +776,20 @@ def _expand_iri_full(active: Context, value: str, vocab: bool,
     if document_relative and active.base:
         return iri_mod.resolve(active.base, value)
     return value
+
+
+def validate_context_cache(ctx_cache: dict) -> None:
+    """Driver-side pre-validation of the broadcast context cache.
+
+    Analog of the reference's parse-time context validation + ``context``
+    event (``/root/reference/lib/ParsingContext.ts:107-110``): a malformed
+    cached context should fail ONCE at the driver when the cache is built,
+    not once per block on a thousand executors. Raises the same coded
+    JsonLdError the per-block path would; as a bonus the probe warms the
+    worker-side _REMOTE_MEMO for the driver process.
+    """
+    for iri, doc in ctx_cache.items():
+        if not isinstance(doc, dict) or "@context" not in doc:
+            raise JsonLdError("invalid remote context", iri)
+        process_context(initial_context(iri), doc["@context"], iri,
+                        ctx_cache, remote_contexts=frozenset({iri}))

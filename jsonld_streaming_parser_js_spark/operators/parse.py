@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as ST
 
+from ..functions.context import validate_context_cache
 from ..functions.parser import parse_block
 
 QUAD_SCHEMA = ST.StructType([
@@ -48,6 +49,7 @@ def parse_blocks(blocks: DataFrame, ctx_cache: dict | None = None,
     error). Quad rows have error NULL; failed blocks yield exactly one row
     with error set and NULL terms."""
     spark = blocks.sparkSession
+    validate_context_cache(ctx_cache or {})  # fail ONCE at the driver
     bc = spark.sparkContext.broadcast(ctx_cache or {})
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -104,6 +106,7 @@ def extract_and_parse(pages: DataFrame, ctx_cache: dict | None = None,
     """
     from .extract import extract_blocks_from_html
     spark = pages.sparkSession
+    validate_context_cache(ctx_cache or {})  # fail ONCE at the driver
     bc = spark.sparkContext.broadcast(ctx_cache or {})
 
     import pyarrow as pa

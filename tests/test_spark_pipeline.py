@@ -241,3 +241,17 @@ def test_quads_files_clustered_by_pred(spark, pages):
         assert preds == sorted(preds), "pred column not clustered in file"
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_malformed_cached_context_fails_at_driver(spark, pages):
+    """A bad broadcast-cache entry must fail ONCE at plan-build time on the
+    driver (context pre-validation), not per-block inside executors."""
+    import pytest
+    from jsonld_streaming_parser_js_spark.functions.context import (
+        JsonLdError)
+    from jsonld_streaming_parser_js_spark.operators.parse import (
+        extract_and_parse)
+    bad_cache = {"https://kg.example.org/ctx/v1": "not a context document"}
+    with pytest.raises(JsonLdError) as exc:
+        extract_and_parse(pages, bad_cache)  # plan build, no action run
+    assert exc.value.code == "invalid remote context"
