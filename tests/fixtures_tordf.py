@@ -1284,4 +1284,104 @@ _:n <http://e/q> "v" _:g .
     }, '''
 << <http://e/s2> <http://e/p2> "v2" >> <http://e/p> "v" .
 '''),
+
+    # --- final batch: graphs, coercions, node-map merging ---------------------
+    ("graph_in_graph_nesting", {}, {
+        # inner @graph contents attributed to the INNER graph name; the
+        # empty g2 node contributes no quads to g1
+        "@id": "http://e/g1",
+        "@graph": {"@id": "http://e/g2",
+                   "@graph": {"@id": "http://e/s", "http://e/p": "v"}},
+    }, '''
+<http://e/s> <http://e/p> "v" <http://e/g2> .
+'''),
+
+    ("same_subject_merged_across_array", {}, [
+        {"@id": "http://e/s", "http://e/p": "1"},
+        {"@id": "http://e/s", "http://e/q": "2"},
+    ], '''
+<http://e/s> <http://e/p> "1" .
+<http://e/s> <http://e/q> "2" .
+'''),
+
+    ("vocab_coercion_on_string", {}, {
+        "@context": {"@vocab": "http://v/",
+                     "p": {"@id": "http://e/p", "@type": "@vocab"}},
+        "@id": "http://e/s", "p": "Bob",
+    }, '''
+<http://e/s> <http://e/p> <http://v/Bob> .
+'''),
+
+    ("id_coercion_resolves_relative", {"base_iri": "http://b/dir/doc"}, {
+        "@context": {"p": {"@id": "http://e/p", "@type": "@id"}},
+        "@id": "http://e/s", "p": "rel",
+    }, '''
+<http://e/s> <http://e/p> <http://b/dir/rel> .
+'''),
+
+    ("datatype_coercion_keeps_json_lexical", {}, {
+        "@context": {"p": {"@id": "http://e/p", "@type": "http://e/dt"}},
+        "@id": "http://e/s", "p": 5,
+    }, '''
+<http://e/s> <http://e/p> "5"^^<http://e/dt> .
+'''),
+
+    ("default_language_skips_non_strings", {}, {
+        "@context": {"@language": "fr"},
+        "@id": "http://e/s", "http://e/q": 5,
+    }, '''
+<http://e/s> <http://e/q> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .
+'''),
+
+    ("free_floating_bnode_with_props_kept", {}, {
+        "@graph": [{"http://e/p": "v"}],
+    }, '''
+_:b0 <http://e/p> "v" .
+'''),
+
+    ("free_floating_id_only_node_dropped", {}, {
+        "@graph": [{"@id": "http://e/lonely"},
+                   {"@id": "http://e/s", "http://e/p": "x"}],
+    }, '''
+<http://e/s> <http://e/p> "x" .
+'''),
+
+    ("list_of_language_tagged_values", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@list": [{"@value": "x", "@language": "de"}]},
+    }, '''
+<http://e/s> <http://e/p> _:l .
+_:l <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "x"@de .
+_:l <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
+    ("set_inside_list_flattens", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@list": [{"@set": ["a", "b"]}]},
+    }, '''
+<http://e/s> <http://e/p> _:l0 .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "a" .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> _:l1 .
+_:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "b" .
+_:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
+    ("default_graph_option", {"default_graph": "<http://e/DG>"}, {
+        "@id": "http://e/s", "http://e/p": "v",
+        "@graph": [{"@id": "http://e/n", "http://e/q": "w"}],
+    }, '''
+<http://e/s> <http://e/p> "v" <http://e/DG> .
+<http://e/n> <http://e/q> "w" <http://e/s> .
+'''),
+
+    ("type_map_array_values", {}, {
+        "@context": {"p": {"@id": "http://e/p", "@container": "@type"}},
+        "@id": "http://e/s",
+        "p": {"http://e/T": [{"@id": "http://e/a"}, {"@id": "http://e/b"}]},
+    }, '''
+<http://e/s> <http://e/p> <http://e/a> .
+<http://e/s> <http://e/p> <http://e/b> .
+<http://e/a> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T> .
+<http://e/b> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T> .
+'''),
 ]
