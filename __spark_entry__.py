@@ -269,6 +269,26 @@ def _q_text_quality_filter(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_mm_media_stats(spark, sf_dir):
+    """Multimodal metadata aggregation: binary column never decoded, pure
+    JVM byte-length stats (the scan prunes to kind+payload)."""
+    from jsonld_streaming_parser_js_spark.operators import multimodal as mm
+    return mm.media_stats(mm.media_from_documents(spark, sf_dir))
+
+
+def _q_mm_features(spark, sf_dir):
+    """Arrow-batched decode-stub features over the binary column; the
+    sha256-derived first feature lane is value-checked against DuckDB
+    (CAST(round(f0*255)) recovers the exact hash byte despite float32)."""
+    from jsonld_streaming_parser_js_spark.operators import multimodal as mm
+    feats = mm.extract_features(mm.media_from_documents(spark, sf_dir))
+    return (feats.select(
+        "media_id", "kind", "n_bytes",
+        F.round(F.element_at("feature", 1) * 255)
+        .cast("int").alias("f0_byte"))
+        .orderBy("media_id"))
+
+
 def _q_tpch_q1(spark, sf_dir):
     li = _tbl(spark, sf_dir, "lineitem")
     return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
@@ -354,6 +374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": _q_text_quality_filter,
         "sim_topk_cosine": _q_sim_topk_cosine,
         "sim_lsh_topk": _q_sim_lsh_topk,
+        "mm_media_stats": _q_mm_media_stats,
+        "mm_features": _q_mm_features,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "window_top_orders": _q_window_top_orders,
@@ -758,6 +780,21 @@ r AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
 FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
+    mm_kind = ("CASE WHEN doc_id % 3 = 0 THEN 'image'"
+               " WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END")
+    oracles["mm_media_stats"] = f"""
+SELECT {mm_kind} AS kind,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       round(avg(octet_length(encode(text))), 2) AS avg_bytes
+FROM documents GROUP BY 1 ORDER BY kind"""
+
+    oracles["mm_features"] = f"""
+SELECT doc_id AS media_id, {mm_kind} AS kind,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       ('0x' || substr(sha256(text), 1, 2))::INT AS f0_byte
+FROM documents ORDER BY media_id"""
 
     oracles["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,

@@ -47,6 +47,23 @@ def synth_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def media_from_documents(spark, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from ``documents`` with pure SQL
+    expressions (payload = UTF-8 bytes of text) so the DuckDB oracle can
+    reproduce byte lengths AND the sha256-derived stub features exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = (F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio")
+            .otherwise("video"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.concat(kind, F.lit("/synthetic")).alias("mime"),
+        F.create_map(F.lit("n_chars"),
+                     F.col("n_chars").cast("string")).alias("meta"))
+
+
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     """Deterministic fake decode: payload bytes -> fixed-shape float array.
 
