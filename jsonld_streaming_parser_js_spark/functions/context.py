@@ -299,17 +299,25 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
                 if memo is None and len(_REMOTE_MEMO) >= 256:
                     _REMOTE_MEMO.clear()
                 if memo is None:
-                    probe = process_context(
-                        Context(base=_BASE_SENTINEL,
-                                original_base=_BASE_SENTINEL,
-                                mode=result.mode),
-                        context, _BASE_SENTINEL, ctx_cache,
-                        remote_contexts, propagate=propagate,
-                        validate_scoped=validate_scoped)
+                    try:
+                        probe = process_context(
+                            Context(base=_BASE_SENTINEL,
+                                    original_base=_BASE_SENTINEL,
+                                    mode=result.mode),
+                            context, _BASE_SENTINEL, ctx_cache,
+                            remote_contexts, propagate=propagate,
+                            validate_scoped=validate_scoped)
+                    except JsonLdError:
+                        # e.g. a relative @import / scoped-context IRI that
+                        # only resolves against the REAL document base: the
+                        # probe's sentinel base breaks it. Not shareable;
+                        # real processing below decides validity.
+                        probe = None
                     # scoped-context terms bake base_url into the term
                     # definition -> never share those; relative @base /
                     # @vocab show up as sentinel mentions
-                    shareable = (not _mentions_sentinel(probe)
+                    shareable = (probe is not None
+                                 and not _mentions_sentinel(probe)
                                  and all(td.context is UNSET
                                          for td in probe.terms.values())
                                  and not (isinstance(probe.base, str)
@@ -420,6 +428,9 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
             result._iri_cache = {}
             result._shared = False
 
+        if "@protected" in context and result.mode == "json-ld-1.0":
+            raise JsonLdError("invalid context entry",
+                              "@protected requires json-ld-1.1")
         protected_default = context.get("@protected", False)
         defined: dict[str, Any] = {}
         skip = {"@base", "@direction", "@import", "@language", "@propagate",
@@ -624,6 +635,12 @@ def create_term_definition(active: Context, local_ctx: dict, term: str,
         td.iri = active.vocab + term
 
     if "@container" in value:
+        if active.mode == "json-ld-1.0":
+            # CTD step 19 (1.0): exactly one of @list/@set/@index/@language
+            c10 = value["@container"]
+            if c10 not in ("@list", "@set", "@index", "@language"):
+                raise JsonLdError("invalid container mapping",
+                                  f"{term}: {c10!r} requires json-ld-1.1")
         container = frozenset(c for c in as_list(value["@container"])
                               if c is not None)
         if not container or not all(isinstance(c, str) for c in container):
@@ -778,6 +795,11 @@ def _expand_iri_full(active: Context, value: str, vocab: bool,
     return value
 
 
+# caches already validated this process: id -> strong ref (the ref keeps
+# the id from being reused by a different dict while the entry lives)
+_VALIDATED_CACHES: dict[int, dict] = {}
+
+
 def validate_context_cache(ctx_cache: dict) -> None:
     """Driver-side pre-validation of the broadcast context cache.
 
@@ -785,11 +807,16 @@ def validate_context_cache(ctx_cache: dict) -> None:
     event (``/root/reference/lib/ParsingContext.ts:107-110``): a malformed
     cached context should fail ONCE at the driver when the cache is built,
     not once per block on a thousand executors. Raises the same coded
-    JsonLdError the per-block path would; as a bonus the probe warms the
-    worker-side _REMOTE_MEMO for the driver process.
+    JsonLdError the per-block path would. Validated caches are remembered
+    by identity, so repeated plan builds over the same cache are free.
     """
+    if _VALIDATED_CACHES.get(id(ctx_cache)) is ctx_cache:
+        return
     for iri, doc in ctx_cache.items():
         if not isinstance(doc, dict) or "@context" not in doc:
             raise JsonLdError("invalid remote context", iri)
         process_context(initial_context(iri), doc["@context"], iri,
                         ctx_cache, remote_contexts=frozenset({iri}))
+    if len(_VALIDATED_CACHES) >= 64:
+        _VALIDATED_CACHES.clear()
+    _VALIDATED_CACHES[id(ctx_cache)] = ctx_cache

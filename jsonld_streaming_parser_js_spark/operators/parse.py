@@ -43,11 +43,41 @@ QUAD_SCHEMA = ST.StructType([
 ])
 
 
+def rows_from_results(results) -> pd.DataFrame:
+    """(url, blk, quads, error) tuples -> one QUAD_SCHEMA pandas frame.
+
+    The single emit protocol shared by every mapInPandas parse runner
+    (parse_blocks here, operators/responses.parse_responses): quad rows
+    carry error NULL; a failed block yields exactly one row with the error
+    set and NULL terms."""
+    out: dict[str, list] = {k: [] for k in
+                            ("url", "blk", "subj", "pred", "obj",
+                             "graph", "error")}
+    for url, blk, quads, err in results:
+        if err is not None:
+            out["url"].append(url)
+            out["blk"].append(blk)
+            out["subj"].append(None)
+            out["pred"].append(None)
+            out["obj"].append(None)
+            out["graph"].append(None)
+            out["error"].append(err)
+            continue
+        for s, p, o, g in quads:
+            out["url"].append(url)
+            out["blk"].append(blk)
+            out["subj"].append(s)
+            out["pred"].append(p)
+            out["obj"].append(o)
+            out["graph"].append(g)
+            out["error"].append(None)
+    return pd.DataFrame(out)
+
+
 def parse_blocks(blocks: DataFrame, ctx_cache: dict | None = None,
                  rdf_direction: str | None = None) -> DataFrame:
     """blocks(url, blk, block) -> raw rows(url, blk, subj, pred, obj, graph,
-    error). Quad rows have error NULL; failed blocks yield exactly one row
-    with error set and NULL terms."""
+    error) per the rows_from_results protocol."""
     spark = blocks.sparkSession
     validate_context_cache(ctx_cache or {})  # fail ONCE at the driver
     bc = spark.sparkContext.broadcast(ctx_cache or {})
@@ -55,32 +85,12 @@ def parse_blocks(blocks: DataFrame, ctx_cache: dict | None = None,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache = bc.value
         for batch in batches:
-            out: dict[str, list] = {k: [] for k in
-                                    ("url", "blk", "subj", "pred", "obj",
-                                     "graph", "error")}
-            for url, blk, block in zip(batch["url"].tolist(),
-                                       batch["blk"].tolist(),
-                                       batch["block"].tolist()):
-                quads, err = parse_block(block, url, int(blk), cache,
-                                         rdf_direction)
-                if err is not None:
-                    out["url"].append(url)
-                    out["blk"].append(blk)
-                    out["subj"].append(None)
-                    out["pred"].append(None)
-                    out["obj"].append(None)
-                    out["graph"].append(None)
-                    out["error"].append(err)
-                    continue
-                for s, p, o, g in quads:
-                    out["url"].append(url)
-                    out["blk"].append(blk)
-                    out["subj"].append(s)
-                    out["pred"].append(p)
-                    out["obj"].append(o)
-                    out["graph"].append(g)
-                    out["error"].append(None)
-            yield pd.DataFrame(out)
+            yield rows_from_results(
+                (url, blk, *parse_block(block, url, int(blk), cache,
+                                        rdf_direction))
+                for url, blk, block in zip(batch["url"].tolist(),
+                                           batch["blk"].tolist(),
+                                           batch["block"].tolist()))
 
     return blocks.mapInPandas(run, QUAD_SCHEMA)
 

@@ -27,16 +27,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.context import validate_context_cache
 from ..functions.parser import parse_block
-from .parse import QUAD_SCHEMA
+from .parse import QUAD_SCHEMA, rows_from_results
 
 JSONLD_CONTEXT_REL = "http://www.w3.org/ns/json-ld#context"
 DEFAULT_WELL_KNOWN = ("application/activity+json",)
 
 # one Link element: <uri> followed by params up to the next comma; matches
-# only when the rel param is the JSON-LD context relation (the reference
-# uses the http-link-header parser; a comma cannot appear inside this rel)
-_CTX_LINK_RE = (r'<([^>]*)>[^,]*?rel="' + JSONLD_CONTEXT_REL + r'"')
+# when the JSON-LD context relation appears in the (possibly
+# space-separated, RFC 8288) quoted rel list. Dots escaped — the IRI is a
+# literal, not a pattern.
+_CTX_REL_ESCAPED = JSONLD_CONTEXT_REL.replace(".", r"\\.")
+_CTX_LINK_RE = (r'<([^>]*)>[^,]*?rel="(?:[^"]* )?'
+                + _CTX_REL_ESCAPED + r'( [^"]*)?"')
 
 
 def gate_responses(responses: DataFrame,
@@ -51,10 +55,11 @@ def gate_responses(responses: DataFrame,
         "flatten(transform("
         "coalesce(link_headers, CAST(array() AS array<string>)),"
         f" h -> regexp_extract_all(h, '{_CTX_LINK_RE}', 1)))")
-    is_ld = (F.col("media_type") == "application/ld+json") | \
-        F.col("media_type").isin(wk)
-    is_json = (F.col("media_type") == "application/json") | \
-        F.col("media_type").endswith("+json")
+    # NULL media_type (missing Content-Type) must take the unsupported-type
+    # branch, not slip through three-valued logic as linked-JSON
+    mt = F.coalesce(F.col("media_type"), F.lit(""))
+    is_ld = (mt == "application/ld+json") | mt.isin(wk)
+    is_json = (mt == "application/json") | mt.endswith("+json")
     n_ctx = F.size(ctx_links)
     error = (F.when(is_ld, F.lit(None).cast("string"))
              .when(~is_json, F.lit("loading document failed"))
@@ -81,37 +86,22 @@ def parse_responses(responses: DataFrame, ctx_cache: dict | None = None,
     gated = gate_responses(responses, well_known_media_types,
                            ignore_missing_context_link_header)
     spark = responses.sparkSession
+    validate_context_cache(ctx_cache or {})  # fail ONCE at the driver
     bc = spark.sparkContext.broadcast(ctx_cache or {})
 
+    def result_of(url, blk, block, ctx_iri, gate_err):
+        if gate_err is not None:
+            return url, blk, [], gate_err
+        return (url, blk,
+                *parse_block(block, url, int(blk), bc.value,
+                             rdf_direction, context=ctx_iri))
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache = bc.value
         for batch in batches:
-            out: dict[str, list] = {k: [] for k in
-                                    ("url", "blk", "subj", "pred", "obj",
-                                     "graph", "error")}
-
-            def emit(url, blk, s, p, o, g, e):
-                out["url"].append(url)
-                out["blk"].append(blk)
-                out["subj"].append(s)
-                out["pred"].append(p)
-                out["obj"].append(o)
-                out["graph"].append(g)
-                out["error"].append(e)
-
-            for url, blk, block, ctx_iri, err in zip(
+            yield rows_from_results(
+                result_of(url, blk, block, ctx_iri, err)
+                for url, blk, block, ctx_iri, err in zip(
                     batch["url"], batch["blk"], batch["block"],
-                    batch["ctx_iri"], batch["error"]):
-                if err is not None:
-                    emit(url, blk, None, None, None, None, err)
-                    continue
-                quads, perr = parse_block(block, url, int(blk), cache,
-                                          rdf_direction, context=ctx_iri)
-                if perr is not None:
-                    emit(url, blk, None, None, None, None, perr)
-                    continue
-                for s, p, o, g in quads:
-                    emit(url, blk, s, p, o, g, None)
-            yield pd.DataFrame(out)
+                    batch["ctx_iri"], batch["error"]))
 
     return gated.mapInPandas(run, QUAD_SCHEMA)

@@ -98,13 +98,19 @@ def hyperplane_bucket_sql(planes: list[list[float]],
     so the two engines agree bit-for-bit — the fold fixes the summation
     order, unlike a NumPy matmul."""
     terms = []
+    dim = len(planes[0])
     for j, plane in enumerate(planes):
         arr = ", ".join(_f64_lit(v) for v in plane)
         dot = (f"aggregate(zip_with({col}, array({arr}),"
                f" (x, y) -> CAST(x AS DOUBLE) * y),"
                f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
-    return "CAST(" + " + ".join(terms) + " AS INT)"
+    # a dim mismatch would NULL-pad zip_with, send every vector to bucket 0,
+    # and silently degenerate the candidate join to all-pairs — fail loudly
+    return (f"IF(size({col}) = {dim}, "
+            "CAST(" + " + ".join(terms) + " AS INT), "
+            f"CAST(raise_error('embedding dim != {dim}; pass dim= to the "
+            f"LSH operator') AS INT))")
 
 
 def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,

@@ -50,13 +50,28 @@ def bucket_lineage(parsed: DataFrame,
     ))
 
 
+def _read_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Lineage table, or None ONLY when it does not exist yet (first run).
+
+    Any other failure (corrupt files, schema drift such as a lineage dir
+    written without a snapshot_id column) must raise: treating it as
+    'first run' would silently disable the resume/snapshot guards."""
+    try:
+        return spark.read.parquet(f"{out_dir}/lineage")
+    except Exception as exc:  # noqa: BLE001 — classify, re-raise the rest
+        msg = str(exc)
+        if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg):
+            return None
+        raise
+
+
 def completed_buckets(spark: SparkSession, out_dir: str) -> DataFrame | None:
     """Buckets whose lineage row exists (i.e. committed)."""
-    try:
-        return (spark.read.parquet(f"{out_dir}/lineage")
-                .select("bucket").distinct())
-    except Exception:  # noqa: BLE001 — first run: no lineage yet
+    lineage = _read_lineage(spark, out_dir)
+    if lineage is None:
         return None
+    return lineage.select("bucket").distinct()
 
 
 def write_bucketed(parsed_with_bucket: DataFrame, out_dir: str,
@@ -98,11 +113,10 @@ def check_snapshot(spark: SparkSession, out_dir: str,
     first commit."""
     if not snapshot_id:
         return
-    try:
-        prior = (spark.read.parquet(f"{out_dir}/lineage")
-                 .select("snapshot_id").distinct().collect())
-    except Exception:  # noqa: BLE001 — first run: no lineage yet
+    lineage = _read_lineage(spark, out_dir)
+    if lineage is None:
         return
+    prior = lineage.select("snapshot_id").distinct().collect()
     prior_ids = {r["snapshot_id"] for r in prior} - {""}
     if prior_ids and prior_ids != {snapshot_id}:
         raise ValueError(

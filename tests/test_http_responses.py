@@ -139,3 +139,26 @@ def test_inline_context_used_for_jsonld_media_type(spark):
         _resp(spark, "application/ld+json", [], body=BODY_INLINE),
         CACHE).collect()
     assert [(r["pred"]) for r in parsed] == ["<http://ex.org/name>"]
+
+
+def test_null_media_type_is_unsupported(spark):
+    row = gate_responses(spark.createDataFrame(
+        [("https://x.org/doc", None, [CTX_LINK], BODY)],
+        "url string, media_type string, link_headers array<string>,"
+        " body string")).collect()[0]
+    assert row["error"] == "loading document failed"
+
+
+def test_rel_space_separated_list_matches(spark):
+    # RFC 8288: rel may be a space-separated list of relation types
+    link = f'<https://ctx.example.org/c1>; rel="describedby {CTX_REL}"'
+    row = _gate_row(spark, "application/json", [link])
+    assert row["error"] is None
+    assert row["ctx_iri"] == "https://ctx.example.org/c1"
+
+
+def test_rel_with_similar_iri_not_matched(spark):
+    # dots are literal: a rel of ...json-ldXcontext must NOT match
+    link = '<https://c/x>; rel="http://wwwXw3Xorg/ns/json-ld#context"'
+    row = _gate_row(spark, "application/json", [link])
+    assert row["error"] == "loading document failed"

@@ -832,6 +832,16 @@ MODE10_ERRORS = [
     ("list of lists",
      {"@context": {"p": {"@id": "http://e/p", "@container": "@list"}},
       "@id": "http://e/s", "p": [["a"]]}),
+    ("invalid context entry",  # top-level @protected is 1.1-only
+     {"@context": {"@protected": True, "t": "http://e/t"},
+      "@id": "http://e/s", "t": "v"}),
+    ("invalid container mapping",  # @graph container is 1.1-only
+     {"@context": {"g": {"@id": "http://e/g", "@container": "@graph"}},
+      "@id": "http://e/s", "g": {"http://e/q": "v"}}),
+    ("invalid container mapping",  # array containers are 1.1-only
+     {"@context": {"p": {"@id": "http://e/p",
+                         "@container": ["@set", "@index"]}},
+      "@id": "http://e/s", "p": {"i": "v"}}),
 ]
 
 
@@ -866,3 +876,16 @@ def test_mode_does_not_leak_through_context_memo():
     with pytest.raises(JsonLdError):
         quads10(doc)
     assert quads(doc) == ok  # 1.1 unaffected after the 1.0 failure
+
+
+def test_inline_context_relative_import_resolves_against_document_base():
+    """Regression: the inline-context memo probe must not break relative
+    @import / scoped-context IRIs that resolve against the real base."""
+    cache = {"http://d.org/dir/ctx.jsonld":
+             {"@context": {"a": "http://e/a"}}}
+    doc = {"@context": {"@import": "ctx.jsonld", "b": "http://e/b"},
+           "@id": "http://e/s", "a": "1", "b": "2"}
+    got = quads(doc, base="http://d.org/dir/doc", ctx_cache=cache)
+    assert ("<http://e/s>", "<http://e/a>", '"1"', "") in got
+    # and again (memo hit path must behave identically)
+    assert quads(doc, base="http://d.org/dir/doc", ctx_cache=cache) == got

@@ -255,3 +255,33 @@ def test_malformed_cached_context_fails_at_driver(spark, pages):
     with pytest.raises(JsonLdError) as exc:
         extract_and_parse(pages, bad_cache)  # plan build, no action run
     assert exc.value.code == "invalid remote context"
+
+
+def test_lsh_dim_mismatch_fails_loudly(spark):
+    """A wrong embedding width must raise, not silently send every vector
+    to bucket 0 (which would degenerate the candidate join to all-pairs)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from jsonld_streaming_parser_js_spark.operators.similarity import (
+        hyperplane_buckets)
+    emb = spark.createDataFrame(
+        [(0, [0.1] * 32), (1, [0.2] * 32)],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(Exception) as exc:
+        hyperplane_buckets(emb, n_planes=4, dim=64).collect()
+    assert "dim" in str(exc.value)
+
+
+def test_lineage_schema_drift_raises_not_silently_first_run(spark, tmp_path):
+    """Unreadable/incompatible lineage must raise, not disable the
+    snapshot-mixing guard by classifying as 'first run'."""
+    import pytest
+    from jsonld_streaming_parser_js_spark.plans import lineage as L
+    out = str(tmp_path / "out")
+    # a lineage dir written WITHOUT a snapshot_id column (schema drift)
+    spark.range(3).selectExpr("id AS bucket", "id AS n_quads") \
+        .write.parquet(f"{out}/lineage")
+    with pytest.raises(Exception):
+        L.check_snapshot(spark, out, "snap-2")
+    # and a genuinely absent dir is still a clean first run
+    assert L.check_snapshot(spark, str(tmp_path / "fresh"), "snap-2") is None
