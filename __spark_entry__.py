@@ -331,6 +331,49 @@ def _q_window_top_orders(spark, sf_dir):
             .orderBy("o_custkey", "rn"))
 
 
+def _q_events_sessionize(spark, sf_dir):
+    """Per-user sessionization (30-min inactivity gap): the batch twin of
+    the stateful-streaming session operator — lag + gap-flag + running sum
+    assigns session ids, then per-session aggregates."""
+    from pyspark.sql import Window
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ (no direct long cast); the tz interpretation of
+    # the intermediate cast cancels in the difference
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (ev.withColumn("new_sess", new_sess)
+            .withColumn("session_seq",
+                        F.sum("new_sess").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_start"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .orderBy("user_id", "session_seq"))
+
+
+def _q_dedup_embedding_lsh_recall(spark, sf_dir):
+    """Honest recall audit of the LSH scale path against its exact
+    all-pairs twin: one row (n_lsh, n_exact, recall). LSH is a candidate
+    filter — recall < 1 is the documented trade, now measured per run."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    # LSH output is verified by exact cosine, so it is a strict subset of
+    # the all-pairs result: recall = n_lsh / n_exact. One declarative plan,
+    # no driver-side actions.
+    lsh = (similarity.embedding_lsh_pairs(emb, threshold=0.4)
+           .agg(F.count("*").alias("n_lsh")))
+    exact = (similarity.embedding_near_pairs(emb, threshold=0.4)
+             .agg(F.count("*").alias("n_exact")))
+    return (lsh.crossJoin(exact)
+            .select("n_lsh", "n_exact",
+                    F.round(F.col("n_lsh")
+                            / F.greatest(F.col("n_exact"), F.lit(1)), 6)
+                    .alias("recall")))
+
+
 def _q_events_hourly(spark, sf_dir):
     ev = _tbl(spark, sf_dir, "events")
     return (ev.groupBy("event_type",
@@ -380,6 +423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": _q_tpch_q3,
         "window_top_orders": _q_window_top_orders,
         "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
+        "dedup_embedding_lsh_recall": _q_dedup_embedding_lsh_recall,
     }
 
 
@@ -971,5 +1016,49 @@ JOIN embeddings b ON b.vec_id = c.id_b
 WHERE round(({dot_ab}) / greatest(({norm.format(side='a')})
       * ({norm.format(side='b')}), 1e-12), 6) >= 0.4
 ORDER BY id_a, id_b"""
+
+    oracles["events_sessionize"] = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""
+
+    oracles["dedup_embedding_lsh_recall"] = f"""
+WITH cand AS (
+{lsh_tables}
+),
+lshv AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_lsh
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.id_a
+  JOIN embeddings b ON b.vec_id = c.id_b
+  WHERE round(({dot_ab}) / greatest(({norm.format(side='a')})
+        * ({norm.format(side='b')}), 1e-12), 6) >= 0.4
+),
+exactv AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_exact
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(({dot_ab}) / greatest(({norm.format(side='a')})
+        * ({norm.format(side='b')}), 1e-12), 6) >= 0.4
+)
+SELECT n_lsh, n_exact,
+       round(n_lsh / greatest(n_exact, 1), 6) AS recall
+FROM lshv, exactv"""
 
     return oracles
