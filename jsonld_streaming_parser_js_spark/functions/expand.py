@@ -419,7 +419,14 @@ def _expand_map(ctx: Context, key: str, td, container: frozenset,
             if index_kind == "@index" and not idx_is_none:
                 if td is not None and td.index is not None:
                     # property-based index (reference:
-                    # lib/containerhandler/ContainerHandlerIndex.ts:60-110)
+                    # lib/containerhandler/ContainerHandlerIndex.ts:42-110)
+                    if "@value" in item:
+                        # values must be node objects (or @type:@id strings,
+                        # which value expansion already turned into refs)
+                        raise JsonLdError(
+                            "invalid value object",
+                            "property-based index containers require "
+                            "node values")
                     expanded_index_prop = expand_iri(ctx, td.index,
                                                      vocab=True)
                     index_value = expand_value(ctx, td.index, idx)

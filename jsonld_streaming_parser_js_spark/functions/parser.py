@@ -42,6 +42,9 @@ class ParserOptions:
     # 'json-ld-1.1' | 'json-ld-1.0' (reference: lib/JsonLdParser.ts:652) —
     # 1.0 mode rejects 1.1-only features with the spec's coded errors
     processing_mode: str = "json-ld-1.1"
+    # allow reverse properties inside RDF-star embedded nodes (reference:
+    # rdfstarReverseInEmbedded; default False = error)
+    rdfstar_reverse_in_embedded: bool = False
     ctx_cache: dict = field(default_factory=dict)
     # strictValues analog lives at the pipeline layer
     # (plans/pipeline.py assert_no_errors): a distributed job fails fast on
@@ -67,7 +70,9 @@ def jsonld_to_quads(doc: Any, options: ParserOptions | None = None
     options = options or ParserOptions()
     expanded = expand_document(doc, options)
     node_map: dict = {}
-    issuer = BlankNodeIssuer(rdf_direction=options.rdf_direction)
+    issuer = BlankNodeIssuer(
+        rdf_direction=options.rdf_direction,
+        rdfstar_reverse_in_embedded=options.rdfstar_reverse_in_embedded)
     generate_node_map(expanded, node_map, issuer)
     quads = emit_quads(node_map, rdf_direction=options.rdf_direction,
                        produce_generalized_rdf=options.produce_generalized_rdf,

@@ -34,9 +34,14 @@ class BlankNodeIssuer:
     threading a parameter through every recursion level.
     """
 
-    def __init__(self, prefix: str = "b", rdf_direction: str | None = None):
+    def __init__(self, prefix: str = "b", rdf_direction: str | None = None,
+                 rdfstar_reverse_in_embedded: bool = False):
         self.prefix = prefix
         self.rdf_direction = rdf_direction
+        # reference option rdfstarReverseInEmbedded
+        # (lib/JsonLdParser.ts / Util.ts): reverse properties in embedded
+        # nodes are an error unless explicitly enabled
+        self.rdfstar_reverse_in_embedded = rdfstar_reverse_in_embedded
         self.counter = 0
         self.issued: dict[str, str] = {}
 
@@ -181,6 +186,11 @@ def _embedded_node_key(embedded: dict, node_map: dict,
     """Reduce an RDF-star embedded node object to an opaque subject key that
     serializes as a quoted triple. The embedded node must express exactly one
     triple (reference: lib/Util.ts:1062-1092 single-property constraint)."""
+    if "@reverse" in embedded and not issuer.rdfstar_reverse_in_embedded:
+        # reference default: 'Illegal reverse property in embedded node'
+        # unless rdfstarReverseInEmbedded is set
+        raise JsonLdError("invalid embedded node",
+                          "illegal reverse property in embedded node")
     sub_map: dict = {}
     generate_node_map(dict(embedded), sub_map, issuer, active_graph)
     quads = emit_quads(sub_map, rdf_direction=issuer.rdf_direction,
@@ -384,9 +394,17 @@ def _emit_annotation(quoted: str, annotation: list, quads: list,
                     for item in values:
                         nested_ann = (item.pop("@annotation", None)
                                       if isinstance(item, dict) else None)
-                        obj = _object_to_term(item, quads, issuer, graph_term,
-                                              rdf_direction,
-                                              produce_generalized_rdf)
+                        if (isinstance(item, dict)
+                                and item.get("@id") == "\x00annotated\x00"):
+                            # a reverse property inside the annotation: the
+                            # quoted triple is the OBJECT of the reversed
+                            # statement (reference: lib/Util.ts:1111-1113,
+                            # test 'on nested node with @reverse')
+                            obj = quoted
+                        else:
+                            obj = _object_to_term(item, quads, issuer,
+                                                  graph_term, rdf_direction,
+                                                  produce_generalized_rdf)
                         if obj is None:
                             continue
                         quads.append((subj, pred, obj, graph_term))

@@ -1374,6 +1374,125 @@ _:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/0
 <http://e/n> <http://e/q> "w" <http://e/s> .
 '''),
 
+    ("type_scoped_ctx_restored_for_siblings", {}, {
+        # @propagate:false (type-scoped default): the outer definition of x
+        # is restored inside nested nodes
+        "@context": {"T": {"@id": "http://e/T",
+                           "@context": {"x": "http://e/xScoped"}},
+                     "x": "http://e/xOuter", "q": "http://e/q"},
+        "@id": "http://e/s", "@type": "T",
+        "q": {"@id": "http://e/n", "x": "v"},
+    }, '''
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T> .
+<http://e/s> <http://e/q> <http://e/n> .
+<http://e/n> <http://e/xOuter> "v" .
+'''),
+
+    ("remote_context_chain", {"ctx_cache": {
+        "https://c/a": {"@context": ["https://c/b",
+                                     {"t2": "http://e/t2"}]},
+        "https://c/b": {"@context": {"t": "http://e/t"}}}}, {
+        "@context": "https://c/a", "@id": "http://e/s", "t": "v",
+    }, '''
+<http://e/s> <http://e/t> "v" .
+'''),
+
+    ("remote_context_base_ignored", {"base_iri": "http://doc.org/d",
+                                     "ctx_cache": {
+        "https://c/a": {"@context": {"@base": "http://evil.org/"}}}}, {
+        # @base in a REMOTE context is ignored (spec: processed only when
+        # remote contexts is empty); relative ids resolve against the doc
+        "@context": "https://c/a", "@id": "rel", "http://e/p": "v",
+    }, '''
+<http://doc.org/rel> <http://e/p> "v" .
+'''),
+
+    ("compact_iri_datatype", {}, {
+        "@context": {"x": "http://x.org/"},
+        "@id": "http://e/s",
+        "http://e/p": {"@value": "v", "@type": "x:dt"},
+    }, '''
+<http://e/s> <http://e/p> "v"^^<http://x.org/dt> .
+'''),
+
+    ("graph_container_array_one_graph_each", {}, {
+        "@context": {"g": {"@id": "http://e/g", "@container": "@graph"}},
+        "@id": "http://e/s",
+        "g": [{"http://e/q": "1"}, {"http://e/q": "2"}],
+    }, '''
+<http://e/s> <http://e/g> _:g1 .
+<http://e/s> <http://e/g> _:g2 .
+_:n1 <http://e/q> "1" _:g1 .
+_:n2 <http://e/q> "2" _:g2 .
+'''),
+
+    ("index_set_container_arrays", {}, {
+        "@context": {"p": {"@id": "http://e/p",
+                           "@container": ["@index", "@set"]}},
+        "@id": "http://e/s", "p": {"i": ["a", "b"]},
+    }, '''
+<http://e/s> <http://e/p> "a" .
+<http://e/s> <http://e/p> "b" .
+'''),
+
+    ("reverse_term_with_index_container", {}, {
+        "@context": {"r": {"@reverse": "http://e/p",
+                           "@container": "@index"}},
+        "@id": "http://e/s", "r": {"i": {"@id": "http://e/o"}},
+    }, '''
+<http://e/o> <http://e/p> <http://e/s> .
+'''),
+
+    ("language_map_key_lowercased", {}, {
+        "@context": {"p": {"@id": "http://e/p", "@container": "@language"}},
+        "@id": "http://e/s", "p": {"EN-US": "hi"},
+    }, '''
+<http://e/s> <http://e/p> "hi"@en-us .
+'''),
+
+    ("explicit_term_beats_vocab_for_type", {}, {
+        "@context": {"@vocab": "http://v/",
+                     "Agent": "http://special/Agent"},
+        "@id": "http://e/s", "@type": "Agent",
+    }, '''
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://special/Agent> .
+'''),
+
+    ("star_annotation_with_reverse_term", {}, {
+        # reverse property INSIDE the annotation: the quoted triple becomes
+        # the OBJECT (reference test 'on nested node with @reverse',
+        # lib/Util.ts:1111-1113)
+        "@context": {"annotation": {"@reverse": "http://e/annotation",
+                                    "@type": "@id"}},
+        "@id": "http://e/s",
+        "http://e/prop": {"@id": "http://e/o",
+                          "@annotation": {
+                              "annotation": "http://e/valueAnnotated"}},
+    }, '''
+<http://e/s> <http://e/prop> <http://e/o> .
+<http://e/valueAnnotated> <http://e/annotation> << <http://e/s> <http://e/prop> <http://e/o> >> .
+'''),
+
+    ("star_reverse_in_embedded_opt_in", {"rdfstar_reverse_in_embedded": True},
+     {
+        "@id": {"@id": "http://e/rei",
+                "@reverse": {"http://e/rel": {"@id": "http://e/value"}}},
+        "http://e/prop": "v2",
+    }, '''
+<< <http://e/value> <http://e/rel> <http://e/rei> >> <http://e/prop> "v2" .
+'''),
+
+    ("property_index_id_typed_strings", {}, {
+        # property-based index + @type:@id: string values are node refs
+        # (ContainerHandlerIndex.ts:42-58), and the index key attaches
+        "@context": {"p": {"@id": "http://e/p", "@container": "@index",
+                           "@index": "http://e/prop", "@type": "@id"}},
+        "@id": "http://e/s", "p": {"k": "http://e/o"},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+<http://e/o> <http://e/prop> "k" .
+'''),
+
     ("type_map_array_values", {}, {
         "@context": {"p": {"@id": "http://e/p", "@container": "@type"}},
         "@id": "http://e/s",

@@ -731,6 +731,15 @@ NEGATIVE_CASES = [
       "@id": "http://e/s", "t": "v"}),
     ("loading remote context failed",
      {"@context": "https://absent.example.org/ctx", "http://e/p": "v"}),
+    ("invalid embedded node",  # reverse in embedded: error unless
+     # rdfstar_reverse_in_embedded (reference rdfstarReverseInEmbedded)
+     {"@id": {"@id": "http://e/rei",
+              "@reverse": {"http://e/rel": {"@id": "http://e/value"}}},
+      "http://e/prop": "v2"}),
+    ("invalid value object",  # property-based index requires node values
+     {"@context": {"p": {"@id": "http://e/p", "@container": "@index",
+                         "@index": "http://e/prop"}},
+      "@id": "http://e/s", "p": {"k": "plainstring"}}),
 ]
 
 # codes that need a remote-context cache to trigger: (code, doc, ctx_cache)
