@@ -184,6 +184,14 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
             continue
 
         if is_keyword(expanded_prop):
+            if (active_ctx.mode == "json-ld-1.0"
+                    and expanded_prop in ("@included", "@nest",
+                                          "@direction", "@annotation",
+                                          "@propagate", "@json", "@none")):
+                # 1.1-only keywords are not keywords in 1.0: they have
+                # keyword form, so they are silently dropped (reference:
+                # EntryHandlerKeywordUnknownFallback semantics)
+                continue
             if active_prop == "@reverse":
                 raise JsonLdError("invalid reverse property map", key)
             if expanded_prop in result and expanded_prop not in (

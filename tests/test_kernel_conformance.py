@@ -898,3 +898,19 @@ def test_inline_context_relative_import_resolves_against_document_base():
     assert ("<http://e/s>", "<http://e/a>", '"1"', "") in got
     # and again (memo hit path must behave identically)
     assert quads(doc, base="http://d.org/dir/doc", ctx_cache=cache) == got
+
+
+def test_json_ld_10_mode_drops_11_keywords_in_documents():
+    """In 1.0 mode, 1.1-only document keywords (@included/@nest/@direction/
+    @annotation) are unknown keyword-form entries -> silently dropped."""
+    doc = {"@id": "http://e/s", "http://e/p": "v",
+           "@included": [{"@id": "http://e/t", "http://e/q": "w"}],
+           "@nest": {"http://e/r": "x"},
+           "http://e/d": {"@value": "y", "@direction": "rtl",
+                          "@language": "ar"}}
+    got = quads10(doc)
+    assert got == {
+        ("<http://e/s>", "<http://e/p>", '"v"', ""),
+        # @direction dropped from the value object -> plain lang literal
+        ("<http://e/s>", "<http://e/d>", '"y"@ar', ""),
+    }
