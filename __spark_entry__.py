@@ -338,9 +338,12 @@ def _q_events_sessionize(spark, sf_dir):
     from pyspark.sql import Window
     ev = _tbl(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts is TIMESTAMP_NTZ (no direct long cast); the tz interpretation of
-    # the intermediate cast cancels in the difference
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # tz-free epoch for TIMESTAMP_NTZ: an NTZ-to-NTZ timestampdiff never
+    # consults the session timezone (a cast via TIMESTAMP would shift by a
+    # DST-dependent offset that does NOT cancel across transitions), and
+    # whole-second truncation matches the oracle's floor(epoch(ts))
+    epoch = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     gap = epoch - F.lag(epoch).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = (ev.withColumn("new_sess", new_sess)

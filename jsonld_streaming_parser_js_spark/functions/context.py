@@ -795,9 +795,16 @@ def _expand_iri_full(active: Context, value: str, vocab: bool,
     return value
 
 
-# caches already validated this process: id -> strong ref (the ref keeps
-# the id from being reused by a different dict while the entry lives)
-_VALIDATED_CACHES: dict[int, dict] = {}
+# caches already validated this process: id -> (strong ref, fingerprint).
+# The ref keeps the id from being reused by a different dict; the
+# fingerprint (size + key set hash) catches entry additions/removals after
+# validation (mutating an entry's VALUE in place is not detected — treat a
+# validated cache as frozen).
+_VALIDATED_CACHES: dict[int, tuple] = {}
+
+
+def _cache_fingerprint(ctx_cache: dict) -> tuple:
+    return (len(ctx_cache), hash(frozenset(ctx_cache.keys())))
 
 
 def validate_context_cache(ctx_cache: dict) -> None:
@@ -807,16 +814,27 @@ def validate_context_cache(ctx_cache: dict) -> None:
     event (``/root/reference/lib/ParsingContext.ts:107-110``): a malformed
     cached context should fail ONCE at the driver when the cache is built,
     not once per block on a thousand executors. Raises the same coded
-    JsonLdError the per-block path would. Validated caches are remembered
-    by identity, so repeated plan builds over the same cache are free.
+    JsonLdError the per-block path would — EXCEPT 'loading remote context
+    failed' for an entry that chains to an IRI outside the cache: that is
+    only an error if a document actually references the entry, so it stays
+    a lazy per-use failure (a prefetch cache may hold unused extras).
+    Validated caches are remembered by identity+fingerprint, so repeated
+    plan builds over the same cache are free.
     """
-    if _VALIDATED_CACHES.get(id(ctx_cache)) is ctx_cache:
+    memo = _VALIDATED_CACHES.get(id(ctx_cache))
+    if (memo is not None and memo[0] is ctx_cache
+            and memo[1] == _cache_fingerprint(ctx_cache)):
         return
     for iri, doc in ctx_cache.items():
         if not isinstance(doc, dict) or "@context" not in doc:
             raise JsonLdError("invalid remote context", iri)
-        process_context(initial_context(iri), doc["@context"], iri,
-                        ctx_cache, remote_contexts=frozenset({iri}))
+        try:
+            process_context(initial_context(iri), doc["@context"], iri,
+                            ctx_cache, remote_contexts=frozenset({iri}))
+        except JsonLdError as exc:
+            if exc.code != "loading remote context failed":
+                raise
     if len(_VALIDATED_CACHES) >= 64:
         _VALIDATED_CACHES.clear()
-    _VALIDATED_CACHES[id(ctx_cache)] = ctx_cache
+    _VALIDATED_CACHES[id(ctx_cache)] = (ctx_cache,
+                                        _cache_fingerprint(ctx_cache))

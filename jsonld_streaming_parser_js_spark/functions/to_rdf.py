@@ -370,11 +370,28 @@ def _emit_annotation(quoted: str, annotation: list, quads: list,
             # invalid (reference: annotations are anonymous node objects)
             raise JsonLdError("invalid annotation",
                               "@id is not allowed in an annotation")
-        ann["@id"] = "\x00annotated\x00"
+        # collision-proof in-band marker: a crafted nested @id equal to the
+        # marker would otherwise be silently rewritten to the quoted triple
+        def _contains(v, s) -> bool:
+            if isinstance(v, str):
+                return v == s
+            if isinstance(v, list):
+                return any(_contains(x, s) for x in v)
+            if isinstance(v, dict):
+                return any(_contains(k, s) or _contains(x, s)
+                           for k, x in v.items())
+            return False
+
+        sentinel = "\x00annotated\x00"
+        n = 0
+        while _contains(ann, sentinel):
+            n += 1
+            sentinel = f"\x00annotated{n}\x00"
+        ann["@id"] = sentinel
         generate_node_map(ann, sub_map, node_issuer, "@default")
         for graph in sub_map.values():
             for subject_id, node in graph.items():
-                subj = (quoted if subject_id == "\x00annotated\x00"
+                subj = (quoted if subject_id == sentinel
                         else node_to_term(subject_id))
                 if subj is None:
                     continue
@@ -395,7 +412,7 @@ def _emit_annotation(quoted: str, annotation: list, quads: list,
                         nested_ann = (item.pop("@annotation", None)
                                       if isinstance(item, dict) else None)
                         if (isinstance(item, dict)
-                                and item.get("@id") == "\x00annotated\x00"):
+                                and item.get("@id") == sentinel):
                             # a reverse property inside the annotation: the
                             # quoted triple is the OBJECT of the reversed
                             # statement (reference: lib/Util.ts:1111-1113,

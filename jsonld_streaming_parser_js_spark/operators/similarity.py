@@ -121,8 +121,12 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
     Python crossing, unlike the previous NumPy version) and exactly
     reproducible by the DuckDB oracle via hyperplane_bucket_sql."""
     planes = lsh_planes(n_planes, dim, seed)
-    return embeddings.select(
-        "vec_id", F.expr(hyperplane_bucket_sql(planes)).alias("bucket"))
+    # NULL embeddings are corrupt rows, not dim mismatches: drop them here
+    # (never task-fatal on bad data); the dim guard then only fires on a
+    # genuine width mismatch
+    return (embeddings.where(F.col("embedding").isNotNull())
+            .select("vec_id",
+                    F.expr(hyperplane_bucket_sql(planes)).alias("bucket")))
 
 
 def embedding_lsh_pairs(embeddings: DataFrame, threshold: float = 0.4,

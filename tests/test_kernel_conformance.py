@@ -914,3 +914,41 @@ def test_json_ld_10_mode_drops_11_keywords_in_documents():
         # @direction dropped from the value object -> plain lang literal
         ("<http://e/s>", "<http://e/d>", '"y"@ar', ""),
     }
+
+
+def test_annotation_sentinel_collision_proof():
+    """A crafted nested @id equal to the internal annotation marker must
+    NOT be rewritten to the quoted triple."""
+    doc = {"@id": "http://e/s",
+           "http://e/p": {
+               "@id": "http://e/o",
+               "@annotation": {
+                   "http://e/q": {"@id": "\x00annotated\x00"}}}}
+    got = quads(doc)
+    # the bogus @id is not a valid IRI term -> dropped, never the quoted
+    # triple as object of http://e/q
+    assert not any(o.startswith("<<") and p == "<http://e/q>"
+                   for _, p, o, _ in got)
+
+
+def test_validate_cache_tolerates_unused_chained_entry():
+    """An extra cache entry chaining to an uncached IRI must not fail
+    plan-build validation (the failure stays lazy, per-use)."""
+    from jsonld_streaming_parser_js_spark.functions.context import (
+        validate_context_cache)
+    cache = {"https://c/extra": {"@context": "https://c/missing"},
+             "https://c/used": {"@context": {"t": "http://e/t"}}}
+    validate_context_cache(cache)  # must not raise
+    got = quads({"@context": "https://c/used", "@id": "http://e/s",
+                 "t": "v"}, ctx_cache=cache)
+    assert got == {("<http://e/s>", "<http://e/t>", '"v"', "")}
+
+
+def test_validate_cache_detects_entry_addition_after_validation():
+    from jsonld_streaming_parser_js_spark.functions.context import (
+        validate_context_cache)
+    cache = {"https://c/ok": {"@context": {"t": "http://e/t"}}}
+    validate_context_cache(cache)
+    cache["https://c/bad"] = "not a context document"
+    with pytest.raises(JsonLdError):
+        validate_context_cache(cache)
