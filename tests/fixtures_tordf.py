@@ -1374,6 +1374,115 @@ _:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/0
 <http://e/n> <http://e/q> "w" <http://e/s> .
 '''),
 
+    ("json_keyword_alias", {}, {
+        "@context": {"json": "@json",
+                     "p": {"@id": "http://e/p", "@type": "json"}},
+        "@id": "http://e/s", "p": [1, 2],
+    }, '''
+<http://e/s> <http://e/p> "[1,2]"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+'''),
+
+    ("embedded_context_in_node", {}, {
+        "@context": {"p": "http://e/p1"},
+        "@id": "http://e/s",
+        "p": {"@context": {"p": "http://e/p2"},
+              "@id": "http://e/n", "p": "v"},
+    }, '''
+<http://e/s> <http://e/p1> <http://e/n> .
+<http://e/n> <http://e/p2> "v" .
+'''),
+
+    ("bnode_label_coreference", {}, {
+        "@graph": [{"@id": "_:x", "http://e/p": "1"},
+                   {"@id": "http://e/s", "http://e/q": {"@id": "_:x"}}],
+    }, '''
+_:x <http://e/p> "1" .
+<http://e/s> <http://e/q> _:x .
+'''),
+
+    ("bnode_graph_name", {}, {
+        "@id": "_:g", "@graph": {"@id": "http://e/s", "http://e/p": "v"},
+    }, '''
+<http://e/s> <http://e/p> "v" _:g .
+'''),
+
+    ("list_items_coerced_and_resolved", {"base_iri": "http://b/x/doc"}, {
+        "@context": {"p": {"@id": "http://e/p", "@container": "@list",
+                           "@type": "@id"}},
+        "@id": "http://e/s", "p": ["http://e/a", "rel"],
+    }, '''
+<http://e/s> <http://e/p> _:l0 .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> <http://e/a> .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> _:l1 .
+_:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> <http://b/x/rel> .
+_:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
+    ("type_vocab_relative_concat", {}, {
+        "@context": {"@vocab": "http://v/"},
+        "@id": "http://e/s", "@type": "sub/T",
+    }, '''
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://v/sub/T> .
+'''),
+
+    ("value_index_no_rdf_effect", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@value": "x", "@index": "i"},
+    }, '''
+<http://e/s> <http://e/p> "x" .
+'''),
+
+    ("context_inside_list_item", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@list": [
+            {"@context": {"q": "http://e/q"},
+             "@id": "http://e/n", "q": "v"}]},
+    }, '''
+<http://e/s> <http://e/p> _:l .
+_:l <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> <http://e/n> .
+_:l <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+<http://e/n> <http://e/q> "v" .
+'''),
+
+    ("numbers_in_lists_canonical", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@list": [2.5, 7]},
+    }, '''
+<http://e/s> <http://e/p> _:l0 .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "2.5E0"^^<http://www.w3.org/2001/XMLSchema#double> .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> _:l1 .
+_:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "7"^^<http://www.w3.org/2001/XMLSchema#integer> .
+_:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
+    ("reverse_keyword_alias", {}, {
+        "@context": {"rev": "@reverse"},
+        "@id": "http://e/s", "rev": {"http://e/p": {"@id": "http://e/o"}},
+    }, '''
+<http://e/o> <http://e/p> <http://e/s> .
+'''),
+
+    ("top_level_graph_alias_is_default_graph", {}, {
+        "@context": {"g": "@graph"},
+        "g": [{"@id": "http://e/a", "http://e/p": "1"}],
+    }, '''
+<http://e/a> <http://e/p> "1" .
+'''),
+
+    ("empty_context_array_noop", {}, {
+        "@context": [], "@id": "http://e/s", "http://e/p": "v",
+    }, '''
+<http://e/s> <http://e/p> "v" .
+'''),
+
+    ("type_alias_inside_value_object", {}, {
+        "@context": {"type": "@type"},
+        "@id": "http://e/s",
+        "http://e/p": {"@value": "1", "type": "http://e/dt"},
+    }, '''
+<http://e/s> <http://e/p> "1"^^<http://e/dt> .
+'''),
+
     ("type_scoped_ctx_restored_for_siblings", {}, {
         # @propagate:false (type-scoped default): the outer definition of x
         # is restored inside nested nodes

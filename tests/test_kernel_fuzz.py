@@ -138,3 +138,28 @@ def test_jcs_small_high_precision_double():
     assert _jcs_number(1e21) == "1e+21"
     assert _jcs_number(-1e-7) == "-1e-7"
     assert _jcs_number(333333333.3333333) == "333333333.3333333"
+
+
+@settings(max_examples=200, deadline=None)
+@given(json_docs,
+       st.sampled_from([None, "i18n-datatype", "compound-literal"]),
+       st.sampled_from(["json-ld-1.1", "json-ld-1.0"]),
+       st.booleans(), st.booleans())
+def test_fuzz_option_matrix_never_crashes(doc, rdf_dir, mode, gen_rdf,
+                                          star_rev):
+    """The kernel must only ever raise coded JsonLdError across the full
+    option surface — anything else would kill a Spark task."""
+    from jsonld_streaming_parser_js_spark.functions.context import (
+        JsonLdError)
+    from jsonld_streaming_parser_js_spark.functions.parser import (
+        ParserOptions, jsonld_to_quads)
+    opts = ParserOptions(base_iri="https://fuzz.example.org/p",
+                         rdf_direction=rdf_dir, processing_mode=mode,
+                         produce_generalized_rdf=gen_rdf,
+                         rdfstar_reverse_in_embedded=star_rev)
+    try:
+        q1 = jsonld_to_quads(doc, opts)
+        q2 = jsonld_to_quads(doc, opts)
+        assert q1 == q2  # deterministic per options
+    except (JsonLdError, RecursionError, ValueError):
+        pass  # coded/recoverable — parse_block routes these to the channel
