@@ -142,8 +142,11 @@ def expand(active_ctx: Context, active_prop: str | None, element: Any,
                               repr(result["@value"]))
         elif "@type" in result and not (
                 isinstance(result["@type"], str)
-                and (iri_mod.is_absolute_iri(result["@type"])
-                     or result["@type"].startswith("_:"))):
+                and iri_mod.is_absolute_iri(result["@type"])
+                and not result["@type"].startswith("_:")):
+            # a literal datatype must be an IRI — a blank-node id here is
+            # the spec's invalid typed value (it would also serialize as a
+            # corrupt ^^<_:...> term)
             raise JsonLdError("invalid typed value", repr(result["@type"]))
     elif "@type" in result and not isinstance(result["@type"], list):
         result["@type"] = [result["@type"]]

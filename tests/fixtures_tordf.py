@@ -1374,6 +1374,70 @@ _:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/0
 <http://e/n> <http://e/q> "w" <http://e/s> .
 '''),
 
+    ("protected_inside_scoped_ctx", {}, {
+        "@context": {"T": {"@id": "http://e/T",
+                           "@context": {"@protected": True,
+                                        "x": "http://e/x"}}},
+        "@id": "http://e/s", "@type": "T", "x": "v",
+    }, '''
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T> .
+<http://e/s> <http://e/x> "v" .
+'''),
+
+    ("graph_string_value_dropped", {}, {
+        # @graph expands with active property @graph; a bare string is a
+        # free-floating scalar -> dropped, no error
+        "@id": "http://e/s", "@graph": "str", "http://e/p": "v",
+    }, '''
+<http://e/s> <http://e/p> "v" .
+'''),
+
+    ("unicode_iris_and_literals", {}, {
+        "@id": "http://e/sé", "http://e/pü": "v☃",
+    }, '''
+<http://e/sé> <http://e/pü> "v☃" .
+'''),
+
+    ("literal_escape_forms", {}, {
+        "@id": "http://e/s",
+        "http://e/p": "line1\nline2\t\"quoted\"\\back",
+    }, '''
+<http://e/s> <http://e/p> "line1\\nline2\\t\\"quoted\\"\\\\back" .
+'''),
+
+    ("set_null_entries_removed", {}, {
+        "@id": "http://e/s", "http://e/p": {"@set": ["a", None, "b"]},
+    }, '''
+<http://e/s> <http://e/p> "a" .
+<http://e/s> <http://e/p> "b" .
+'''),
+
+    ("same_node_in_two_graphs", {}, {
+        "@graph": [
+            {"@id": "http://e/g1",
+             "@graph": {"@id": "http://e/n", "http://e/p": "1"}},
+            {"@id": "http://e/g2",
+             "@graph": {"@id": "http://e/n", "http://e/p": "2"}}],
+    }, '''
+<http://e/n> <http://e/p> "1" <http://e/g1> .
+<http://e/n> <http://e/p> "2" <http://e/g2> .
+'''),
+
+    ("null_id_term_decouples", {}, {
+        # {"@id": null} term: explicitly decoupled, NOT vocab-expanded
+        "@context": {"skip": {"@id": None}, "@vocab": "http://v/"},
+        "@id": "http://e/s", "skip": "v", "keep": "w",
+    }, '''
+<http://e/s> <http://v/keep> "w" .
+'''),
+
+    ("vocab_for_predicate_base_for_subject", {"base_iri": "http://b/doc"}, {
+        "@context": {"@vocab": "http://v/"},
+        "@id": "relsub", "p": "v",
+    }, '''
+<http://b/relsub> <http://v/p> "v" .
+'''),
+
     ("json_keyword_alias", {}, {
         "@context": {"json": "@json",
                      "p": {"@id": "http://e/p", "@type": "json"}},

@@ -721,6 +721,8 @@ NEGATIVE_CASES = [
     ("invalid typed value",
      {"@id": "http://e/s", "http://e/p": {"@value": "x",
                                           "@type": "not an iri"}}),
+    ("invalid typed value",  # a literal datatype must be an IRI, not bnode
+     {"@id": "http://e/s", "http://e/p": {"@value": "x", "@type": "_:b"}}),
     ("invalid value object value",
      {"@id": "http://e/s", "http://e/p": {"@value": {"a": 1}}}),
     ("invalid vocab mapping",
