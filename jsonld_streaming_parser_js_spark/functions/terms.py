@@ -123,6 +123,36 @@ def canonical_double(value: float) -> str:
     return f"{mant}E{int(exp)}"
 
 
+def as_js_number(value):
+    """JSON number as a JS engine would hold it: ints beyond 2^53 lose
+    precision at JSON.parse (they become the nearest double) — the
+    reference never sees the exact big integer, so neither may we."""
+    if (isinstance(value, int) and not isinstance(value, bool)
+            and abs(value) >= (1 << 53)):
+        return float(value)
+    return value
+
+
+def ecma_integral_string(num) -> str:
+    """ECMAScript ``String()`` of an integral Number with magnitude < 1e21:
+    plain decimal digits. For lossy magnitudes (>= 2^53) this is the
+    SHORTEST-round-trip digits zero-padded (ECMA-262 6.1.6.1.20), NOT the
+    binary-exact expansion ``str(int(num))`` would give."""
+    if isinstance(num, int):
+        return str(num)
+    if abs(num) < (1 << 53):
+        return str(int(num))
+    s = repr(num)
+    sign = ""
+    if s.startswith("-"):
+        sign, s = "-", s[1:]
+    mant, _, exp = s.partition("e")
+    ip, _, fp = mant.partition(".")
+    digits = (ip + fp).rstrip("0") or "0"
+    n = len(ip) + (int(exp) if exp else 0)
+    return sign + digits + "0" * (n - len(digits))
+
+
 def number_to_string(value, as_double: bool) -> str:
     """JSON number -> canonical lexical form (reference ``intToString``).
 
@@ -132,17 +162,20 @@ def number_to_string(value, as_double: bool) -> str:
     with no abs(), so large-negative integral doubles stay "integers")."""
     if isinstance(value, bool):  # bool is an int subclass; guard first
         return "true" if value else "false"
+    value = as_js_number(value)
     if not as_double and float(value) == int(value) and value < 1e21:
         if abs(value) < 1e21:
-            return str(int(value))
+            return ecma_integral_string(value)
         return repr(float(value))  # ECMAScript-style shortest exponential
     return canonical_double(float(value))
 
 
 def is_integral_json_number(value) -> bool:
     """True when the reference would type a JSON number xsd:integer:
-    ``value % 1 === 0 && value < 1e21`` (lib/Util.ts:545)."""
+    ``value % 1 === 0 && value < 1e21`` (lib/Util.ts:545) — applied to the
+    JS-parsed (double) value, so huge integers are integral again."""
     try:
+        value = as_js_number(value)
         return math.isfinite(value) and float(value) == int(value) and value < 1e21
     except (OverflowError, ValueError):
         return False
@@ -155,12 +188,13 @@ def canonicalize_json(value) -> str:
 
 
 def _jcs_number(num) -> str:
+    num = as_js_number(num)  # RFC 8785 numbers are IEEE doubles
     if isinstance(num, int) and not isinstance(num, bool):
         return str(num)
     if num != num or num in (float("inf"), float("-inf")):
         raise ValueError("NaN/Infinity not allowed in JSON")
     if num == int(num) and abs(num) < 1e21:
-        return str(int(num))
+        return ecma_integral_string(num)
     # ECMAScript Number::toString (ECMA-262 6.1.6.1.20): place the decimal
     # point among repr()'s shortest-round-trip digits — never reformat with
     # fixed precision, which truncates digits (RFC 8785 divergence)

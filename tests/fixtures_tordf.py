@@ -1374,6 +1374,85 @@ _:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/0
 <http://e/n> <http://e/q> "w" <http://e/s> .
 '''),
 
+    ("huge_integer_js_parse_semantics", {}, {
+        # a JSON int beyond 2^53 loses precision at JSON.parse in JS: the
+        # reference sees the nearest double, integral again -> xsd:integer
+        # with ECMAScript shortest-digit decimal (NOT the exact int)
+        "@id": "http://e/s", "http://e/p": 98765432109876543210,
+    }, '''
+<http://e/s> <http://e/p> "98765432109876540000"^^<http://www.w3.org/2001/XMLSchema#integer> .
+'''),
+
+    ("id_keyword_alias_in_nested_map", {}, {
+        "@context": {"url": "@id"},
+        "url": "http://e/s", "http://e/p": {"url": "http://e/o"},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+'''),
+
+    ("multiple_types_multiple_quads", {}, {
+        "@id": "http://e/s", "@type": ["http://e/A", "http://e/B"],
+    }, '''
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/A> .
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/B> .
+'''),
+
+    ("index_alias_on_node", {}, {
+        "@context": {"idx": "@index",
+                     "p": {"@id": "http://e/p", "@container": "@index"}},
+        "@id": "http://e/s",
+        "p": {"k": {"@id": "http://e/o", "idx": "k"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+'''),
+
+    ("same_index_twice_no_conflict", {}, {
+        "@id": "http://e/s",
+        "http://e/p": [{"@id": "http://e/o", "@index": "a"}],
+        "http://e/q": [{"@id": "http://e/o", "@index": "a"}],
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+<http://e/s> <http://e/q> <http://e/o> .
+'''),
+
+    ("scoped_context_array", {}, {
+        "@context": {"p": {"@id": "http://e/p",
+                           "@context": [{"a": "http://e/a1"},
+                                        {"b": "http://e/b1"}]}},
+        "@id": "http://e/s", "p": {"a": "1", "b": "2"},
+    }, '''
+<http://e/s> <http://e/p> _:n .
+_:n <http://e/a1> "1" .
+_:n <http://e/b1> "2" .
+'''),
+
+    ("list_and_set_keyword_aliases", {}, {
+        "@context": {"l": "@list", "many": "@set"},
+        "@id": "http://e/s",
+        "http://e/p": {"l": ["x"]},
+        "http://e/q": {"many": ["y", "z"]},
+    }, '''
+<http://e/s> <http://e/p> _:l0 .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "x" .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+<http://e/s> <http://e/q> "y" .
+<http://e/s> <http://e/q> "z" .
+'''),
+
+    ("numeric_string_stays_string", {}, {
+        "@id": "http://e/s", "http://e/p": "42",
+    }, '''
+<http://e/s> <http://e/p> "42" .
+'''),
+
+    ("xsd_int_via_term_type", {}, {
+        "@context": {"p": {"@id": "http://e/p",
+                           "@type": "http://www.w3.org/2001/XMLSchema#int"}},
+        "@id": "http://e/s", "p": 7,
+    }, '''
+<http://e/s> <http://e/p> "7"^^<http://www.w3.org/2001/XMLSchema#int> .
+'''),
+
     ("protected_inside_scoped_ctx", {}, {
         "@context": {"T": {"@id": "http://e/T",
                            "@context": {"@protected": True,
