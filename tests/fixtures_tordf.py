@@ -1374,6 +1374,93 @@ _:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/0
 <http://e/n> <http://e/q> "w" <http://e/s> .
 '''),
 
+    ("base_authority_only", {"base_iri": "http://host"}, {
+        "@id": "x", "http://e/p": "v",
+    }, '''
+<http://host/x> <http://e/p> "v" .
+'''),
+
+    ("base_userinfo_port_preserved", {"base_iri":
+                                      "http://u:pw@host:8080/a/b"}, {
+        "@id": "../y", "http://e/p": "v",
+    }, '''
+<http://u:pw@host:8080/y> <http://e/p> "v" .
+'''),
+
+    ("urn_base_opaque_path_merge", {"base_iri": "urn:isbn:123"}, {
+        # RFC 3986 merge: base path has no '/' -> whole path replaced
+        "@id": "frag", "http://e/p": "v",
+    }, '''
+<urn:frag> <http://e/p> "v" .
+'''),
+
+    ("empty_prefix_colon_term", {}, {
+        "@context": {":x": "http://e/cx"},
+        "@id": "http://e/s", ":x": "v",
+    }, '''
+<http://e/s> <http://e/cx> "v" .
+'''),
+
+    ("term_language_mapping", {}, {
+        "@context": {"p": {"@id": "http://e/p", "@language": "de"}},
+        "@id": "http://e/s", "p": "wort",
+    }, '''
+<http://e/s> <http://e/p> "wort"@de .
+'''),
+
+    ("included_inside_list_item_node", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@list": [
+            {"@id": "http://e/n", "http://e/r": "x",
+             "@included": [{"@id": "http://e/t", "http://e/q": "w"}]}]},
+    }, '''
+<http://e/s> <http://e/p> _:l .
+_:l <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> <http://e/n> .
+_:l <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+<http://e/n> <http://e/r> "x" .
+<http://e/t> <http://e/q> "w" .
+'''),
+
+    ("reverse_to_keyword_silently_dropped", {}, {
+        # CTD step 13: @reverse value with keyword form -> term ignored
+        # (spec says drop with a warning, not an error)
+        "@context": {"r": {"@reverse": "@type"}},
+        "@id": "http://e/s", "r": {"@id": "http://e/T"},
+        "http://e/p": "keep",
+    }, '''
+<http://e/s> <http://e/p> "keep" .
+'''),
+
+    ("double_extremes_canonical", {}, {
+        "@id": "http://e/s",
+        "http://e/p": [1.7976931348623157e308, 5e-324],
+    }, '''
+<http://e/s> <http://e/p> "1.797693134862316E308"^^<http://www.w3.org/2001/XMLSchema#double> .
+<http://e/s> <http://e/p> "4.940656458412465E-324"^^<http://www.w3.org/2001/XMLSchema#double> .
+'''),
+
+    ("index_property_vocab_expanded", {}, {
+        "@context": {"@vocab": "http://v/",
+                     "p": {"@id": "http://e/p", "@container": "@index",
+                           "@index": "rank"}},
+        "@id": "http://e/s", "p": {"1": {"@id": "http://e/o"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+<http://e/o> <http://v/rank> "1" .
+'''),
+
+    ("list_three_cell_chain", {}, {
+        "@id": "http://e/s", "http://e/p": {"@list": ["a", "b", "c"]},
+    }, '''
+<http://e/s> <http://e/p> _:l0 .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "a" .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> _:l1 .
+_:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "b" .
+_:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> _:l2 .
+_:l2 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "c" .
+_:l2 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
     ("huge_integer_js_parse_semantics", {}, {
         # a JSON int beyond 2^53 loses precision at JSON.parse in JS: the
         # reference sees the nearest double, integral again -> xsd:integer
