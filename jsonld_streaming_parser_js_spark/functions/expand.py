@@ -321,7 +321,21 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
             elif expanded_prop == "@nest":
                 nests.append(key)
             elif expanded_prop == "@annotation":
-                # JSON-LD-star annotation object(s)
+                # JSON-LD-star annotation object(s): must be (arrays of)
+                # node objects — scalars and @value objects are illegal
+                # (reference: EntryHandlerKeywordAnnotation.ts:24 'Found
+                # illegal annotation value')
+                for item in as_list(value):
+                    if not isinstance(item, dict):
+                        raise JsonLdError("invalid annotation",
+                                          f"illegal annotation value: "
+                                          f"{item!r}")
+                    item_keys = set(_unalias_keys(active_ctx,
+                                                  item).values())
+                    if "@value" in item_keys or "@list" in item_keys:
+                        raise JsonLdError("invalid annotation",
+                                          f"illegal annotation value: "
+                                          f"{item!r}")
                 expanded = [e for e in as_list(
                     expand(active_ctx, "@annotation", value, base_url,
                            ctx_cache)) if e is not None]

@@ -131,6 +131,10 @@ def generate_node_map(element: Any, node_map: dict, issuer: BlankNodeIssuer,
     elif active_property is not None:
         ref = {"@id": id_}
         if "@annotation" in element:
+            if list_ref is not None:
+                # reference: 'Found an illegal annotation inside a list'
+                raise JsonLdError("invalid annotation",
+                                  "annotation inside a list")
             ref["@annotation"] = element.pop("@annotation")
         if list_ref is None:
             if subject_node is not None:

@@ -954,3 +954,37 @@ def test_validate_cache_detects_entry_addition_after_validation():
     cache["https://c/bad"] = "not a context document"
     with pytest.raises(JsonLdError):
         validate_context_cache(cache)
+
+
+ANNOTATION_ERRORS = [
+    ("scalar annotation value",
+     {"@id": "http://e/b",
+      "http://e/knows": {"@id": "http://e/f", "@annotation": "abc"}}),
+    ("value-object annotation",
+     {"@id": "http://e/b",
+      "http://e/knows": {"@id": "http://e/f",
+                         "@annotation": {"@value": "abc"}}}),
+    ("annotation inside a list",
+     {"@id": "http://e/b",
+      "http://e/knows": {"@list": [
+          {"@id": "http://e/f", "@annotation": {"http://e/p": "v"}}]}}),
+    ("annotation on top-level node",
+     {"@id": "http://e/b", "http://e/name": "Bob",
+      "@annotation": {"http://e/p": "v"}}),
+    ("annotation inside embedded node",
+     {"@id": "http://e/b",
+      "http://e/claims": {"@id": {
+          "@id": "http://e/f", "http://e/name": "Fred",
+          "@annotation": {"http://e/c": 0.8}}}}),
+]
+
+
+@pytest.mark.parametrize("label,doc", ANNOTATION_ERRORS,
+                         ids=[c[0].replace(" ", "_")
+                              for c in ANNOTATION_ERRORS])
+def test_annotation_error_variants(label, doc):
+    """All five INVALID_ANNOTATION shapes the reference's suite rejects
+    (test/JsonLdParser-test.ts:11914-12066)."""
+    with pytest.raises(JsonLdError) as exc:
+        quads(doc)
+    assert exc.value.code == "invalid annotation"
