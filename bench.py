@@ -162,11 +162,13 @@ def main() -> None:
         # (cheaper, likely-depressed) hi leg — re-running lo can only
         # lower the ratio further.
         for _ in range(3):
-            if eff >= 0.8 or time.time() - bench_t0 > 420:
+            # 360s cap leaves room for the optional p32 curve point (gated
+            # at 400s below) even when the redo budget is fully used
+            if eff >= 0.8 or time.time() - bench_t0 > 360:
                 break
             redo_hi = _subprocess_parse(8, scale_amp, pin=True)
             if redo_hi["quads_per_sec"] <= hi4["quads_per_sec"]:
-                continue  # hi is stable; remaining rounds unlikely to help
+                break  # hi is stable; more rounds won't help
             hi4 = redo_hi
             eff = hi4["quads_per_sec"] / (4 * lo["quads_per_sec"])
         # third point of the pinned curve: full 32 cores. Documents the

@@ -142,11 +142,10 @@ def expand(active_ctx: Context, active_prop: str | None, element: Any,
                               repr(result["@value"]))
         elif "@type" in result and not (
                 isinstance(result["@type"], str)
-                and iri_mod.is_absolute_iri(result["@type"])
-                and not result["@type"].startswith("_:")):
-            # a literal datatype must be an IRI — a blank-node id here is
-            # the spec's invalid typed value (it would also serialize as a
-            # corrupt ^^<_:...> term)
+                and iri_mod.is_absolute_iri(result["@type"])):
+            # a literal datatype must be an IRI — a blank-node id is the
+            # spec's invalid typed value (is_absolute_iri rejects '_:'
+            # since a scheme must start with a letter)
             raise JsonLdError("invalid typed value", repr(result["@type"]))
     elif "@type" in result and not isinstance(result["@type"], list):
         result["@type"] = [result["@type"]]
@@ -339,6 +338,13 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
                 expanded = [e for e in as_list(
                     expand(active_ctx, "@annotation", value, base_url,
                            ctx_cache)) if e is not None]
+                # post-expansion shape check too: @set wrappers and aliases
+                # can smuggle value/list objects past the raw check
+                if any(isinstance(e, dict)
+                       and ("@value" in e or "@list" in e)
+                       for e in expanded):
+                    raise JsonLdError("invalid annotation",
+                                      "illegal annotation value")
                 result["@annotation"] = expanded
             # unknown/unhandled keywords (@default etc.): drop
             continue

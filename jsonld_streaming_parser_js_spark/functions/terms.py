@@ -129,7 +129,11 @@ def as_js_number(value):
     reference never sees the exact big integer, so neither may we."""
     if (isinstance(value, int) and not isinstance(value, bool)
             and abs(value) >= (1 << 53)):
-        return float(value)
+        try:
+            return float(value)
+        except OverflowError:
+            # JS JSON.parse of an int beyond double range yields Infinity
+            return math.inf if value > 0 else -math.inf
     return value
 
 

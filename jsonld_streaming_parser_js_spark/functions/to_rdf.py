@@ -94,6 +94,10 @@ def generate_node_map(element: Any, node_map: dict, issuer: BlankNodeIssuer,
                 _append_unique(subject_node.setdefault(active_property, []),
                                element)
         else:
+            if "@annotation" in element:
+                # same rule as node objects: 'illegal annotation in a list'
+                raise JsonLdError("invalid annotation",
+                                  "annotation inside a list")
             list_ref["@list"].append(element)
         return
 

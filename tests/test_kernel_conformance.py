@@ -988,3 +988,28 @@ def test_annotation_error_variants(label, doc):
     with pytest.raises(JsonLdError) as exc:
         quads(doc)
     assert exc.value.code == "invalid annotation"
+
+
+def test_annotation_on_value_object_in_list_errors():
+    with pytest.raises(JsonLdError) as exc:
+        quads({"@id": "http://e/b",
+               "http://e/knows": {"@list": [
+                   {"@value": "x", "@annotation": {"http://e/p": "v"}}]}})
+    assert exc.value.code == "invalid annotation"
+
+
+def test_annotation_set_wrapped_value_object_errors():
+    with pytest.raises(JsonLdError) as exc:
+        quads({"@id": "http://e/b",
+               "http://e/knows": {"@id": "http://e/f",
+                                  "@annotation": {
+                                      "@set": [{"@value": "abc"}]}}})
+    assert exc.value.code == "invalid annotation"
+
+
+def test_integer_beyond_double_range_is_infinity():
+    """JS JSON.parse of a 400-digit int yields Infinity -> 'INF'^^xsd:double
+    (and inside @json it is the NaN/Infinity recoverable error)."""
+    got = quads({"@id": "http://e/s", "http://e/p": int("9" * 400)})
+    assert ("<http://e/s>", "<http://e/p>",
+            '"INF"^^<' + T.XSD_DOUBLE + ">", "") in got
