@@ -160,6 +160,24 @@ def _q_kg_http_errors(spark, sf_dir):
     return errors_only(parsed).orderBy("url")
 
 
+def _q_kg_ndjson_quads(spark, sf_dir):
+    """NDJSON (JSON Lines) source format: one JSON-LD doc per line, split
+    JVM-side, parsed by the same kernel — bulk-dump ingestion path."""
+    from jsonld_streaming_parser_js_spark.operators.extract import (
+        ndjson_blocks)
+    u = "'https://dump.example.org/rec/' || CAST(doc_id AS STRING)"
+    body = (
+        "'{\"@id\":\"' || " + u + " || '#a\",\"http://schema.org/name\":"
+        "\"Doc ' || CAST(doc_id AS STRING) || '\"}' || chr(10) || "
+        "'{\"@id\":\"' || " + u + " || '#b\","
+        "\"http://schema.org/position\":' || CAST(doc_id % 9 AS STRING)"
+        " || '}'")
+    docs = _docs(spark, sf_dir).select(
+        F.expr(u).alias("url"), F.expr(body).alias("body"))
+    parsed = parse_blocks(ndjson_blocks(docs), CONTEXTS)
+    return quads_only(parsed).orderBy("url", "blk")
+
+
 def _q_kg_canonical_clusters(spark, sf_dir):
     return canon.cluster_summary(_quads(spark, sf_dir))
 
@@ -402,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_quads_i18n_compound": _q_kg_quads_i18n_compound,
         "kg_http_quads": _q_kg_http_quads,
         "kg_http_errors": _q_kg_http_errors,
+        "kg_ndjson_quads": _q_kg_ndjson_quads,
         "kg_canonical_clusters": _q_kg_canonical_clusters,
         "kg_quads_canonical": _q_kg_quads_canonical,
         "text_extract_identity": _q_text_extract_identity,
@@ -618,6 +637,21 @@ SELECT {rurl} AS url, 0 AS blk,
             ELSE 'multiple context link headers' END AS error
 FROM documents WHERE doc_id % 10 IN (8, 9)
 ORDER BY url"""
+
+    nurl = "'https://dump.example.org/rec/' || CAST(doc_id AS STRING)"
+    oracles["kg_ndjson_quads"] = f"""
+SELECT url, blk, subj, pred, obj, graph FROM (
+  SELECT {nurl} AS url, 0 AS blk,
+         '<' || {nurl} || '#a>' AS subj,
+         '<{_SCHEMA}name>' AS pred,
+         '"Doc ' || CAST(doc_id AS STRING) || '"' AS obj, '' AS graph
+  FROM documents
+  UNION ALL
+  SELECT {nurl}, 1, '<' || {nurl} || '#b>', '<{_SCHEMA}position>',
+         '"' || CAST(doc_id % 9 AS STRING)
+           || '"^^<http://www.w3.org/2001/XMLSchema#integer>', ''
+  FROM documents
+) ORDER BY url, blk"""
 
     bn = "'_:s' || substr(md5(url), 1, 16) || 'x0xl'"
     oracles["kg_quads_i18n_compound"] = f"""

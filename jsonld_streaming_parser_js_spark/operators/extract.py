@@ -58,6 +58,20 @@ def extract_blocks(pages: DataFrame) -> DataFrame:
             .select("url", F.posexplode("blocks").alias("blk", "block")))
 
 
+def ndjson_blocks(docs: DataFrame, url_col: str = "url",
+                  body_col: str = "body") -> DataFrame:
+    """NDJSON (JSON Lines) source: one JSON-LD document per line — the
+    standard bulk format for web-data JSON-LD dumps (e.g. Web Data Commons
+    extractions). Pure JVM split+explode (no Python): blank lines dropped,
+    ``blk`` is the 0-based line number so skolemized bnode labels stay
+    deterministic per (url, line)."""
+    return (docs
+            .select(F.col(url_col).alias("url"),
+                    F.posexplode(F.split(F.col(body_col), "\n"))
+                    .alias("blk", "block"))
+            .where(F.trim(F.col("block")) != ""))
+
+
 def extracted_text(pages: DataFrame) -> DataFrame:
     """Reassembled text per url (newline-joined payloads) — checked
     byte-identical against the ``text`` column (input_hint invariant)."""

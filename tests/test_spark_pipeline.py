@@ -285,3 +285,14 @@ def test_lineage_schema_drift_raises_not_silently_first_run(spark, tmp_path):
         L.check_snapshot(spark, out, "snap-2")
     # and a genuinely absent dir is still a clean first run
     assert L.check_snapshot(spark, str(tmp_path / "fresh"), "snap-2") is None
+
+
+def test_ndjson_blocks_line_numbering_and_blanks(spark):
+    from jsonld_streaming_parser_js_spark.operators.extract import (
+        ndjson_blocks)
+    docs = spark.createDataFrame(
+        [("u1", '{"a":1}\n\n{"b":2}\n')], "url string, body string")
+    rows = {(r["blk"], r["block"])
+            for r in ndjson_blocks(docs).collect()}
+    # blank lines dropped; blk keeps the ORIGINAL line number
+    assert rows == {(0, '{"a":1}'), (2, '{"b":2}')}
