@@ -55,8 +55,22 @@ class BlankNodeIssuer:
         return label
 
 
+def _strict_eq(a: Any, b: Any) -> bool:
+    """JSON-equality: Python's ``0 == False`` / ``1 == True`` must NOT
+    collapse distinct JSON values (bool is an int subclass)."""
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, dict) and isinstance(b, dict):
+        return (a.keys() == b.keys()
+                and all(_strict_eq(v, b[k]) for k, v in a.items()))
+    if isinstance(a, list) and isinstance(b, list):
+        return (len(a) == len(b)
+                and all(_strict_eq(x, y) for x, y in zip(a, b)))
+    return a == b
+
+
 def _append_unique(values: list, item: Any) -> None:
-    if item not in values:
+    if not any(_strict_eq(item, v) for v in values):
         values.append(item)
 
 

@@ -1374,6 +1374,94 @@ _:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/0
 <http://e/n> <http://e/q> "w" <http://e/s> .
 '''),
 
+    ("zero_and_false_are_distinct_values", {}, {
+        # Python 0 == False must not collapse distinct JSON values
+        "@id": "http://e/s", "http://e/p": [0, False, 1, True],
+    }, '''
+<http://e/s> <http://e/p> "0"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://e/s> <http://e/p> "false"^^<http://www.w3.org/2001/XMLSchema#boolean> .
+<http://e/s> <http://e/p> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://e/s> <http://e/p> "true"^^<http://www.w3.org/2001/XMLSchema#boolean> .
+'''),
+
+    ("language_map_with_term_direction", {"rdf_direction": "i18n-datatype"},
+     {
+        "@context": {"p": {"@id": "http://e/p", "@container": "@language",
+                           "@direction": "rtl"}},
+        "@id": "http://e/s", "p": {"ar": "x"},
+    }, '''
+<http://e/s> <http://e/p> "x"^^<https://www.w3.org/ns/i18n#ar_rtl> .
+'''),
+
+    ("free_floating_value_object_dropped", {}, {
+        "@value": "free", "@language": "en",
+    }, ''),
+
+    ("percent_encoded_iris_kept", {}, {
+        "@id": "http://e/s%20x", "http://e/p%3A": "v",
+    }, '''
+<http://e/s%20x> <http://e/p%3A> "v" .
+'''),
+
+    ("compact_iri_prefix_chain", {}, {
+        # prefix b itself defined via compact IRI a:sub/
+        "@context": {"a": "http://e/", "b": "a:sub/"},
+        "@id": "b:leaf", "http://e/p": "v",
+    }, '''
+<http://e/sub/leaf> <http://e/p> "v" .
+'''),
+
+    ("vocab_fragment_relative", {"base_iri": "http://doc.org/d"}, {
+        "@context": {"@vocab": "#"},
+        "@id": "http://e/s", "t": "v",
+    }, '''
+<http://e/s> <http://doc.org/d#t> "v" .
+'''),
+
+    ("nested_reverse_maps", {}, {
+        "@id": "http://e/s",
+        "@reverse": {"http://e/p": {
+            "@id": "http://e/o",
+            "@reverse": {"http://e/q": {"@id": "http://e/r"}}}},
+    }, '''
+<http://e/o> <http://e/p> <http://e/s> .
+<http://e/r> <http://e/q> <http://e/o> .
+'''),
+
+    ("graph_id_map_relative_keys", {"base_iri": "http://b/dir/doc"}, {
+        "@context": {"g": {"@id": "http://e/g",
+                           "@container": ["@graph", "@id"]}},
+        "@id": "http://e/s", "g": {"gname": {"http://e/q": "v"}},
+    }, '''
+<http://e/s> <http://e/g> <http://b/dir/gname> .
+_:n <http://e/q> "v" <http://b/dir/gname> .
+'''),
+
+    ("type_map_vocab_coerced_strings", {}, {
+        "@context": {"@vocab": "http://v/",
+                     "p": {"@id": "http://e/p", "@container": "@type",
+                           "@type": "@vocab"}},
+        "@id": "http://e/s", "p": {"T": "Obj"},
+    }, '''
+<http://e/s> <http://e/p> <http://v/Obj> .
+<http://v/Obj> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://v/T> .
+'''),
+
+    ("empty_string_literal", {}, {
+        "@id": "http://e/s", "http://e/p": "",
+    }, '''
+<http://e/s> <http://e/p> "" .
+'''),
+
+    ("graph_container_nested_in_itself", {}, {
+        "@context": {"g": {"@id": "http://e/g", "@container": "@graph"}},
+        "@id": "http://e/s", "g": {"g": {"http://e/q": "v"}},
+    }, '''
+<http://e/s> <http://e/g> _:g1 .
+_:inner <http://e/g> _:g2 _:g1 .
+_:n <http://e/q> "v" _:g2 .
+'''),
+
     ("base_authority_only", {"base_iri": "http://host"}, {
         "@id": "x", "http://e/p": "v",
     }, '''
