@@ -1374,6 +1374,82 @@ _:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/0
 <http://e/n> <http://e/q> "w" <http://e/s> .
 '''),
 
+    ("annotation_keyword_alias", {}, {
+        "@context": {"note": "@annotation"},
+        "@id": "http://e/s",
+        "http://e/p": {"@id": "http://e/o", "note": {"http://e/q": "v"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+<< <http://e/s> <http://e/p> <http://e/o> >> <http://e/q> "v" .
+'''),
+
+    ("graph_id_set_container_combo", {}, {
+        "@context": {"g": {"@id": "http://e/g",
+                           "@container": ["@graph", "@id", "@set"]}},
+        "@id": "http://e/s",
+        "g": {"http://e/G": [{"http://e/q": "v"}]},
+    }, '''
+<http://e/s> <http://e/g> <http://e/G> .
+_:n <http://e/q> "v" <http://e/G> .
+'''),
+
+    ("reverse_term_set_container", {}, {
+        "@context": {"r": {"@reverse": "http://e/p", "@container": "@set"}},
+        "@id": "http://e/s",
+        "r": [{"@id": "http://e/o1"}, {"@id": "http://e/o2"}],
+    }, '''
+<http://e/o1> <http://e/p> <http://e/s> .
+<http://e/o2> <http://e/p> <http://e/s> .
+'''),
+
+    ("duplicate_node_objects_collapse", {}, [
+        {"@id": "http://e/s", "http://e/p": "v"},
+        {"@id": "http://e/s", "http://e/p": "v"},
+    ], '''
+<http://e/s> <http://e/p> "v" .
+'''),
+
+    ("annotation_on_language_literal", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@value": "x", "@language": "en",
+                       "@annotation": {"http://e/q": "y"}},
+    }, '''
+<http://e/s> <http://e/p> "x"@en .
+<< <http://e/s> <http://e/p> "x"@en >> <http://e/q> "y" .
+'''),
+
+    ("compound_literal_inside_graph_container",
+     {"rdf_direction": "compound-literal"}, {
+        "@context": {"g": {"@id": "http://e/g", "@container": "@graph"}},
+        "@id": "http://e/s",
+        "g": {"http://e/q": {"@value": "x", "@direction": "ltr"}},
+    }, '''
+<http://e/s> <http://e/g> _:g .
+_:n <http://e/q> _:c _:g .
+_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#value> "x" _:g .
+_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#direction> "ltr" _:g .
+'''),
+
+    ("type_map_key_document_relative", {"base_iri": "http://b/z/doc"}, {
+        # with no vocab, @type-map keys expand document-relative
+        "@context": {"p": {"@id": "http://e/p", "@container": "@type",
+                           "@type": "@id"}},
+        "@id": "http://e/s", "p": {"T": "relobj"},
+    }, '''
+<http://e/s> <http://e/p> <http://b/z/relobj> .
+<http://b/z/relobj> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://b/z/T> .
+'''),
+
+    ("included_node_carrying_graph", {}, {
+        "@id": "http://e/s", "http://e/p": "v",
+        "@included": [{"@id": "http://e/g1",
+                       "@graph": [{"@id": "http://e/n",
+                                   "http://e/q": "w"}]}],
+    }, '''
+<http://e/s> <http://e/p> "v" .
+<http://e/n> <http://e/q> "w" <http://e/g1> .
+'''),
+
     ("zero_and_false_are_distinct_values", {}, {
         # Python 0 == False must not collapse distinct JSON values
         "@id": "http://e/s", "http://e/p": [0, False, 1, True],
