@@ -1374,6 +1374,64 @@ _:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/0
 <http://e/n> <http://e/q> "w" <http://e/s> .
 '''),
 
+    ("malformed_bcp47_kept_lowercased", {}, {
+        # not well-formed language tags are a SHOULD-warn, not an error
+        "@id": "http://e/s",
+        "http://e/p": {"@value": "x", "@language": "en_US"},
+    }, '''
+<http://e/s> <http://e/p> "x"@en_us .
+'''),
+
+    ("list_of_nulls_is_nil", {}, {
+        "@id": "http://e/s", "http://e/p": {"@list": [None, None]},
+    }, '''
+<http://e/s> <http://e/p> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
+    ("explicit_boolean_datatype", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@value": False,
+                       "@type": "http://www.w3.org/2001/XMLSchema#boolean"},
+    }, '''
+<http://e/s> <http://e/p> "false"^^<http://www.w3.org/2001/XMLSchema#boolean> .
+'''),
+
+    ("list_inside_named_graph", {}, {
+        "@id": "http://e/g",
+        "@graph": [{"@id": "http://e/s", "http://e/p": {"@list": ["a"]}}],
+    }, '''
+<http://e/s> <http://e/p> _:l <http://e/g> .
+_:l <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "a" <http://e/g> .
+_:l <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> <http://e/g> .
+'''),
+
+    ("reverse_inside_named_graph", {}, {
+        "@id": "http://e/g",
+        "@graph": {"@id": "http://e/s",
+                   "@reverse": {"http://e/p": {"@id": "http://e/o"}}},
+    }, '''
+<http://e/o> <http://e/p> <http://e/s> <http://e/g> .
+'''),
+
+    ("type_map_multiple_keys", {}, {
+        "@context": {"p": {"@id": "http://e/p", "@container": "@type"}},
+        "@id": "http://e/s",
+        "p": {"http://e/A": {"@id": "http://e/x"},
+              "http://e/B": {"@id": "http://e/y"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/x> .
+<http://e/s> <http://e/p> <http://e/y> .
+<http://e/x> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/A> .
+<http://e/y> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/B> .
+'''),
+
+    ("fractional_double_canonicals", {}, {
+        "@id": "http://e/s", "http://e/p": [0.5, 2.675],
+    }, '''
+<http://e/s> <http://e/p> "5.0E-1"^^<http://www.w3.org/2001/XMLSchema#double> .
+<http://e/s> <http://e/p> "2.675E0"^^<http://www.w3.org/2001/XMLSchema#double> .
+'''),
+
     ("annotation_keyword_alias", {}, {
         "@context": {"note": "@annotation"},
         "@id": "http://e/s",

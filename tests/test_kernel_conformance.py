@@ -1013,3 +1013,10 @@ def test_integer_beyond_double_range_is_infinity():
     got = quads({"@id": "http://e/s", "http://e/p": int("9" * 400)})
     assert ("<http://e/s>", "<http://e/p>",
             '"INF"^^<' + T.XSD_DOUBLE + ">", "") in got
+
+
+def test_value_type_array_errors():
+    with pytest.raises(JsonLdError) as exc:
+        quads({"@id": "http://e/s",
+               "http://e/p": {"@value": "x", "@type": ["http://e/dt"]}})
+    assert exc.value.code == "invalid typed value"
