@@ -245,24 +245,9 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
                 result["@graph"] = [e for e in as_list(expanded)
                                     if e is not None]
             elif expanded_prop == "@included":
-                # validate the RAW shape before expansion (the expansion
-                # would silently drop free-floating @value/@list nodes) —
-                # mirrors EntryHandlerKeywordIncluded.ts:22-33
-                if not isinstance(value, (dict, list)):
-                    raise JsonLdError("invalid @included value", repr(value))
-                for item in as_list(value):
-                    if isinstance(item, dict):
-                        item_keys = set(
-                            _unalias_keys(active_ctx, item).values())
-                        if "@value" in item_keys or "@list" in item_keys:
-                            raise JsonLdError("invalid @included value",
-                                              repr(item))
-                expanded = [e for e in as_list(
-                    expand(active_ctx, None, value, base_url, ctx_cache))
-                    if e is not None]
-                if any("@value" in e or "@list" in e for e in expanded
-                       if isinstance(e, dict)):
-                    raise JsonLdError("invalid @included value")
+                expanded = _expand_node_only_keyword(
+                    active_ctx, None, value, base_url, ctx_cache,
+                    "invalid @included value", allow_scalars=True)
                 result.setdefault("@included", []).extend(expanded)
             elif expanded_prop == "@value":
                 if input_type == "@json":
@@ -320,32 +305,11 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
             elif expanded_prop == "@nest":
                 nests.append(key)
             elif expanded_prop == "@annotation":
-                # JSON-LD-star annotation object(s): must be (arrays of)
-                # node objects — scalars and @value objects are illegal
-                # (reference: EntryHandlerKeywordAnnotation.ts:24 'Found
-                # illegal annotation value')
-                for item in as_list(value):
-                    if not isinstance(item, dict):
-                        raise JsonLdError("invalid annotation",
-                                          f"illegal annotation value: "
-                                          f"{item!r}")
-                    item_keys = set(_unalias_keys(active_ctx,
-                                                  item).values())
-                    if "@value" in item_keys or "@list" in item_keys:
-                        raise JsonLdError("invalid annotation",
-                                          f"illegal annotation value: "
-                                          f"{item!r}")
-                expanded = [e for e in as_list(
-                    expand(active_ctx, "@annotation", value, base_url,
-                           ctx_cache)) if e is not None]
-                # post-expansion shape check too: @set wrappers and aliases
-                # can smuggle value/list objects past the raw check
-                if any(isinstance(e, dict)
-                       and ("@value" in e or "@list" in e)
-                       for e in expanded):
-                    raise JsonLdError("invalid annotation",
-                                      "illegal annotation value")
-                result["@annotation"] = expanded
+                # JSON-LD-star annotation object(s) — same node-only rule
+                # (reference: EntryHandlerKeywordAnnotation.ts:24)
+                result["@annotation"] = _expand_node_only_keyword(
+                    active_ctx, "@annotation", value, base_url, ctx_cache,
+                    "invalid annotation", allow_scalars=False)
             # unknown/unhandled keywords (@default etc.): drop
             continue
 
@@ -398,6 +362,37 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
                 raise JsonLdError("invalid @nest value", nest_key)
             _expand_entries(active_ctx, type_scoped_ctx, active_prop, nested,
                             result, base_url, ctx_cache, input_type)
+
+
+def _expand_node_only_keyword(active_ctx: Context, active_prop,
+                              value, base_url, ctx_cache: dict,
+                              code: str, allow_scalars: bool) -> list:
+    """Shared @included/@annotation validation + expansion: values must
+    expand to NODE objects only. The raw shape is checked first (expansion
+    silently drops free-floating @value/@list objects), then a
+    post-expansion sweep catches @set wrappers / aliases that smuggle
+    value or list objects past the raw check.
+
+    ``allow_scalars``: tolerate scalar array items (silently dropped by
+    expansion) — @included does; @annotation makes them an error
+    (reference: EntryHandlerKeyword{Included,Annotation}.ts)."""
+    if not isinstance(value, (dict, list)):
+        raise JsonLdError(code, repr(value))
+    for item in as_list(value):
+        if not isinstance(item, dict):
+            if allow_scalars:
+                continue
+            raise JsonLdError(code, repr(item))
+        item_keys = set(_unalias_keys(active_ctx, item).values())
+        if "@value" in item_keys or "@list" in item_keys:
+            raise JsonLdError(code, repr(item))
+    expanded = [e for e in as_list(
+        expand(active_ctx, active_prop, value, base_url, ctx_cache))
+        if e is not None]
+    if any(isinstance(e, dict) and ("@value" in e or "@list" in e)
+           for e in expanded):
+        raise JsonLdError(code)
+    return expanded
 
 
 def _expand_language_map(ctx: Context, td, value: dict) -> list:

@@ -144,8 +144,15 @@ def generate_node_map(element: Any, node_map: dict, issuer: BlankNodeIssuer,
     node = graph.setdefault(id_, {"@id": id_})
 
     if isinstance(active_subject, dict):
-        # reverse property: active_subject is a node reference
-        _append_unique(node.setdefault(active_property, []), active_subject)
+        # reverse property: active_subject is a node reference; an
+        # @annotation here asserts on the REVERSED quad (the reference
+        # buffers annotations with their reverse flag and flushes them
+        # against the emitted quad, EntryHandlerPredicate.ts:96-105)
+        ref = active_subject
+        if "@annotation" in element:
+            ref = dict(active_subject)
+            ref["@annotation"] = element.pop("@annotation")
+        _append_unique(node.setdefault(active_property, []), ref)
     elif active_property is not None:
         ref = {"@id": id_}
         if "@annotation" in element:

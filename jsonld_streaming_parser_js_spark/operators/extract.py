@@ -67,7 +67,8 @@ def ndjson_blocks(docs: DataFrame, url_col: str = "url",
     deterministic per (url, line)."""
     return (docs
             .select(F.col(url_col).alias("url"),
-                    F.posexplode(F.split(F.col(body_col), "\n"))
+                    # split pattern is a regex: tolerate CRLF line endings
+                    F.posexplode(F.split(F.col(body_col), "\r?\n"))
                     .alias("blk", "block"))
             .where(F.trim(F.col("block")) != ""))
 

@@ -1432,6 +1432,18 @@ _:l <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02
 <http://e/s> <http://e/p> "2.675E0"^^<http://www.w3.org/2001/XMLSchema#double> .
 '''),
 
+    ("annotation_on_reverse_edge", {}, {
+        # @annotation on a node under @reverse asserts on the REVERSED
+        # quad (the reference buffers annotations with the reverse flag,
+        # EntryHandlerPredicate.ts:96-105)
+        "@id": "http://e/a",
+        "@reverse": {"http://e/p": {"@id": "http://e/b",
+                                    "@annotation": {"http://e/c": 1}}},
+    }, '''
+<http://e/b> <http://e/p> <http://e/a> .
+<< <http://e/b> <http://e/p> <http://e/a> >> <http://e/c> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .
+'''),
+
     ("annotation_keyword_alias", {}, {
         "@context": {"note": "@annotation"},
         "@id": "http://e/s",

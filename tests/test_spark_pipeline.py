@@ -296,3 +296,8 @@ def test_ndjson_blocks_line_numbering_and_blanks(spark):
             for r in ndjson_blocks(docs).collect()}
     # blank lines dropped; blk keeps the ORIGINAL line number
     assert rows == {(0, '{"a":1}'), (2, '{"b":2}')}
+    # CRLF dumps: \r must not leak into blocks or survive as blank lines
+    crlf = spark.createDataFrame(
+        [("u2", '{"a":1}\r\n\r\n{"b":2}\r\n')], "url string, body string")
+    rows = {(r["blk"], r["block"]) for r in ndjson_blocks(crlf).collect()}
+    assert rows == {(0, '{"a":1}'), (2, '{"b":2}')}
