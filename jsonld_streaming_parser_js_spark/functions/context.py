@@ -141,16 +141,21 @@ MAX_REMOTE_CONTEXTS = 32
 # unusable as a shared result and we fall back to per-document processing).
 _REMOTE_MEMO: dict[tuple, tuple["Context", bool]] = {}
 # the sentinel must be a syntactically valid absolute IRI so the probe's
-# resolution paths behave exactly like a real document base
-_BASE_SENTINEL = "http://jsonld-probe-base-8f3a19c2.invalid/"
+# resolution paths behave exactly like a real document base. Its SCHEME is
+# itself the unique token: a scheme-relative @base/@vocab ("//host/p")
+# resolves to "<token>://host/p", so the token survives resolution and the
+# shareability checks below reject it (a plain http:// sentinel leaked its
+# scheme into the shared result for protocol-relative references).
+_SENTINEL_TOKEN = "x-jsonld-probe-8f3a19c2"
+_BASE_SENTINEL = _SENTINEL_TOKEN + "://base.invalid/"
 
 
 def _mentions_sentinel(ctx: "Context") -> bool:
-    if ctx.vocab and _BASE_SENTINEL in ctx.vocab:
+    if ctx.vocab and _SENTINEL_TOKEN in ctx.vocab:
         return True
     for td in ctx.terms.values():
         for val in (td.iri, td.type_mapping, td.index, td.nest):
-            if isinstance(val, str) and _BASE_SENTINEL in val:
+            if isinstance(val, str) and _SENTINEL_TOKEN in val:
                 return True
     return False
 
@@ -321,7 +326,7 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
                                  and all(td.context is UNSET
                                          for td in probe.terms.values())
                                  and not (isinstance(probe.base, str)
-                                          and _BASE_SENTINEL in probe.base
+                                          and _SENTINEL_TOKEN in probe.base
                                           and probe.base != _BASE_SENTINEL))
                     memo = (probe, shareable, ctx_cache)
                     _REMOTE_MEMO[key] = memo

@@ -130,7 +130,10 @@ def expand(active_ctx: Context, active_prop: str | None, element: Any,
     # post-processing (steps 15-19) ------------------------------------------
     if "@value" in result:
         extra = set(result) - _VALUE_OBJECT_KEYS
-        if extra or ("@language" in result and "@type" in result):
+        if extra or (("@language" in result or "@direction" in result)
+                     and "@type" in result):
+            # @type may not be combined with @language OR @direction
+            # (reference lib/Util.ts:390,401,410 — INVALID_VALUE_OBJECT)
             raise JsonLdError("invalid value object", repr(sorted(result)))
         if result.get("@type") == "@json":
             pass  # any JSON value allowed
@@ -140,6 +143,13 @@ def expand(active_ctx: Context, active_prop: str | None, element: Any,
               and not isinstance(result["@value"], str)):
             raise JsonLdError("invalid language-tagged value",
                               repr(result["@value"]))
+        elif ("@direction" in result
+              and not isinstance(result["@value"], str)):
+            # reference lib/Util.ts:378 — direction requires a string value
+            raise JsonLdError("invalid value object",
+                              "'@value' must be a string when "
+                              "'@direction' is set: "
+                              + repr(result["@value"]))
         elif "@type" in result and not (
                 isinstance(result["@type"], str)
                 and iri_mod.is_absolute_iri(result["@type"])):

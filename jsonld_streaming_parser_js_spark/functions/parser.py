@@ -101,10 +101,14 @@ def parse_block(block_text: str, url: str, blk: int,
     except (ValueError, RecursionError):
         return [], "invalid json"
     try:
+        # default_graph is applied AFTER skolemization below: a blank-node
+        # graph term ('_:dg') must stay ONE shared graph across every
+        # document, exactly like the reference's defaultGraph option
+        # (lib/JsonLdParser.ts:686-688) — the per-(url, blk) skolemizer
+        # would otherwise split it into per-document graphs
         options = ParserOptions(base_iri=url, ctx_cache=ctx_cache or {},
                                 rdf_direction=rdf_direction,
-                                context=context,
-                                default_graph=default_graph)
+                                context=context)
         quads = jsonld_to_quads(doc, options)
     except JsonLdError as exc:
         return [], exc.code
@@ -119,6 +123,10 @@ def parse_block(block_text: str, url: str, blk: int,
         # anything unforeseen to the error channel instead
         return [], f"internal error: {type(exc).__name__}: {exc}"
     try:
-        return skolemize_quads(quads, url, blk), None
+        out = skolemize_quads(quads, url, blk)
+        if default_graph:
+            out = [(s, p, o, default_graph if g == "" else g)
+                   for s, p, o, g in out]
+        return out, None
     except Exception as exc:  # noqa: BLE001 — same backstop for skolemizer
         return [], f"internal error: {type(exc).__name__}: {exc}"

@@ -37,9 +37,12 @@ DEFAULT_WELL_KNOWN = ("application/activity+json",)
 # one Link element: <uri> followed by params up to the next comma; matches
 # when the JSON-LD context relation appears in the (possibly
 # space-separated, RFC 8288) quoted rel list. Dots escaped — the IRI is a
-# literal, not a pattern.
+# literal, not a pattern. The param run steps over quoted strings as whole
+# units ((?:"[^"]*"|[^,"])*?) so a comma INSIDE an earlier quoted param
+# (e.g. title="a, b") doesn't end the element early — matching the
+# reference's RFC 8288 quoted-string tokenizer (parseLinkHeader).
 _CTX_REL_ESCAPED = JSONLD_CONTEXT_REL.replace(".", r"\\.")
-_CTX_LINK_RE = (r'<([^>]*)>[^,]*?rel="(?:[^"]* )?'
+_CTX_LINK_RE = (r'<([^>]*)>(?:"[^"]*"|[^,"])*?rel="(?:[^"]* )?'
                 + _CTX_REL_ESCAPED + r'( [^"]*)?"')
 
 

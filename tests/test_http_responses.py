@@ -162,3 +162,28 @@ def test_rel_with_similar_iri_not_matched(spark):
     link = '<https://c/x>; rel="http://wwwXw3Xorg/ns/json-ld#context"'
     row = _gate_row(spark, "application/json", [link])
     assert row["error"] == "loading document failed"
+
+
+def test_comma_inside_quoted_param_before_rel(spark):
+    # RFC 8288 quoted-string params may contain commas; the element must
+    # still match (reference parseLinkHeader tokenizes quoted strings)
+    link = f'<https://ctx.example.org/c1>; title="a, b"; rel="{CTX_REL}"'
+    row = _gate_row(spark, "application/json", [link])
+    assert row["error"] is None
+    assert row["ctx_iri"] == "https://ctx.example.org/c1"
+
+
+def test_comma_separated_link_elements_still_split(spark):
+    # two elements in ONE header value, only the second is a context link
+    link = (f'<https://o/x>; rel="describedby", '
+            f'<https://ctx.example.org/c2>; rel="{CTX_REL}"')
+    row = _gate_row(spark, "application/json", [link])
+    assert row["error"] is None
+    assert row["ctx_iri"] == "https://ctx.example.org/c2"
+
+
+def test_two_context_elements_one_header_is_multiple(spark):
+    link = (f'<https://c/a>; rel="{CTX_REL}", '
+            f'<https://c/b>; rel="{CTX_REL}"')
+    row = _gate_row(spark, "application/json", [link])
+    assert row["error"] == "multiple context link headers"

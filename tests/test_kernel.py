@@ -549,3 +549,43 @@ def test_skolemization_deterministic_and_distinct():
     assert e1 is None and q1 == q2
     assert q1[0][0] != q3[0][0]
     assert q1[0][0].startswith("_:s")
+
+
+def test_scheme_relative_base_keeps_document_scheme():
+    # ADVICE r2: the inline-context memo's probe base must not leak its
+    # scheme into a scheme-relative @base resolution (https doc -> https)
+    import json as _json
+    from jsonld_streaming_parser_js_spark.functions.parser import parse_block
+    doc = _json.dumps({"@context": {"@base": "//other.example/d/"},
+                       "@id": "x", "http://p/": "v"})
+    for _ in range(2):  # second call exercises the memoized path
+        quads, err = parse_block(doc, "https://site.example/page", 0)
+        assert err is None
+        assert quads[0][0] == "<https://other.example/d/x>"
+
+
+def test_scheme_relative_vocab_keeps_document_scheme():
+    import json as _json
+    from jsonld_streaming_parser_js_spark.functions.parser import parse_block
+    doc = _json.dumps({"@context": {"@vocab": "//v.example/ns#"},
+                       "@id": "http://e/x", "name": "v"})
+    for _ in range(2):
+        quads, err = parse_block(doc, "https://site.example/page", 0)
+        assert err is None
+        assert quads[0][1] == "<https://v.example/ns#name>"
+
+
+def test_default_graph_bnode_shared_across_documents():
+    # ADVICE r2: a blank-node defaultGraph term is ONE graph for the whole
+    # corpus (reference lib/JsonLdParser.ts:686-688), not per-document
+    import json as _json
+    from jsonld_streaming_parser_js_spark.functions.parser import parse_block
+    doc = _json.dumps({"@id": "http://e/x", "http://p/": "v"})
+    q1, _ = parse_block(doc, "http://a/", 0, default_graph="_:dg")
+    q2, _ = parse_block(doc, "http://b/", 3, default_graph="_:dg")
+    assert q1[0][3] == q2[0][3] == "_:dg"
+    # document-local bnodes still skolemize per (url, blk)
+    doc2 = _json.dumps({"http://p/": "v"})
+    s1, _ = parse_block(doc2, "http://a/", 0, default_graph="_:dg")
+    s2, _ = parse_block(doc2, "http://b/", 0, default_graph="_:dg")
+    assert s1[0][0] != s2[0][0]
