@@ -16,14 +16,23 @@ from functools import lru_cache
 
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+\-.]*:")
 _ABSOLUTE_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+\-.]*:[^\s]*$")
-# characters never allowed in an IRI (unescaped)
+# characters never allowed in an IRI (unescaped); [ and ] are allowed ONLY
+# as an authority IP-literal (RFC 3986 section 3.2.2), handled below
 _INVALID_IRI_CHARS_RE = re.compile(r'[\x00-\x20<>"{}|^`\\\[\]]')
+# scheme://[userinfo@] [v6/vFuture literal] [:port] — the bracketed host is
+# the one place brackets are legal (e.g. http://[2001:db8::7]:8080/x)
+_IP_LITERAL_AUTHORITY_RE = re.compile(
+    r"^([A-Za-z][A-Za-z0-9+\-.]*)://(?:[^\s/?#@\[\]]*@)?"
+    r"\[[0-9A-Fa-f:.]+\](?::\d*)?(?=[/?#]|$)")
 
 
 def is_absolute_iri(value: str) -> bool:
     """An absolute IRI (has a scheme, no forbidden characters)."""
     if not value or not _ABSOLUTE_IRI_RE.match(value):
         return False
+    m = _IP_LITERAL_AUTHORITY_RE.match(value)
+    if m:
+        value = value[m.end():]
     return not _INVALID_IRI_CHARS_RE.search(value)
 
 

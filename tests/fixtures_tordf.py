@@ -2076,4 +2076,509 @@ _:n2 <http://e/q> "2" _:g2 .
 <http://e/a> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T> .
 <http://e/b> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T> .
 '''),
+
+    # --- round-3 batch A: @direction x containers/terms ----------------------
+    # (reference test anchors: JsonLdParser-test.ts:763-1035, :2018-2138;
+    #  W3C toRdf tdi01-tdi12 family)
+
+    ("dirA_term_direction_i18n", {"rdf_direction": "i18n-datatype"}, {
+        "@context": {"p": {"@id": "http://e/p", "@direction": "rtl"}},
+        "@id": "http://e/s", "p": "v",
+    }, '''
+<http://e/s> <http://e/p> "v"^^<https://www.w3.org/ns/i18n#_rtl> .
+'''),
+
+    ("dirA_default_dir_term_override", {"rdf_direction": "i18n-datatype"}, {
+        "@context": {"@direction": "rtl",
+                     "p": {"@id": "http://e/p", "@direction": "ltr"}},
+        "@id": "http://e/s", "p": "v",
+    }, '''
+<http://e/s> <http://e/p> "v"^^<https://www.w3.org/ns/i18n#_ltr> .
+'''),
+
+    ("dirA_term_direction_null_unsets", {"rdf_direction": "i18n-datatype"}, {
+        "@context": {"@direction": "rtl",
+                     "p": {"@id": "http://e/p", "@direction": None}},
+        "@id": "http://e/s", "p": "v",
+    }, '''
+<http://e/s> <http://e/p> "v" .
+'''),
+
+    ("dirA_term_dir_with_default_language",
+     {"rdf_direction": "i18n-datatype"}, {
+        "@context": {"@language": "AR",
+                     "p": {"@id": "http://e/p", "@direction": "rtl"}},
+        "@id": "http://e/s", "p": "v",
+    }, '''
+<http://e/s> <http://e/p> "v"^^<https://www.w3.org/ns/i18n#ar_rtl> .
+'''),
+
+    # rdfDirection unset: @direction is IGNORED in plain RDF output
+    ("dirA_term_direction_ignored_when_disabled", {}, {
+        "@context": {"@language": "ar",
+                     "p": {"@id": "http://e/p", "@direction": "rtl"}},
+        "@id": "http://e/s", "p": "v",
+    }, '''
+<http://e/s> <http://e/p> "v"@ar .
+'''),
+
+    ("dirA_language_container_default_dir",
+     {"rdf_direction": "i18n-datatype"}, {
+        "@context": {"@direction": "rtl",
+                     "p": {"@id": "http://e/p", "@container": "@language"}},
+        "@id": "http://e/s", "p": {"en": "hi", "he": "shalom"},
+    }, '''
+<http://e/s> <http://e/p> "hi"^^<https://www.w3.org/ns/i18n#en_rtl> .
+<http://e/s> <http://e/p> "shalom"^^<https://www.w3.org/ns/i18n#he_rtl> .
+'''),
+
+    ("dirA_index_container_direction", {"rdf_direction": "i18n-datatype"}, {
+        "@context": {"@direction": "rtl",
+                     "p": {"@id": "http://e/p", "@container": "@index"}},
+        "@id": "http://e/s", "p": {"i": "v"},
+    }, '''
+<http://e/s> <http://e/p> "v"^^<https://www.w3.org/ns/i18n#_rtl> .
+'''),
+
+    ("dirA_list_of_direction_literals", {"rdf_direction": "i18n-datatype"}, {
+        "@context": {"@direction": "rtl"},
+        "@id": "http://e/s", "http://e/p": {"@list": ["a", "b"]},
+    }, '''
+<http://e/s> <http://e/p> _:l0 .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "a"^^<https://www.w3.org/ns/i18n#_rtl> .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> _:l1 .
+_:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "b"^^<https://www.w3.org/ns/i18n#_rtl> .
+_:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
+    ("dirA_set_container_direction", {"rdf_direction": "i18n-datatype"}, {
+        "@context": {"@direction": "ltr",
+                     "p": {"@id": "http://e/p", "@container": "@set"}},
+        "@id": "http://e/s", "p": ["a"],
+    }, '''
+<http://e/s> <http://e/p> "a"^^<https://www.w3.org/ns/i18n#_ltr> .
+'''),
+
+    # term @type coercion wins over base direction (typed literal, no dir)
+    ("dirA_type_coercion_beats_direction",
+     {"rdf_direction": "i18n-datatype"}, {
+        "@context": {"@direction": "rtl",
+                     "p": {"@id": "http://e/p",
+                           "@type": "http://www.w3.org/2001/XMLSchema#string"}},
+        "@id": "http://e/s", "p": "v",
+    }, '''
+<http://e/s> <http://e/p> "v" .
+'''),
+
+    ("dirA_compound_language_lowercased",
+     {"rdf_direction": "compound-literal"}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@value": "x", "@language": "AR",
+                       "@direction": "rtl"},
+    }, '''
+<http://e/s> <http://e/p> _:c .
+_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#value> "x" .
+_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#language> "ar" .
+_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#direction> "rtl" .
+'''),
+
+    ("dirA_compound_in_language_container",
+     {"rdf_direction": "compound-literal"}, {
+        "@context": {"@direction": "rtl",
+                     "p": {"@id": "http://e/p", "@container": "@language"}},
+        "@id": "http://e/s", "p": {"en": "hi"},
+    }, '''
+<http://e/s> <http://e/p> _:c .
+_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#value> "hi" .
+_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#language> "en" .
+_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#direction> "rtl" .
+'''),
+
+    ("dirA_id_container_direction", {"rdf_direction": "i18n-datatype"}, {
+        "@context": {"@direction": "rtl",
+                     "p": {"@id": "http://e/p", "@container": "@id"}},
+        "@id": "http://e/s", "p": {"http://e/n": {"http://e/q": "v"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/n> .
+<http://e/n> <http://e/q> "v"^^<https://www.w3.org/ns/i18n#_rtl> .
+'''),
+
+    ("dirA_graph_container_direction", {"rdf_direction": "i18n-datatype"}, {
+        "@context": {"@direction": "rtl",
+                     "p": {"@id": "http://e/p", "@container": "@graph"}},
+        "@id": "http://e/s", "p": {"http://e/q": "v"},
+    }, '''
+<http://e/s> <http://e/p> _:g .
+_:n <http://e/q> "v"^^<https://www.w3.org/ns/i18n#_rtl> _:g .
+'''),
+
+    ("dirA_scoped_ctx_sets_direction", {"rdf_direction": "i18n-datatype"}, {
+        "@context": {"p": {"@id": "http://e/p",
+                           "@context": {"@direction": "rtl"}}},
+        "@id": "http://e/s", "p": {"http://e/q": "inner"},
+    }, '''
+<http://e/s> <http://e/p> _:n .
+_:n <http://e/q> "inner"^^<https://www.w3.org/ns/i18n#_rtl> .
+'''),
+
+    ("dirA_direction_inherited_by_nested_node",
+     {"rdf_direction": "i18n-datatype"}, {
+        "@context": {"@direction": "rtl"},
+        "@id": "http://e/s",
+        "http://e/p": {"@id": "http://e/n", "http://e/q": "inner"},
+    }, '''
+<http://e/s> <http://e/p> <http://e/n> .
+<http://e/n> <http://e/q> "inner"^^<https://www.w3.org/ns/i18n#_rtl> .
+'''),
+
+    ("dirA_i18n_language_lowercased", {"rdf_direction": "i18n-datatype"}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@value": "x", "@language": "EN-Latn",
+                       "@direction": "ltr"},
+    }, '''
+<http://e/s> <http://e/p> "x"^^<https://www.w3.org/ns/i18n#en-latn_ltr> .
+'''),
+
+    # @value: null with @direction expands to null -> no quads
+    ("dirA_null_value_with_direction", {"rdf_direction": "i18n-datatype"}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@value": None, "@direction": "rtl"},
+    }, ''),
+
+    # --- round-3 batch B: @annotation combinations ---------------------------
+    # (reference test anchors: JsonLdParser-test.ts:11456-12072)
+
+    ("annB_with_reverse_typed_id", {}, {
+        # JsonLdParser-test.ts:11509 — reversed annotation edge
+        "@context": {"annotation": {"@reverse": "ex:annotation",
+                                    "@type": "@id"}},
+        "@id": "ex:s",
+        "ex:prop": {"@id": "ex:o", "@annotation": {"annotation": "ex:vA"}},
+    }, '''
+<ex:s> <ex:prop> <ex:o> .
+<ex:vA> <ex:annotation> << <ex:s> <ex:prop> <ex:o> >> .
+'''),
+
+    ("annB_before_id_key_order", {}, {
+        # JsonLdParser-test.ts:11540 — @annotation precedes @id lexically
+        "@id": "ex:s",
+        "ex:prop": {"@annotation": {"ex:annotation": "vA"}, "@id": "ex:o"},
+    }, '''
+<ex:s> <ex:prop> <ex:o> .
+<< <ex:s> <ex:prop> <ex:o> >> <ex:annotation> "vA" .
+'''),
+
+    ("annB_type_inside_annotation", {}, {
+        # JsonLdParser-test.ts:11570 — rdf:type edge on the quad term
+        "@id": "ex:s",
+        "ex:prop": {"@id": "ex:o", "@annotation": {"@type": "ex:vA"}},
+    }, '''
+<ex:s> <ex:prop> <ex:o> .
+<< <ex:s> <ex:prop> <ex:o> >> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <ex:vA> .
+'''),
+
+    ("annB_sibling_property_not_annotated", {}, {
+        # JsonLdParser-test.ts:11600 — other props attach to the node itself
+        "@id": "ex:s",
+        "ex:prop": {"@id": "ex:o", "ex:prop2": "value2",
+                    "@annotation": {"ex:annotation": "vA"}},
+    }, '''
+<ex:s> <ex:prop> <ex:o> .
+<ex:o> <ex:prop2> "value2" .
+<< <ex:s> <ex:prop> <ex:o> >> <ex:annotation> "vA" .
+'''),
+
+    ("annB_two_annotations_array", {}, {
+        # JsonLdParser-test.ts:11636
+        "@id": "ex:s",
+        "ex:prop": {"@id": "ex:o",
+                    "@annotation": [{"ex:a1": "v1"}, {"ex:a2": "v2"}]},
+    }, '''
+<ex:s> <ex:prop> <ex:o> .
+<< <ex:s> <ex:prop> <ex:o> >> <ex:a1> "v1" .
+<< <ex:s> <ex:prop> <ex:o> >> <ex:a2> "v2" .
+'''),
+
+    ("annB_two_annotations_object", {}, {
+        # JsonLdParser-test.ts:11676
+        "@id": "ex:s",
+        "ex:prop": {"@id": "ex:o",
+                    "@annotation": {"ex:a1": "v1", "ex:a2": "v2"}},
+    }, '''
+<ex:s> <ex:prop> <ex:o> .
+<< <ex:s> <ex:prop> <ex:o> >> <ex:a1> "v1" .
+<< <ex:s> <ex:prop> <ex:o> >> <ex:a2> "v2" .
+'''),
+
+    ("annB_on_value_literal", {}, {
+        # JsonLdParser-test.ts:11716 — annotated literal object
+        "@id": "ex:s",
+        "ex:prop": {"@value": "value",
+                    "@annotation": {"ex:annotation": "vA"}},
+    }, '''
+<ex:s> <ex:prop> "value" .
+<< <ex:s> <ex:prop> "value" >> <ex:annotation> "vA" .
+'''),
+
+    ("annB_nested_value_annotations", {}, {
+        # JsonLdParser-test.ts:11777 — annotation-on-annotation chain
+        "@id": "ex:s",
+        "ex:prop": {"@value": "value", "@annotation": {
+            "ex:a1": {"@value": "vA1",
+                      "@annotation": {"ex:a2": "vA2"}}}},
+    }, '''
+<ex:s> <ex:prop> "value" .
+<< <ex:s> <ex:prop> "value" >> <ex:a1> "vA1" .
+<< << <ex:s> <ex:prop> "value" >> <ex:a1> "vA1" >> <ex:a2> "vA2" .
+'''),
+
+    ("annB_branched_nested_value", {}, {
+        # JsonLdParser-test.ts:11825 — two independent annotation branches
+        "@id": "ex:s",
+        "ex:prop": {"@value": "value", "@annotation": [
+            {"ex:a11": {"@value": "v11",
+                        "@annotation": {"ex:a12": "v12"}}},
+            {"ex:a21": {"@value": "v21",
+                        "@annotation": {"ex:a22": "v22"}}}]},
+    }, '''
+<ex:s> <ex:prop> "value" .
+<< <ex:s> <ex:prop> "value" >> <ex:a11> "v11" .
+<< << <ex:s> <ex:prop> "value" >> <ex:a11> "v11" >> <ex:a12> "v12" .
+<< <ex:s> <ex:prop> "value" >> <ex:a21> "v21" .
+<< << <ex:s> <ex:prop> "value" >> <ex:a21> "v21" >> <ex:a22> "v22" .
+'''),
+
+    ("annB_embedded_node_as_annotation_value", {}, {
+        # JsonLdParser-test.ts:11998 — node-in-annotation itself annotated
+        "@context": {"@vocab": "ex:", "p1": {"@type": "@id"}},
+        "@id": "ex:s",
+        "p": {"@id": "ex:o", "@annotation": {
+            "r": {"@id": "ex:s1", "@annotation": {"p1": "ex:o1"}}}},
+    }, '''
+<ex:s> <ex:p> <ex:o> .
+<< <ex:s> <ex:p> <ex:o> >> <ex:r> <ex:s1> .
+<< << <ex:s> <ex:p> <ex:o> >> <ex:r> <ex:s1> >> <ex:p1> <ex:o1> .
+'''),
+
+    # --- round-3 batch C: @propagate chains / @version / @import -------------
+    # (reference anchors: JsonLdParser-test.ts:9738-9790, :9908-9990,
+    #  :10289-10315, :5070-5129; W3C c021-c037 families)
+
+    ("propC_inline_propagate_false_reverts_one_level_down", {}, {
+        # JsonLdParser-test.ts:9738
+        "@context": {"@vocab": "http://vocab.org/"},
+        "@id": "http://ex.org/myid",
+        "foo": {"@context": {"@propagate": False,
+                             "@vocab": "http://vocab.1.org/"},
+                "@id": "http://ex.org/i1",
+                "bar": {"@id": "http://ex.org/i2", "baz": "buzz"}},
+    }, '''
+<http://ex.org/myid> <http://vocab.org/foo> <http://ex.org/i1> .
+<http://ex.org/i1> <http://vocab.1.org/bar> <http://ex.org/i2> .
+<http://ex.org/i2> <http://vocab.org/baz> "buzz" .
+'''),
+
+    ("propC_property_scoped_propagate_true", {}, {
+        # JsonLdParser-test.ts:9908 — scoped ctx opts INTO propagation
+        "@context": {"@vocab": "http://vocab.org/",
+                     "foo": {"@context": {"@propagate": True,
+                                          "@vocab": "http://ex.org/"}}},
+        "@id": "http://ex.org/myid",
+        "foo": {"@id": "http://ex.org/i1",
+                "bar1": {"@id": "http://ex.org/i2", "bar2": "baz"}},
+    }, '''
+<http://ex.org/myid> <http://vocab.org/foo> <http://ex.org/i1> .
+<http://ex.org/i1> <http://ex.org/bar1> <http://ex.org/i2> .
+<http://ex.org/i2> <http://ex.org/bar2> "baz" .
+'''),
+
+    ("propC_property_scoped_default_no_propagate", {}, {
+        # JsonLdParser-test.ts:9936 — property-scoped default is propagate:
+        # false ONLY when explicit; default scoped ctx DOES propagate, the
+        # explicit @propagate: false stops at the next level
+        "@context": {"@vocab": "http://vocab.org/",
+                     "foo": {"@context": {"@propagate": False,
+                                          "@vocab": "http://ex.org/"}}},
+        "@id": "http://ex.org/myid",
+        "foo": {"@id": "http://ex.org/i1",
+                "bar1": {"@id": "http://ex.org/i2", "bar2": "baz"}},
+    }, '''
+<http://ex.org/myid> <http://vocab.org/foo> <http://ex.org/i1> .
+<http://ex.org/i1> <http://ex.org/bar1> <http://ex.org/i2> .
+<http://ex.org/i2> <http://vocab.org/bar2> "baz" .
+'''),
+
+    ("propC_type_scoped_propagate_true", {}, {
+        # JsonLdParser-test.ts:10289 — type-scoped default is NO propagation;
+        # @propagate: true opts in
+        "@context": {"@vocab": "http://vocab.org/",
+                     "Foo": {"@id": "http://ex.org/Foo",
+                             "@context": {"@propagate": True,
+                                          "@vocab": "http://vocab.1.org/"}}},
+        "@type": "Foo", "@id": "http://ex.org/myid",
+        "bar": {"@id": "http://ex.org/i1", "baz": "buzz"},
+    }, '''
+<http://ex.org/myid> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/Foo> .
+<http://ex.org/myid> <http://vocab.1.org/bar> <http://ex.org/i1> .
+<http://ex.org/i1> <http://vocab.1.org/baz> "buzz" .
+'''),
+
+    ("propC_chain_reverts_to_outer_everywhere_below", {}, {
+        "@context": {"@vocab": "http://v0.org/",
+                     "foo": {"@context": {"@propagate": False,
+                                          "@vocab": "http://v1.org/"}}},
+        "@id": "http://ex.org/a",
+        "foo": {"@id": "http://ex.org/b",
+                "bar": {"@id": "http://ex.org/c",
+                        "baz": {"@id": "http://ex.org/d", "qux": "v"}}},
+    }, '''
+<http://ex.org/a> <http://v0.org/foo> <http://ex.org/b> .
+<http://ex.org/b> <http://v1.org/bar> <http://ex.org/c> .
+<http://ex.org/c> <http://v0.org/baz> <http://ex.org/d> .
+<http://ex.org/d> <http://v0.org/qux> "v" .
+'''),
+
+    ("propC_nonpropagating_language_still_applies_locally", {}, {
+        "@context": {"@vocab": "http://v0.org/"},
+        "@id": "http://ex.org/a",
+        "foo": {"@context": {"@propagate": False, "@language": "en"},
+                "@id": "http://ex.org/b", "bar": "direct",
+                "deep": {"@id": "http://ex.org/c", "inner": "nested"}},
+    }, '''
+<http://ex.org/a> <http://v0.org/foo> <http://ex.org/b> .
+<http://ex.org/b> <http://v0.org/bar> "direct"@en .
+<http://ex.org/b> <http://v0.org/deep> <http://ex.org/c> .
+<http://ex.org/c> <http://v0.org/inner> "nested" .
+'''),
+
+    ("verC_version_in_second_array_context", {}, {
+        # JsonLdParser-test.ts:5070 — @version 1.1 in one member of a
+        # context array is legal and scoped to that member
+        "@context": [{"ex": "https://example.org/ns/"},
+                     {"@version": 1.1,
+                      "VC": {"@id": "https://w3.org/VC"}}],
+        "@id": "ex:x", "@type": "VC",
+    }, '''
+<https://example.org/ns/x> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <https://w3.org/VC> .
+'''),
+
+    ("verC_version_in_scoped_context", {}, {
+        "@context": {"@vocab": "http://v/",
+                     "foo": {"@context": {"@version": 1.1,
+                                          "bar": "http://b/bar"}}},
+        "@id": "http://e/s", "foo": {"@id": "http://e/i", "bar": "z"},
+    }, '''
+<http://e/s> <http://v/foo> <http://e/i> .
+<http://e/i> <http://b/bar> "z" .
+'''),
+
+    ("verC_version_with_protected_vc_pattern", {}, {
+        # JsonLdParser-test.ts:5096 — the VC pattern: protected 1.1 context
+        "@context": [{"ex": "https://example.org/ns/"},
+                     {"@version": 1.1, "@protected": True,
+                      "VC": {"@id": "https://w3.org/VC"}}],
+        "@id": "ex:x", "@type": "VC",
+    }, '''
+<https://example.org/ns/x> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <https://w3.org/VC> .
+'''),
+
+    ("impC_relative_import_resolved_against_base", {
+        "base_iri": "https://c/doc",
+        "ctx_cache": {"https://c/i": {"@context": {"a": "http://e/a"}}}}, {
+        "@context": {"@import": "i"},
+        "@id": "http://e/s", "a": "v",
+    }, '''
+<http://e/s> <http://e/a> "v" .
+'''),
+
+    ("impC_imported_vocab_applies", {
+        "ctx_cache": {"https://c/i":
+                      {"@context": {"@vocab": "http://impv/"}}}}, {
+        "@context": {"@import": "https://c/i"},
+        "@id": "http://e/s", "p": "v",
+    }, '''
+<http://e/s> <http://impv/p> "v" .
+'''),
+
+    # --- round-3 batch D: exotic IRI forms ------------------------------------
+    # (RFC 3986 sections 3.2.2 / 5.4; reference delegates to
+    #  jsonld-context-parser isValidIri + relative-to-absolute-iri)
+
+    ("iriD_ipv6_authority_id_pred_obj", {}, {
+        "@id": "http://[2001:db8::7]/s",
+        "http://[2001:db8::7]/p": {"@id": "http://[::1]:8080/o"},
+    }, '''
+<http://[2001:db8::7]/s> <http://[2001:db8::7]/p> <http://[::1]:8080/o> .
+'''),
+
+    ("iriD_ipv6_base_resolution", {"base_iri": "http://[2001:db8::7]/a/b"}, {
+        "@id": "rel", "http://e/p": "v",
+    }, '''
+<http://[2001:db8::7]/a/rel> <http://e/p> "v" .
+'''),
+
+    ("iriD_urn_uuid_typed", {}, {
+        "@id": "urn:uuid:6e8bc430-9c3a-11d9-9669-0800200c9a66",
+        "@type": "urn:example:Type",
+    }, '''
+<urn:uuid:6e8bc430-9c3a-11d9-9669-0800200c9a66> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <urn:example:Type> .
+'''),
+
+    ("iriD_urn_base_query_reference",
+     {"base_iri": "urn:example:animal:ferret:nose"}, {
+        # a ?query reference against an opaque-path urn base (RFC 5.3)
+        "@id": "?x", "http://e/p": "v",
+    }, '''
+<urn:example:animal:ferret:nose?x> <http://e/p> "v" .
+'''),
+
+    ("iriD_tag_scheme", {}, {
+        "@id": "tag:ex.org,2024:x", "http://e/p": "v",
+    }, '''
+<tag:ex.org,2024:x> <http://e/p> "v" .
+'''),
+
+    ("iriD_percent_encoded_slash_segment_kept",
+     {"base_iri": "http://e/a%2Fb/c"}, {
+        "@id": "d", "http://e/p": "v",
+    }, '''
+<http://e/a%2Fb/d> <http://e/p> "v" .
+'''),
+
+    ("iriD_percent_encoded_unicode_ref", {"base_iri": "http://e/p/"}, {
+        "@id": "%E2%82%AC", "http://e/p": "v",
+    }, '''
+<http://e/p/%E2%82%AC> <http://e/p> "v" .
+'''),
+
+    ("iriD_excess_dotdot_clamped_at_root", {"base_iri": "http://e/a/b"}, {
+        "@id": "../../../x", "http://e/p": "v",
+    }, '''
+<http://e/x> <http://e/p> "v" .
+'''),
+
+    ("iriD_semicolon_params_with_dotseg", {"base_iri": "http://e/a/b"}, {
+        "@id": "g;x=1/./y", "http://e/p": "v",
+    }, '''
+<http://e/a/g;x=1/y> <http://e/p> "v" .
+'''),
+
+    ("iriD_empty_ref_is_base_sans_fragment",
+     {"base_iri": "http://e/a?q#f"}, {
+        "@id": "", "http://e/p": "v",
+    }, '''
+<http://e/a?q> <http://e/p> "v" .
+'''),
+
+    ("iriD_exotic_scheme_chars", {}, {
+        "@id": "x+y-z.1://h/p", "http://e/p": "v",
+    }, '''
+<x+y-z.1://h/p> <http://e/p> "v" .
+'''),
+
+    ("iriD_file_scheme_empty_authority", {"base_iri": "file:///a/b"}, {
+        "@id": "c", "http://e/p": "v",
+    }, '''
+<file:///a/c> <http://e/p> "v" .
+'''),
 ]

@@ -630,6 +630,13 @@ NEGATIVE_CASES = [
     ("invalid base direction",
      {"@id": "http://e/s",
       "http://e/p": {"@value": "x", "@direction": "sideways"}}),
+    ("invalid value object",  # @direction + @type (reference Util.ts:410)
+     {"@id": "http://e/s",
+      "http://e/p": {"@value": "x", "@direction": "rtl",
+                     "@type": "http://e/T"}}),
+    ("invalid value object",  # @direction needs string @value (Util.ts:378)
+     {"@id": "http://e/s",
+      "http://e/p": {"@value": 4, "@direction": "rtl"}}),
     ("invalid @index value",
      {"@id": "http://e/s", "http://e/p": {"@value": "x", "@index": 9}}),
     ("invalid reverse property map",
@@ -757,6 +764,9 @@ NEGATIVE_REMOTE_CASES = [
     ("invalid context entry",  # @import inside an imported context
      {"@context": {"@import": "https://c/i"}, "http://e/p": "v"},
      {"https://c/i": {"@context": {"@import": "https://c/j"}}}),
+    ("invalid remote context",  # imported context must be a map, not array
+     {"@context": {"@import": "https://c/i"}, "http://e/p": "v"},
+     {"https://c/i": {"@context": [{"a": "http://e/a"}]}}),
     ("context overflow",
      {"@context": "https://c/0", "http://e/p": "v"},
      {**{f"https://c/{i}": {"@context": [f"https://c/{i+1}"]}
