@@ -435,15 +435,21 @@ def _expand_map(ctx: Context, key: str, td, container: frozenset,
                   else "@id" if "@id" in container else "@type")
     for idx, items in value.items():
         map_ctx = ctx
-        if index_kind in ("@id", "@type"):
-            itd = ctx.term(idx)
-            if index_kind == "@type" and itd is not None \
-                    and itd.context is not UNSET:
-                map_ctx = process_context(ctx, itd.context, itd.base_url,
+        if index_kind == "@type":
+            # W3C expansion 13.7.2: a @type map's values expand against the
+            # PREVIOUS context when the active context is type-scoped (the
+            # map keys introduce types, so type-scoped overrides must not
+            # leak into the map values)
+            if ctx.previous_context is not None:
+                map_ctx = ctx.previous_context
+            itd = map_ctx.term(idx)
+            if itd is not None and itd.context is not UNSET:
+                # 13.7.3.1: the key's own type-scoped context applies on top
+                map_ctx = process_context(map_ctx, itd.context, itd.base_url,
                                           ctx_cache, propagate=False)
         idx_is_none = (idx == "@none"
-                       or (ctx.term(idx) is not None
-                           and ctx.term(idx).iri == "@none"))
+                       or (map_ctx.term(idx) is not None
+                           and map_ctx.term(idx).iri == "@none"))
         expanded = expand(map_ctx, key, as_list(items), base_url, ctx_cache,
                           from_map=True)
         for item in as_list(expanded):

@@ -2581,4 +2581,151 @@ _:n <http://e/q> "inner"^^<https://www.w3.org/ns/i18n#_rtl> .
     }, '''
 <file:///a/c> <http://e/p> "v" .
 '''),
+
+    # --- round-3 batch E: scoping-precedence combinations ---------------------
+    # (reference anchors: JsonLdParser-test.ts:10537-10840)
+
+    ("scopeE_type_scoping_beats_embedded_context", {}, {
+        "@context": {"@vocab": "http://vocab.org/",
+                     "Foo": {"@id": "http://ex.org/Foo",
+                             "@context": {"@vocab": "http://vocab.1.org/"}}},
+        "@id": "http://ex.org/myid",
+        "prop": {"@context": {"@vocab": "http://vocab.ignored.org/"},
+                 "@type": "Foo", "@id": "http://ex.org/i", "bar": "baz"},
+    }, '''
+<http://ex.org/myid> <http://vocab.org/prop> <http://ex.org/i> .
+<http://ex.org/i> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/Foo> .
+<http://ex.org/i> <http://vocab.1.org/bar> "baz" .
+'''),
+
+    ("scopeE_type_scoping_beats_property_scoping", {}, {
+        "@context": {"@vocab": "http://vocab.org/",
+                     "Foo": {"@id": "http://ex.org/Foo",
+                             "@context": {"@vocab": "http://vocab.1.org/"}},
+                     "prop": {"@context":
+                              {"@vocab": "http://vocab.ignored.org/"}}},
+        "@id": "http://ex.org/myid",
+        "prop": {"@type": "Foo", "@id": "http://ex.org/i", "bar": "baz"},
+    }, '''
+<http://ex.org/myid> <http://vocab.org/prop> <http://ex.org/i> .
+<http://ex.org/i> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/Foo> .
+<http://ex.org/i> <http://vocab.1.org/bar> "baz" .
+'''),
+
+    ("scopeE_embedded_context_beats_property_scoping", {}, {
+        "@context": {"@vocab": "http://vocab.org/",
+                     "prop": {"@context":
+                              {"@vocab": "http://vocab.ignored.org/"}}},
+        "@id": "http://ex.org/myid",
+        "prop": {"@context": {"@vocab": "http://vocab.1.org/"},
+                 "@id": "http://ex.org/i", "bar": "baz"},
+    }, '''
+<http://ex.org/myid> <http://vocab.org/prop> <http://ex.org/i> .
+<http://ex.org/i> <http://vocab.1.org/bar> "baz" .
+'''),
+
+    ("scopeE_nested_type_then_property_scopes", {}, {
+        "@context": {"@vocab": "http://example/",
+                     "Foo": {"@context": {"bar": {"@context":
+                             {"baz": {"@type": "@vocab"}}}}}},
+        "@type": "Foo", "@id": "http://ex.org/myid",
+        "bar": {"baz": "buzz"},
+    }, '''
+<http://ex.org/myid> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://example/Foo> .
+<http://ex.org/myid> <http://example/bar> _:b0 .
+_:b0 <http://example/baz> <http://example/buzz> .
+'''),
+
+    ("scopeE_type_vocab_in_property_scope", {}, {
+        "@context": {"@vocab": "http://vocab.org/",
+                     "Inner": {"@context": {"foo": {"@type": "@vocab",
+                               "@context": {"Foo": "ex:Foo"}}}}},
+        "@id": "http://ex.org/myid",
+        "nested": {"@type": "Inner", "@id": "http://ex.org/i",
+                   "foo": "Foo"},
+    }, '''
+<http://ex.org/myid> <http://vocab.org/nested> <http://ex.org/i> .
+<http://ex.org/i> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://vocab.org/Inner> .
+<http://ex.org/i> <http://vocab.org/foo> <ex:Foo> .
+'''),
+
+    ("scopeE_double_type_scoping_chain", {}, {
+        "@context": {"@vocab": "http://vocab.org/",
+                     "Outer": {"@id": "ex:Outer",
+                               "@context": {"nested": "ex:nested"}},
+                     "Inner": {"@id": "ex:Inner",
+                               "@context": {"foo": {"@id": "ex:foo",
+                                            "@type": "@vocab",
+                                            "@context": {"Foo": "ex:Foo"}}}}},
+        "@type": "Outer", "@id": "http://ex.org/myid",
+        "nested": {"@type": "Inner", "@id": "http://ex.org/i",
+                   "foo": "Foo"},
+    }, '''
+<http://ex.org/myid> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <ex:Outer> .
+<http://ex.org/myid> <ex:nested> <http://ex.org/i> .
+<http://ex.org/i> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <ex:Inner> .
+<http://ex.org/i> <ex:foo> <ex:Foo> .
+'''),
+
+    ("scopeE_double_type_scoping_no_vocab", {}, {
+        "@context": {"Outer": {"@id": "ex:Outer",
+                               "@context": {"nested": "ex:nested"}},
+                     "Inner": {"@id": "ex:Inner",
+                               "@context": {"foo": {"@id": "ex:foo",
+                                            "@type": "@vocab",
+                                            "@context": {"Foo": "ex:Foo"}}}}},
+        "@type": "Outer", "@id": "http://ex.org/myid",
+        "nested": {"@type": "Inner", "@id": "http://ex.org/i",
+                   "foo": "Foo"},
+    }, '''
+<http://ex.org/myid> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <ex:Outer> .
+<http://ex.org/myid> <ex:nested> <http://ex.org/i> .
+<http://ex.org/i> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <ex:Inner> .
+<http://ex.org/i> <ex:foo> <ex:Foo> .
+'''),
+
+    # --- round-3 batch F: @type-container previous-context semantics ----------
+    # (W3C expansion 13.7.2; reference anchor: JsonLdParser-test.ts:9378 —
+    #  found a real kernel bug: type-map values leaked the type-scoped ctx)
+
+    ("typemapF_index_container_overridden_as_type_container", {}, {
+        "@context": {"@vocab": "http://example/",
+                     "prop": {"@container": "@index"},
+                     "Outer": {"@context": {"prop":
+                               {"@id": "http://example/outer-prop",
+                                "@container": "@type"}}}},
+        "@type": "Outer", "@id": "ex:outer",
+        "prop": {"Inner": {"prop": {"bar": "baz"}}},
+    }, '''
+<ex:outer> <http://example/outer-prop> _:b0 .
+<ex:outer> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://example/Outer> .
+_:b0 <http://example/prop> "baz" .
+_:b0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://example/Inner> .
+'''),
+
+    ("typemapF_key_scoped_ctx_applies_to_value", {}, {
+        "@context": {"@vocab": "http://example/",
+                     "p": {"@container": "@type"},
+                     "T": {"@context": {"q": "http://scoped/q"}}},
+        "@id": "ex:s", "p": {"T": {"q": "v"}},
+    }, '''
+<ex:s> <http://example/p> _:b0 .
+_:b0 <http://scoped/q> "v" .
+_:b0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://example/T> .
+'''),
+
+    ("typemapF_id_container_keeps_type_scoped_ctx", {}, {
+        # previous-context reversion is @type-map-specific: @id maps under a
+        # type-scope keep the scoped defs
+        "@context": {"@vocab": "http://example/",
+                     "Outer": {"@context": {"q": "http://scoped/q",
+                               "idp": {"@id": "http://example/idp",
+                                       "@container": "@id"}}}},
+        "@type": "Outer", "@id": "ex:s",
+        "idp": {"ex:n": {"q": "v"}},
+    }, '''
+<ex:s> <http://example/idp> <ex:n> .
+<ex:s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://example/Outer> .
+<ex:n> <http://scoped/q> "v" .
+'''),
 ]
