@@ -390,6 +390,16 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
             if value is None:
                 result.vocab = None
             elif isinstance(value, str):
+                if (result.mode == "json-ld-1.0"
+                        and not value.startswith("_:")
+                        and not iri_mod.is_absolute_iri(value)
+                        and ":" not in value):
+                    # relative @vocab (incl. '' and '#') is 1.1-only; 1.0
+                    # rejects it (reference: 'Relative vocab expansion ...
+                    # is not allowed', jsonld-context-parser 1.0 gate)
+                    raise JsonLdError("invalid vocab mapping",
+                                      f"relative @vocab {value!r} requires "
+                                      "json-ld-1.1")
                 vocab = expand_iri(result, value, vocab=True,
                                    document_relative=True)
                 if vocab is not None and (vocab.startswith("_:")

@@ -2728,4 +2728,85 @@ _:b0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://example/T> .
 <ex:s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://example/Outer> .
 <ex:n> <http://scoped/q> "v" .
 '''),
+
+    # --- round-3 batch G: prefixes / @vocab forms / JSON literals -------------
+    # (reference anchors: JsonLdParser-test.ts:4787-4956, :6739-6898)
+
+    ("prefG_simple_term_non_gendelim_is_not_prefix", {}, {
+        # 1.1: a simple term is only a prefix if its IRI ends in a gen-delim
+        "@context": {"pre": "http://ex.org/suffix"},
+        "@id": "http://e/s", "pre:x": "v",
+    }, '''
+<http://e/s> <pre:x> "v" .
+'''),
+
+    ("prefG_simple_term_gendelim_is_prefix", {}, {
+        "@context": {"pre": "http://ex.org/ns#"},
+        "@id": "http://e/s", "pre:x": "v",
+    }, '''
+<http://e/s> <http://ex.org/ns#x> "v" .
+'''),
+
+    ("prefG_explicit_prefix_true_non_gendelim", {}, {
+        "@context": {"pre": {"@id": "http://ex.org/suffix",
+                             "@prefix": True}},
+        "@id": "http://e/s", "pre:x": "v",
+    }, '''
+<http://e/s> <http://ex.org/suffixx> "v" .
+'''),
+
+    ("prefG_expanded_term_def_is_not_prefix", {}, {
+        # an expanded term definition (map form) is NOT a prefix unless
+        # @prefix: true, even with a gen-delim IRI
+        "@context": {"pre": {"@id": "http://ex.org/ns#"}},
+        "@id": "http://e/s", "pre:x": "v",
+    }, '''
+<http://e/s> <pre:x> "v" .
+'''),
+
+    ("vocabG_hash_resolves_against_base", {}, {
+        # JsonLdParser-test.ts:4788 — @vocab: "#" reuses the @base
+        "@context": {"@base": "http://example/document", "@vocab": "#"},
+        "@type": "Restaurant",
+        "@id": "http://example.org/places#BrewEats",
+        "name": "Brew Eats",
+    }, '''
+<http://example.org/places#BrewEats> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://example/document#Restaurant> .
+<http://example.org/places#BrewEats> <http://example/document#name> "Brew Eats" .
+'''),
+
+    ("vocabG_relative_concat_onto_vocab", {}, {
+        # 1.1: a second relative @vocab concatenates onto the current vocab
+        "@context": [{"@vocab": "http://v/"}, {"@vocab": "sub/"}],
+        "@id": "http://e/s", "p": "v",
+    }, '''
+<http://e/s> <http://v/sub/p> "v" .
+'''),
+
+    ("jsonG_array_value_is_single_literal", {}, {
+        # JsonLdParser-test.ts:6830 — @json type: the ARRAY is the value,
+        # no fan-out
+        "@context": {"e": {"@id": "http://example.com/vocab/json",
+                           "@type": "@json"}},
+        "e": ["a", True],
+    }, '''
+_:b0 <http://example.com/vocab/json> "[\\"a\\",true]"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+'''),
+
+    ("jsonG_canonical_key_order_and_numbers", {}, {
+        # RFC 8785: lexicographic keys, ES6 shortest-number forms
+        "@context": {"e": {"@id": "http://example.com/vocab/json",
+                           "@type": "@json"}},
+        "e": {"zzz": "z", "b": 3, "a": True, "f": 2.5, "big": 1e21},
+    }, '''
+_:b0 <http://example.com/vocab/json> "{\\"a\\":true,\\"b\\":3,\\"big\\":1e+21,\\"f\\":2.5,\\"zzz\\":\\"z\\"}"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+'''),
+
+    ("jsonG_null_value_kept", {}, {
+        "@context": {"e": {"@id": "http://example.com/vocab/json",
+                           "@type": "@json"}},
+        "e": None,
+    }, '''
+_:b0 <http://example.com/vocab/json> "null"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+'''),
 ]

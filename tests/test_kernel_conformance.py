@@ -639,6 +639,7 @@ NEGATIVE_CASES = [
       "http://e/p": {"@value": 4, "@direction": "rtl"}}),
     ("invalid @index value",
      {"@id": "http://e/s", "http://e/p": {"@value": "x", "@index": 9}}),
+
     ("invalid reverse property map",
      {"@id": "http://e/s", "@reverse": {"@type": "http://e/T"}}),
     ("invalid @reverse value",
@@ -1030,3 +1031,13 @@ def test_value_type_array_errors():
         quads({"@id": "http://e/s",
                "http://e/p": {"@value": "x", "@type": ["http://e/dt"]}})
     assert exc.value.code == "invalid typed value"
+
+
+def test_relative_vocab_rejected_in_10_mode():
+    # relative @vocab (incl. '#') is a JSON-LD 1.1 feature; 1.0 rejects it
+    doc = {"@context": {"@base": "http://example/document", "@vocab": "#"},
+           "@id": "http://e/s", "name": "v"}
+    opts = ParserOptions(processing_mode="json-ld-1.0")
+    with pytest.raises(JsonLdError) as exc:
+        jsonld_to_quads(doc, opts)
+    assert exc.value.code == "invalid vocab mapping"
