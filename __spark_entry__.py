@@ -377,10 +377,17 @@ def _q_events_sessionize(spark, sf_dir):
 
 
 def _q_dedup_embedding_lsh_recall(spark, sf_dir):
-    """Honest recall audit of the LSH scale path against its exact
-    all-pairs twin: one row (n_lsh, n_exact, recall). LSH is a candidate
-    filter — recall < 1 is the documented trade, now measured per run."""
-    emb = _tbl(spark, sf_dir, "embeddings")
+    """Honest recall audit of the LSH scale path against its exact twin,
+    on a DETERMINISTIC ~1/4 id sample: one row (n_lsh, n_exact, recall).
+    LSH is a candidate filter — recall < 1 is the documented trade, now
+    measured per run. Sampling keeps the exact side O((n/4)^2), so the
+    audit itself stays runnable at corpus scale (the unsampled all-pairs
+    form remains available as the sf-scale oracle twin,
+    ``dedup_embedding_cosine``); pair-level recall on an id sample is an
+    unbiased estimate because endpoints are sampled independently of
+    their similarity."""
+    emb = similarity.deterministic_id_sample(
+        _tbl(spark, sf_dir, "embeddings"), "vec_id", mod=4)
     # LSH output is verified by exact cosine, so it is a strict subset of
     # the all-pairs result: recall = n_lsh / n_exact. One declarative plan,
     # no driver-side actions.
@@ -1076,21 +1083,30 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        round(sum(value), 2) AS sum_value
 FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""
 
+    # the recall audit runs on a deterministic ~1/4 md5(vec_id) sample
+    # (mirrors similarity.deterministic_id_sample — same stratum math)
+    samp = ("('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT"
+            " % 4 = 0")
+    lsh_tables_sampled = lsh_tables.replace(
+        "FROM embeddings)", f"FROM embeddings WHERE {samp})")
     oracles["dedup_embedding_lsh_recall"] = f"""
-WITH cand AS (
-{lsh_tables}
+WITH se AS (
+  SELECT * FROM embeddings WHERE {samp}
+),
+cand AS (
+{lsh_tables_sampled}
 ),
 lshv AS (
   SELECT CAST(count(*) AS BIGINT) AS n_lsh
   FROM cand c
-  JOIN embeddings a ON a.vec_id = c.id_a
-  JOIN embeddings b ON b.vec_id = c.id_b
+  JOIN se a ON a.vec_id = c.id_a
+  JOIN se b ON b.vec_id = c.id_b
   WHERE round(({dot_ab}) / greatest(({norm.format(side='a')})
         * ({norm.format(side='b')}), 1e-12), 6) >= 0.4
 ),
 exactv AS (
   SELECT CAST(count(*) AS BIGINT) AS n_exact
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM se a JOIN se b ON a.vec_id < b.vec_id
   WHERE round(({dot_ab}) / greatest(({norm.format(side='a')})
         * ({norm.format(side='b')}), 1e-12), 6) >= 0.4
 )

@@ -157,6 +157,21 @@ def embedding_lsh_pairs(embeddings: DataFrame, threshold: float = 0.4,
             .where(F.col("cos_sim") >= threshold))
 
 
+def deterministic_id_sample(df: DataFrame, id_col: str = "vec_id",
+                            mod: int = 4) -> DataFrame:
+    """Keep rows whose md5(id) falls in stratum 0 of ``mod`` — the
+    deterministic ~1/mod sample that makes the recall audit's exact
+    all-pairs side scale-safe: O((n/mod)^2) instead of O(n^2), with an
+    unbiased pair-level recall estimate (both pair endpoints sampled
+    independently of their similarity). md5 (not xxhash64) so the DuckDB
+    oracle computes the identical stratum with
+    ``('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT % mod``."""
+    stratum = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+               16, 10).cast("long"), F.lit(mod))
+    return df.where(stratum == 0)
+
+
 def lsh_topk(embeddings: DataFrame, query_ids: list[int],
              k: int = 5, n_planes: int = 6) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket,
