@@ -1,0 +1,55 @@
+"""CLI: build the broadcast remote-context cache at the driver.
+
+    python tools/prefetch_contexts.py --mirror DIR --out cache.json IRI...
+
+Fetches every IRI (plus transitively referenced contexts) through a
+directory mirror (offline sandbox analog of an HTTP loader — see
+``jsonld_streaming_parser_js_spark/sources/prefetch.py``), validates the
+result once, and writes the JSON mapping that jobs load and broadcast:
+
+    cache = json.load(open("cache.json"))
+    parse_pages(pages, ctx_cache=cache)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from jsonld_streaming_parser_js_spark.sources.prefetch import (  # noqa: E402
+    FileMirrorLoader,
+    MappingLoader,
+    build_context_cache,
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("iris", nargs="+", help="root context IRIs to prefetch")
+    ap.add_argument("--mirror", help="directory of mirrored .jsonld files")
+    ap.add_argument("--mapping",
+                    help="JSON file {iri: document} to load from")
+    ap.add_argument("--out", required=True, help="output cache JSON path")
+    ap.add_argument("--lenient", action="store_true",
+                    help="skip unloadable contexts instead of failing")
+    args = ap.parse_args()
+    if args.mirror:
+        loader = FileMirrorLoader(args.mirror)
+    elif args.mapping:
+        with open(args.mapping, encoding="utf-8") as fh:
+            loader = MappingLoader(json.load(fh))
+    else:
+        ap.error("one of --mirror / --mapping is required")
+    cache = build_context_cache(args.iris, loader,
+                                strict=not args.lenient)
+    with open(args.out, "w", encoding="utf-8") as fh:
+        json.dump(cache, fh, sort_keys=True)
+    print(f"{len(cache)} contexts -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
