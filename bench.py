@@ -205,7 +205,55 @@ def main() -> None:
         "amplify": AMPLIFY,
         "scaling": scaling,
     }
+    result["deltas_vs_prev"] = _deltas_vs_prev(result)
     print(json.dumps(result))
+
+
+def _deltas_vs_prev(result: dict) -> dict | None:
+    """Per-query deltas vs the newest BENCH_r*.json in the repo, flagging
+    >15% regressions explicitly so noise vs regression stops being a
+    judgment call (this VM's documented noise band is wide — BENCH.md)."""
+    import glob
+    import re
+    runs = sorted(glob.glob(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    if not runs:
+        return None
+    prev_path = runs[-1]
+    try:
+        with open(prev_path, encoding="utf-8") as fh:
+            raw = fh.read()
+        # driver files wrap the JSON line in a {"tail": "..."} record; the
+        # bench line is the last {...} JSON object parseable from the tail
+        prev = json.loads(raw)
+        if "queries" not in prev and "tail" in prev:
+            line = prev["tail"].strip().splitlines()[-1]
+            prev = json.loads(line)
+    except (ValueError, OSError, IndexError):
+        return None
+    if "queries" not in prev:
+        return None
+    deltas = {}
+    if prev.get("sf") and prev.get("sf") != result["sf"]:
+        deltas["_note"] = (f"prev ran at sf={prev['sf']}; "
+                           "deltas not comparable")
+    for name, sec in result["queries"].items():
+        old = prev["queries"].get(name)
+        if not old:
+            deltas[name] = {"prev_sec": None, "pct": None, "flag": "new"}
+            continue
+        pct = round(100.0 * (sec - old) / old, 1)
+        deltas[name] = {"prev_sec": old, "pct": pct,
+                        "flag": "REGRESSION" if pct > 15.0 else "ok"}
+    qps_old = prev.get("quads_per_sec")
+    if qps_old:
+        pct = round(100.0 * (result["quads_per_sec"] - qps_old) / qps_old, 1)
+        deltas["_headline_quads_per_sec"] = {
+            "prev": qps_old, "pct": pct,
+            "flag": "REGRESSION" if pct < -15.0 else "ok"}
+    deltas["_prev_file"] = os.path.basename(prev_path)
+    return deltas
 
 
 if __name__ == "__main__":
