@@ -307,6 +307,27 @@ def _q_mm_features(spark, sf_dir):
         .orderBy("media_id"))
 
 
+def _q_mm_decode_wav(spark, sf_dir):
+    """REAL audio decode lane: the audio subset of the media table gets a
+    real RIFF/PCM WAV payload (stdlib wave + NumPy parse); the decoded
+    waveform statistics are exact integers the oracle recomputes in SQL."""
+    from jsonld_streaming_parser_js_spark.operators import multimodal as mm
+    docs = _tbl(spark, sf_dir, "documents")
+    audio_ids = (docs.where(F.col("doc_id") % 3 == 1)
+                 .select(F.col("doc_id").alias("media_id")))
+    return mm.wav_stats_from_ids(audio_ids).orderBy("media_id")
+
+
+def _q_mm_decode_ppm(spark, sf_dir):
+    """REAL image decode lane: binary PPM (P6) payloads parsed by a real
+    header tokenizer + NumPy raster; per-channel sums are exact integers."""
+    from jsonld_streaming_parser_js_spark.operators import multimodal as mm
+    docs = _tbl(spark, sf_dir, "documents")
+    image_ids = (docs.where(F.col("doc_id") % 3 == 0)
+                 .select(F.col("doc_id").alias("media_id")))
+    return mm.ppm_stats_from_ids(image_ids).orderBy("media_id")
+
+
 def _q_tpch_q1(spark, sf_dir):
     li = _tbl(spark, sf_dir, "lineitem")
     return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
@@ -448,6 +469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": _q_sim_lsh_topk,
         "mm_media_stats": _q_mm_media_stats,
         "mm_features": _q_mm_features,
+        "mm_decode_wav": _q_mm_decode_wav,
+        "mm_decode_ppm": _q_mm_decode_ppm,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "window_top_orders": _q_window_top_orders,
@@ -884,6 +907,41 @@ SELECT doc_id AS media_id, {mm_kind} AS kind,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
        ('0x' || substr(sha256(text), 1, 2))::INT AS f0_byte
 FROM documents ORDER BY media_id"""
+
+    # REAL-decode lanes: the oracle recomputes the decoded statistics from
+    # the payload generators' closed-form integer definitions (the Spark
+    # side parses actual WAV/PPM bytes — multimodal.decode_wav/decode_ppm)
+    oracles["mm_decode_wav"] = """
+SELECT doc_id AS media_id,
+       CAST(800 + (doc_id % 5) * 160 AS INT) AS n_samples,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST((800 + (doc_id % 5) * 160) * 1000 // 16000 AS INT)
+         AS duration_ms,
+       CAST(list_max([(doc_id * 31 + i * 7) % 65536 - 32768
+                      FOR i IN range(800 + (doc_id % 5) * 160)]) AS INT)
+         AS peak,
+       CAST(list_sum([abs((doc_id * 31 + i * 7) % 65536 - 32768)
+                      FOR i IN range(800 + (doc_id % 5) * 160)]) AS BIGINT)
+         AS sum_abs
+FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id"""
+
+    oracles["mm_decode_ppm"] = """
+SELECT doc_id AS media_id,
+       CAST(8 + (doc_id % 4) * 4 AS INT) AS width,
+       CAST(6 + (doc_id % 3) * 2 AS INT) AS height,
+       CAST((6 + (doc_id % 3) * 2)
+            * list_sum([(doc_id + x) % 256
+                        FOR x IN range(8 + (doc_id % 4) * 4)]) AS BIGINT)
+         AS sum_r,
+       CAST(list_sum([list_sum([(x * y) % 256
+                                FOR x IN range(8 + (doc_id % 4) * 4)])
+                      FOR y IN range(6 + (doc_id % 3) * 2)]) AS BIGINT)
+         AS sum_g,
+       CAST((8 + (doc_id % 4) * 4)
+            * list_sum([(doc_id * 3 + y) % 256
+                        FOR y IN range(6 + (doc_id % 3) * 2)]) AS BIGINT)
+         AS sum_b
+FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id"""
 
     oracles["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,

@@ -1,10 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side architecture is fully real — schemas, Arrow-batched
-``mapInPandas`` decode/feature stages, partition sizing — while the actual
-codec calls are STUBBED behind deterministic fakes (``_decode_stub``):
-image/audio libraries are not in this container. Swapping the stub for
-PIL/torchaudio is a one-function change; nothing in the plan shape moves.
+``mapInPandas`` decode/feature stages, partition sizing. Codec status:
+
+- audio/WAV: REAL decode (``decode_wav`` — RIFF/PCM via the stdlib
+  ``wave`` module + NumPy), value-oracle-checked (mm_decode_wav).
+- image/PPM: REAL decode (``decode_ppm`` — binary P6, header parse +
+  NumPy), value-oracle-checked (mm_decode_ppm).
+- compressed formats (PNG/JPEG/MP3) and video: STUBBED behind
+  deterministic fakes (``_decode_stub``): those codec libraries are not in
+  this container (a permanent constraint documented in PARITY.md).
+  Swapping the stub for PIL/torchaudio/pyav is a one-function change;
+  nothing in the plan shape moves.
 
 Scale notes: binary payloads dominate row size, so these stages (a) select
 ONLY the binary column + key (column pruning keeps the scan lean), (b) cap
@@ -125,3 +132,179 @@ def media_stats(media: DataFrame) -> DataFrame:
                  F.sum(F.length("payload")).alias("total_bytes"),
                  F.round(F.avg(F.length("payload")), 2).alias("avg_bytes"))
             .orderBy("kind"))
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs: uncompressed WAV (RIFF/PCM, stdlib `wave`) and binary PPM
+# (P6). Both are complete decoders for their formats; the synth_* twins
+# build payloads whose DECODED statistics have closed-form integer
+# definitions, so the DuckDB oracle can recompute them exactly — the
+# decode path itself is real byte parsing, not a fake.
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 16000
+
+
+def synth_wav(media_id: int) -> bytes:
+    """Real mono 16 kHz 16-bit PCM WAV whose samples follow the
+    SQL-expressible pattern s_i = ((media_id*31 + i*7) % 65536) - 32768."""
+    import io
+    import wave as _wave
+
+    n = 800 + (media_id % 5) * 160
+    idx = np.arange(n, dtype=np.int64)
+    samples = ((media_id * 31 + idx * 7) % 65536 - 32768).astype("<i2")
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_RATE)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse RIFF/PCM WAV bytes -> exact-integer waveform statistics
+    (REAL decode: header via stdlib `wave`, samples via NumPy)."""
+    import io
+    import wave as _wave
+
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getcomptype() != "NONE":
+            raise NotImplementedError(
+                "only uncompressed 16-bit PCM WAV is decodable here")
+        rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+    if w.getnchannels() > 1:
+        samples = samples.reshape(-1, w.getnchannels()).mean(axis=1)
+        samples = samples.astype(np.int64)
+    return {
+        "n_samples": int(samples.size),
+        "sample_rate": int(rate),
+        "duration_ms": int(samples.size * 1000 // rate),
+        "peak": int(samples.max()) if samples.size else 0,
+        "sum_abs": int(np.abs(samples).sum()),
+    }
+
+
+def synth_ppm(media_id: int) -> bytes:
+    """Real binary PPM (P6) whose pixel channels follow SQL-expressible
+    integer patterns: r=(id+x)%256, g=(x*y)%256, b=(id*3+y)%256."""
+    w = 8 + (media_id % 4) * 4
+    h = 6 + (media_id % 3) * 2
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    img = np.stack([
+        np.broadcast_to((media_id + x) % 256, (h, w)),
+        (x * y) % 256,
+        np.broadcast_to((media_id * 3 + y) % 256, (h, w)),
+    ], axis=-1).astype(np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Parse binary PPM (P6) bytes -> (width, height, per-channel sums).
+    REAL decode: tokenizing header parser (comments + arbitrary
+    whitespace per the netpbm spec), NumPy pixel plane."""
+    if payload[:2] != b"P6":
+        raise NotImplementedError("only binary PPM (P6) is decodable here")
+    # header = magic, width, height, maxval as whitespace-separated tokens,
+    # with '#' comments running to end-of-line
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3:
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            end = pos
+            while payload[end:end + 1].isdigit():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+        else:
+            raise ValueError(f"bad PPM header byte at {pos}: {c!r}")
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    pos += 1  # single whitespace after maxval
+    raster = np.frombuffer(payload, dtype=np.uint8,
+                           count=width * height * 3, offset=pos)
+    img = raster.reshape(height, width, 3).astype(np.int64)
+    return {
+        "width": int(width),
+        "height": int(height),
+        "sum_r": int(img[:, :, 0].sum()),
+        "sum_g": int(img[:, :, 1].sum()),
+        "sum_b": int(img[:, :, 2].sum()),
+    }
+
+
+WAV_STATS_SCHEMA = ST.StructType([
+    ST.StructField("media_id", ST.LongType()),
+    ST.StructField("n_samples", ST.IntegerType()),
+    ST.StructField("sample_rate", ST.IntegerType()),
+    ST.StructField("duration_ms", ST.IntegerType()),
+    ST.StructField("peak", ST.IntegerType()),
+    ST.StructField("sum_abs", ST.LongType()),
+])
+
+PPM_STATS_SCHEMA = ST.StructType([
+    ST.StructField("media_id", ST.LongType()),
+    ST.StructField("width", ST.IntegerType()),
+    ST.StructField("height", ST.IntegerType()),
+    ST.StructField("sum_r", ST.LongType()),
+    ST.StructField("sum_g", ST.LongType()),
+    ST.StructField("sum_b", ST.LongType()),
+])
+
+
+def wav_stats_from_ids(ids: DataFrame, id_col: str = "media_id",
+                       max_batch_bytes: int = 64 << 20) -> DataFrame:
+    """ids -> synth WAV payload -> REAL decode -> exact stats.
+
+    Generation and decode run in the SAME Arrow batch so the (large)
+    payload bytes never cross a shuffle — only the small stat rows do;
+    with a stored media table, swap the generator for the payload column
+    and keep the decode half unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows, acc = [], 0
+            for mid in batch[id_col].tolist():
+                payload = synth_wav(int(mid))
+                acc += len(payload)
+                rows.append({"media_id": int(mid),
+                             **decode_wav(payload)})
+                if acc >= max_batch_bytes:
+                    yield pd.DataFrame(rows)
+                    rows, acc = [], 0
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return ids.select(F.col(id_col)).mapInPandas(run, WAV_STATS_SCHEMA)
+
+
+def ppm_stats_from_ids(ids: DataFrame, id_col: str = "media_id",
+                       max_batch_bytes: int = 64 << 20) -> DataFrame:
+    """ids -> synth PPM payload -> REAL decode -> exact stats (see
+    wav_stats_from_ids for the batching/shuffle notes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows, acc = [], 0
+            for mid in batch[id_col].tolist():
+                payload = synth_ppm(int(mid))
+                acc += len(payload)
+                rows.append({"media_id": int(mid),
+                             **decode_ppm(payload)})
+                if acc >= max_batch_bytes:
+                    yield pd.DataFrame(rows)
+                    rows, acc = [], 0
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return ids.select(F.col(id_col)).mapInPandas(run, PPM_STATS_SCHEMA)

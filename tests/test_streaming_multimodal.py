@@ -138,3 +138,79 @@ def test_stateful_running_site_totals(spark):
             assert got[r["site"]][1] == r["q"]
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# --- real codecs: WAV (RIFF/PCM) + PPM (P6) ----------------------------------
+
+def test_wav_roundtrip_exact_stats():
+    import numpy as np
+    from jsonld_streaming_parser_js_spark.operators import multimodal as mm
+    for mid in (0, 1, 7, 123, 4999):
+        d = mm.decode_wav(mm.synth_wav(mid))
+        n = 800 + (mid % 5) * 160
+        s = (mid * 31 + np.arange(n) * 7) % 65536 - 32768
+        assert d == {"n_samples": n, "sample_rate": 16000,
+                     "duration_ms": n * 1000 // 16000,
+                     "peak": int(s.max()),
+                     "sum_abs": int(np.abs(s).sum())}
+
+
+def test_wav_rejects_non_pcm():
+    import pytest as _pytest
+    from jsonld_streaming_parser_js_spark.operators import multimodal as mm
+    with _pytest.raises(Exception):  # truncated/garbage header
+        mm.decode_wav(b"RIFFxxxxWAVE")
+
+
+def test_ppm_roundtrip_exact_sums():
+    import numpy as np
+    from jsonld_streaming_parser_js_spark.operators import multimodal as mm
+    for mid in (0, 3, 6, 11, 4998):
+        e = mm.decode_ppm(mm.synth_ppm(mid))
+        w, h = 8 + (mid % 4) * 4, 6 + (mid % 3) * 2
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        assert e == {
+            "width": w, "height": h,
+            "sum_r": int(np.broadcast_to((mid + x) % 256, (h, w)).sum()),
+            "sum_g": int(((x * y) % 256 * np.ones((h, 1), int)).sum()),
+            "sum_b": int(np.broadcast_to((mid * 3 + y) % 256,
+                                         (h, w)).sum())}
+
+
+def test_ppm_header_comments_and_whitespace():
+    from jsonld_streaming_parser_js_spark.operators import multimodal as mm
+    payload = b"P6 # c1\n# full comment line\n 4\n2 # c2\n255\n" \
+        + bytes(range(24))
+    got = mm.decode_ppm(payload)
+    assert (got["width"], got["height"]) == (4, 2)
+
+
+def test_ppm_rejects_other_magics():
+    import pytest as _pytest
+    from jsonld_streaming_parser_js_spark.operators import multimodal as mm
+    with _pytest.raises(NotImplementedError):
+        mm.decode_ppm(b"P3\n1 1\n255\n0 0 0")
+
+
+def test_wav_stats_operator_distributed(spark):
+    from jsonld_streaming_parser_js_spark.operators import multimodal as mm
+    ids = spark.range(12).select(F.col("id").alias("media_id"))
+    rows = {r["media_id"]: r for r in
+            mm.wav_stats_from_ids(ids).collect()}
+    assert len(rows) == 12
+    d = mm.decode_wav(mm.synth_wav(5))
+    got = rows[5]
+    assert (got["n_samples"], got["peak"], got["sum_abs"]) == (
+        d["n_samples"], d["peak"], d["sum_abs"])
+
+
+def test_ppm_stats_operator_distributed(spark):
+    from jsonld_streaming_parser_js_spark.operators import multimodal as mm
+    ids = spark.range(9).select(F.col("id").alias("media_id"))
+    rows = {r["media_id"]: r for r in
+            mm.ppm_stats_from_ids(ids).collect()}
+    e = mm.decode_ppm(mm.synth_ppm(4))
+    got = rows[4]
+    assert (got["width"], got["height"], got["sum_g"]) == (
+        e["width"], e["height"], e["sum_g"])
