@@ -397,6 +397,27 @@ def _q_events_sessionize(spark, sf_dir):
             .orderBy("user_id", "session_seq"))
 
 
+def _q_streaming_sessionize(spark, sf_dir):
+    """The STREAMING twin of events_sessionize: a real file-source
+    Structured Streaming job (4 ordered micro-batches + sentinel flush,
+    applyInPandasWithState session state straddling batch boundaries),
+    value-hash-checked against the same DuckDB oracle as the batch twin."""
+    import shutil
+    import tempfile
+    from jsonld_streaming_parser_js_spark.streaming.stateful import (
+        streaming_sessionize)
+    work = tempfile.mkdtemp(prefix="stream-sess-")
+    try:
+        out = streaming_sessionize(spark, f"{sf_dir}/events.parquet", work)
+        # materialize on the executors (cache + count) before the temp
+        # inputs/outputs are deleted — no driver-side row loop
+        df = out.orderBy("user_id", "session_seq").cache()
+        df.count()
+        return df
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_dedup_embedding_lsh_recall(spark, sf_dir):
     """Honest recall audit of the LSH scale path against its exact twin,
     on a DETERMINISTIC ~1/4 id sample: one row (n_lsh, n_exact, recall).
@@ -476,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_orders": _q_window_top_orders,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
+        "streaming_sessionize": _q_streaming_sessionize,
         "dedup_embedding_lsh_recall": _q_dedup_embedding_lsh_recall,
     }
 
@@ -1140,6 +1162,8 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        round(sum(value), 2) AS sum_value
 FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""
+
+    oracles["streaming_sessionize"] = oracles["events_sessionize"]
 
     # the recall audit runs on a deterministic ~1/4 md5(vec_id) sample
     # (mirrors similarity.deterministic_id_sample — same stratum math)

@@ -60,3 +60,134 @@ def running_site_totals(parsed_stream: DataFrame) -> DataFrame:
         _update, OUTPUT_SCHEMA, STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming sessionization — the streaming twin of the batch
+# events_sessionize query (same 30-min-gap semantics, same output schema),
+# value-oracle-checked by the driver against the same DuckDB SQL.
+# ---------------------------------------------------------------------------
+
+SESSION_SCHEMA = ST.StructType([
+    ST.StructField("user_id", ST.LongType()),
+    ST.StructField("session_seq", ST.LongType()),
+    ST.StructField("n_events", ST.LongType()),
+    ST.StructField("session_start", ST.StringType()),
+    ST.StructField("sum_value", ST.DoubleType()),
+])
+
+_SESS_STATE_SCHEMA = ST.StructType([
+    ST.StructField("last_epoch", ST.LongType()),
+    ST.StructField("session_seq", ST.LongType()),
+    ST.StructField("start", ST.StringType()),
+    ST.StructField("n_events", ST.LongType()),
+    ST.StructField("sum_value", ST.DoubleType()),
+])
+
+SESSION_GAP_S = 1800
+# a sentinel row (event_id = -1) closes the user's open session at
+# end-of-input — the bounded-input analog of a state timeout
+_SENTINEL_EVENT = -1
+
+
+def _sess_update(key, pdfs: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        last_epoch, seq, start, n, sv = state.get
+    else:
+        last_epoch, seq, start, n, sv = None, 0, None, 0, 0.0
+    closed: list[tuple] = []
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["epoch", "event_id"])
+    for epoch, event_id, start_str, value in zip(
+            rows["epoch"].tolist(), rows["event_id"].tolist(),
+            rows["start_str"].tolist(), rows["value"].tolist()):
+        if event_id == _SENTINEL_EVENT:
+            if n:
+                closed.append((key[0], seq, n, start, round(sv, 2)))
+            last_epoch, start, n, sv = None, None, 0, 0.0
+            continue
+        if last_epoch is None or epoch - last_epoch > SESSION_GAP_S:
+            if n:
+                closed.append((key[0], seq, n, start, round(sv, 2)))
+            seq += 1
+            start, n, sv = start_str, 0, 0.0
+        last_epoch = epoch
+        n += 1
+        sv += float(value)
+    if n:
+        state.update((int(last_epoch), int(seq), start, int(n), float(sv)))
+    else:
+        state.remove()
+    yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA])
+
+
+def streaming_sessionize(spark, events_path: str, work_dir: str,
+                         n_slices: int = 4) -> "DataFrame":
+    """Run the stateful sessionization as a REAL file-source streaming job
+    over bounded input, returning the final session table.
+
+    Input is sliced into ``n_slices`` disjoint, increasing epoch ranges —
+    one file per slice with increasing mtimes, so the file source
+    (maxFilesPerTrigger=1) feeds them as ordered micro-batches and sessions
+    genuinely straddle batch boundaries through the state store. A final
+    sentinel file flushes every user's open session. The epoch/start-string
+    precompute runs JVM-side so no timestamp ever crosses into Python
+    (timezone-proof; matches the batch twin's NTZ epoch math).
+    """
+    import os
+
+    ev = spark.read.parquet(events_path)
+    epoch = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    base = ev.select("user_id", "event_id", epoch.alias("epoch"),
+                     F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+                     .alias("start_str"), "value")
+    lo, hi = base.agg(F.min("epoch"), F.max("epoch")).first()
+    step = max((hi - lo) // n_slices + 1, 1)
+    in_dir = os.path.join(work_dir, "input")
+    os.makedirs(in_dir, exist_ok=True)
+    mtime = 1_000_000_000
+    for i in range(n_slices):
+        part = base.where((F.col("epoch") >= lo + i * step)
+                          & (F.col("epoch") < lo + (i + 1) * step))
+        path = os.path.join(work_dir, f"slice_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(path)
+        src = [f for f in os.listdir(path) if f.endswith(".parquet")][0]
+        dst = os.path.join(in_dir, f"{i:03d}.parquet")
+        os.replace(os.path.join(path, src), dst)
+        os.utime(dst, (mtime + i, mtime + i))
+    sentinels = (base.select("user_id").distinct()
+                 .select("user_id",
+                         F.lit(_SENTINEL_EVENT).cast("long")
+                         .alias("event_id"),
+                         F.lit(int(hi + SESSION_GAP_S + 1))
+                         .alias("epoch"),
+                         F.lit("").alias("start_str"),
+                         F.lit(0.0).alias("value")))
+    path = os.path.join(work_dir, "slice_sentinel")
+    sentinels.coalesce(1).write.mode("overwrite").parquet(path)
+    src = [f for f in os.listdir(path) if f.endswith(".parquet")][0]
+    dst = os.path.join(in_dir, f"{n_slices:03d}_sentinel.parquet")
+    os.replace(os.path.join(path, src), dst)
+    os.utime(dst, (mtime + n_slices, mtime + n_slices))
+
+    stream = (spark.readStream.schema(base.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(in_dir))
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _sess_update, SESSION_SCHEMA, _SESS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    out_dir = os.path.join(work_dir, "out")
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (sessions.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+         .trigger(availableNow=True)
+         .outputMode("update")
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
