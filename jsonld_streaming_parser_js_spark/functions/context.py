@@ -296,10 +296,16 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
             except (TypeError, ValueError):
                 ser = None
             if ser is not None:
-                key = (id(ctx_cache), "\x00inline", ser, propagate,
-                       validate_scoped, result.mode)
+                # an EMPTY cache is interchangeable with any other empty
+                # cache (the probe can't dereference remote contexts from
+                # it), so key those as 0 — `ctx_cache or {}` at the call
+                # sites otherwise creates a fresh dict per block and the
+                # id-keyed memo would never hit for cache-less jobs
+                key = (id(ctx_cache) if ctx_cache else 0, "\x00inline",
+                       ser, propagate, validate_scoped, result.mode)
                 memo = _REMOTE_MEMO.get(key)
-                if memo is not None and memo[2] is not ctx_cache:
+                if memo is not None and ctx_cache \
+                        and memo[2] is not ctx_cache:
                     memo = None
                 if memo is None and len(_REMOTE_MEMO) >= 256:
                     _REMOTE_MEMO.clear()
@@ -744,7 +750,7 @@ def expand_iri(active: Context, value: str | None, *, vocab: bool = False,
                defined: dict | None = None,
                ctx_cache: dict | None = None) -> str | None:
     """W3C JSON-LD 1.1 IRI Expansion (section 5.2)."""
-    if value is None or is_keyword(value):
+    if value is None or value in KEYWORDS:
         return value
     if local_ctx is None and not document_relative \
             and _PROCESSING_DEPTH == 0:

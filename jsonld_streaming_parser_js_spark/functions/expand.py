@@ -19,6 +19,7 @@ from typing import Any
 
 from . import iri as iri_mod
 from .context import (
+    KEYWORDS,
     UNSET,
     Context,
     JsonLdError,
@@ -191,11 +192,13 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
         if key == "@context":
             continue
         expanded_prop = expand_iri(active_ctx, key, vocab=True)
-        if expanded_prop is None or (
-                ":" not in expanded_prop and not is_keyword(expanded_prop)):
+        if expanded_prop is None:
+            continue
+        is_kw = expanded_prop in KEYWORDS
+        if not is_kw and ":" not in expanded_prop:
             continue
 
-        if is_keyword(expanded_prop):
+        if is_kw:
             if (active_ctx.mode == "json-ld-1.0"
                     and expanded_prop in ("@included", "@nest",
                                           "@direction", "@annotation",

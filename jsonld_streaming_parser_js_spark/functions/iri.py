@@ -26,8 +26,12 @@ _IP_LITERAL_AUTHORITY_RE = re.compile(
     r"\[[0-9A-Fa-f:.]+\](?::\d*)?(?=[/?#]|$)")
 
 
+@lru_cache(maxsize=16384)
 def is_absolute_iri(value: str) -> bool:
-    """An absolute IRI (has a scheme, no forbidden characters)."""
+    """An absolute IRI (has a scheme, no forbidden characters).
+
+    Memoized: a corpus repeats the same predicate/datatype IRIs millions of
+    times, so the two-regex check collapses to one dict hit per repeat."""
     if not value or not _ABSOLUTE_IRI_RE.match(value):
         return False
     m = _IP_LITERAL_AUTHORITY_RE.match(value)

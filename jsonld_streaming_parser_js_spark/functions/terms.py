@@ -78,6 +78,10 @@ _LITERAL_ESCAPE_RE = re.compile(r'[\\"\n\r\t]')
 
 
 def _escape(value: str) -> str:
+    # the search-first guard skips the sub() machinery for the overwhelming
+    # majority of literals, which contain no escapable characters
+    if _LITERAL_ESCAPE_RE.search(value) is None:
+        return value
     return _LITERAL_ESCAPE_RE.sub(lambda m: _LITERAL_ESCAPES[m.group(0)], value)
 
 

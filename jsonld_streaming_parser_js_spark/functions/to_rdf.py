@@ -332,6 +332,7 @@ def emit_quads(node_map: dict, rdf_direction: str | None = None,
     an @annotation keep one label (coreference)."""
     quads: list[tuple] = []
     issuer = BlankNodeIssuer(prefix="l")  # list/aux nodes, disjoint from b*
+    rdf_type_term = T.iri(T.RDF_TYPE)
     for graph_name, graph in node_map.items():
         if graph_name == "@default":
             graph_term = T.DEFAULT_GRAPH
@@ -351,7 +352,7 @@ def emit_quads(node_map: dict, rdf_direction: str | None = None,
                     for t in values:
                         obj = node_to_term(t)
                         if obj is not None:
-                            quads.append((subj, T.iri(T.RDF_TYPE), obj,
+                            quads.append((subj, rdf_type_term, obj,
                                           graph_term))
                     continue
                 if prop.startswith("@"):

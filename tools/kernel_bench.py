@@ -1,0 +1,52 @@
+"""Single-core pure-Python kernel benchmark over the REAL bench corpus.
+
+Extracts the JSON-LD blocks exactly as the pipeline does (one Spark pass at
+sf0.001), then times `parse_block` alone in this process — the number
+BENCH.md quotes as "pure-Python kernel alone". Usage:
+
+    taskset -c 0 python tools/kernel_bench.py [repeat]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    repeat = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    from pyspark.sql import SparkSession
+    from jsonld_streaming_parser_js_spark.functions.parser import parse_block
+    from jsonld_streaming_parser_js_spark.operators.extract import (
+        extract_blocks)
+    from jsonld_streaming_parser_js_spark.sources.pages import (
+        CONTEXTS, pages_from_documents)
+
+    spark = (SparkSession.builder.master("local[2]")
+             .config("spark.sql.shuffle.partitions", "4")
+             .appName("kernel-bench").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = (extract_blocks(pages_from_documents(spark,
+                                                "/root/testdata/sf0.001"))
+            .collect())
+    blocks = [(r["block"], r["url"], r["blk"]) for r in rows]
+    spark.stop()
+
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_quads = 0
+        for _ in range(repeat):
+            for block, url, blk in blocks:
+                quads, _err = parse_block(block, url, blk, CONTEXTS)
+                n_quads += len(quads)
+        dt = time.perf_counter() - t0
+        best = max(best, n_quads / dt)
+    print(f"{len(blocks)} blocks x{repeat}: "
+          f"{best / 1000:.1f}k quads/s single-core")
+
+
+if __name__ == "__main__":
+    main()
