@@ -50,14 +50,17 @@ def expand(active_ctx: Context, active_prop: str | None, element: Any,
         return None
 
     td = active_ctx.term(active_prop) if active_prop else None
-    property_scoped = td.context if td is not None and td.context is not UNSET \
-        else None
+    # property-scoped context: UNSET means "none"; an explicit null IS a
+    # scoped context (it resets to the initial context, clearing protected
+    # terms — reference test 'context null in a property scoped-context')
+    has_scope = td is not None and td.context is not UNSET
+    property_scoped = td.context if has_scope else None
 
     # scalars ---------------------------------------------------------------
     if not isinstance(element, (dict, list)):
         if active_prop is None or active_prop == "@graph":
             return None  # free-floating scalar
-        if property_scoped is not None:
+        if has_scope:
             active_ctx = process_context(active_ctx, property_scoped,
                                          td.base_url, ctx_cache,
                                          override_protected=True)
@@ -96,7 +99,7 @@ def expand(active_ctx: Context, active_prop: str | None, element: Any,
                 not (len(element) == 1 and "@id" in expanded_keys):
             active_ctx = active_ctx.previous_context
 
-    if property_scoped is not None:
+    if has_scope:
         active_ctx = process_context(
             active_ctx, property_scoped, td.base_url, ctx_cache,
             override_protected=True,

@@ -2809,4 +2809,152 @@ _:b0 <http://example.com/vocab/json> "{\\"a\\":true,\\"b\\":3,\\"big\\":1e+21,\\
     }, '''
 _:b0 <http://example.com/vocab/json> "null"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
 '''),
+
+    # --- round-3 batch H: @nest edge cases -------------------------------------
+    # (reference anchors: JsonLdParser-test.ts:9416-9691)
+
+    ("nestH_unaliased_keyword", {}, {
+        "@context": {"@vocab": "http://example.org/"},
+        "@id": "http://e/s", "@nest": {"p": "v"},
+    }, '''
+<http://e/s> <http://example.org/p> "v" .
+'''),
+
+    ("nestH_inner_node_with_id", {}, {
+        # @id on a VALUE inside the nest attaches to that value node, not
+        # the outer subject (only a direct @id inside @nest collides)
+        "@context": {"@vocab": "http://example.org/", "n": "@nest"},
+        "@id": "http://e/s",
+        "n": {"p": {"@id": "http://e/inner", "q": "w"}},
+    }, '''
+<http://e/s> <http://example.org/p> <http://e/inner> .
+<http://e/inner> <http://example.org/q> "w" .
+'''),
+
+    ("nestH_doubly_nested", {}, {
+        # JsonLdParser-test.ts:9589
+        "@context": {"@vocab": "http://example.org/", "n": "@nest",
+                     "m": "@nest"},
+        "@id": "http://e/s", "n": {"m": {"p": "v"}},
+    }, '''
+<http://e/s> <http://example.org/p> "v" .
+'''),
+
+    ("nestH_array_of_nests", {}, {
+        # JsonLdParser-test.ts:9487
+        "@context": {"@vocab": "http://example.org/", "n": "@nest"},
+        "@id": "http://e/s", "n": [{"p": "v1"}, {"p": "v2"}],
+    }, '''
+<http://e/s> <http://example.org/p> "v1" .
+<http://e/s> <http://example.org/p> "v2" .
+'''),
+
+    # --- round-3 batch I: free-floating + nested graphs ------------------------
+    # (reference anchors: JsonLdParser-test.ts:1863-1935, :3946-4095)
+
+    ("ffI_value_node_dropped", {}, {"@value": "free"}, ''),
+
+    ("ffI_list_dropped", {}, {"@list": ["a"]}, ''),
+
+    ("ffI_type_only_bnode_kept", {}, {"@type": "http://e/T"}, '''
+_:b0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T> .
+'''),
+
+    ("ffI_id_only_dropped", {}, {"@id": "http://e/s"}, ''),
+
+    ("ffI_graph_of_scalars_dropped", {}, {
+        "@graph": [{"@value": "x"}, "y"],
+    }, ''),
+
+    ("graphI_nested_quads_middle_id", {}, {
+        # JsonLdParser-test.ts:3994 — inner triples land in the MIDDLE
+        # graph name; graphs do not nest in RDF datasets
+        "@id": "http://e/g1",
+        "@graph": {"@id": "http://e/g2",
+                   "@graph": {"@id": "http://e/s", "http://e/p": "v"}},
+    }, '''
+<http://e/s> <http://e/p> "v" <http://e/g2> .
+'''),
+
+    ("graphI_nested_quads_anonymous_middle", {}, {
+        # JsonLdParser-test.ts:3947 — bnode graph label
+        "@graph": {"@graph": {"@id": "http://e/s", "http://e/p": "v"}},
+    }, '''
+<http://e/s> <http://e/p> "v" _:g .
+'''),
+
+    ("graphI_node_props_outside_contents_inside", {}, {
+        # JsonLdParser-test.ts:4095 — properties on the graph node go to
+        # the default graph; @graph contents (incl. nested objects) get
+        # the graph name
+        "@id": "http://e/g", "http://e/meta": "m",
+        "@graph": {"@id": "http://e/s",
+                   "http://e/p": {"@id": "http://e/o",
+                                  "http://e/q": "w"}},
+    }, '''
+<http://e/g> <http://e/meta> "m" .
+<http://e/s> <http://e/p> <http://e/o> <http://e/g> .
+<http://e/o> <http://e/q> "w" <http://e/g> .
+'''),
+
+    # --- round-3 batch J: protected terms + embedded contexts ------------------
+    # (reference anchors: JsonLdParser-test.ts:10842-11001, :9691-9737)
+
+    ("protJ_identical_redefinition_allowed", {}, {
+        "@context": [{"@vocab": "http://vocab.org/", "@protected": True,
+                      "foo": "http://ex.org/foo"},
+                     {"foo": "http://ex.org/foo"}],
+        "foo": "bar",
+    }, '''
+_:b0 <http://ex.org/foo> "bar" .
+'''),
+
+    ("protJ_property_scoped_override_allowed", {}, {
+        # a property-scoped context overrides protected terms legally
+        "@context": {"@vocab": "http://vocab.org/", "@protected": True,
+                     "foo": "http://ex.org/foo",
+                     "scope": {"@context": {"@protected": True,
+                               "foo": "http://ex.2.org/foo"}}},
+        "scope": {"foo": "bar"},
+    }, '''
+_:b0 <http://vocab.org/scope> _:b1 .
+_:b1 <http://ex.2.org/foo> "bar" .
+'''),
+
+    ("protJ_null_scoped_context_clears_protection", {}, {
+        # round-3 kernel fix: an explicit @context: null in a term
+        # definition IS a scoped context (UNSET != null) — it resets the
+        # context so an embedded redefinition is legal
+        "@context": {"@protected": True, "foo": "http://ex.org/foo",
+                     "scope": {"@id": "http://ex.org/scope",
+                               "@context": None}},
+        "scope": {"@context": {"foo": "http://ex.2.org/foo"},
+                  "foo": "bar"},
+    }, '''
+_:b0 <http://ex.org/scope> _:b1 .
+_:b1 <http://ex.2.org/foo> "bar" .
+'''),
+
+    ("protJ_compact_iri_same_target_allowed", {}, {
+        "@context": {"@protected": True, "foo": "http://ex.org/foo",
+                     "Type": {"@id": "http://ex.org/Type",
+                              "@context": {"ex": "http://ex.org/",
+                                           "foo": "ex:foo"}}},
+        "@type": "Type", "foo": "value",
+    }, '''
+_:b0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/Type> .
+_:b0 <http://ex.org/foo> "value" .
+'''),
+
+    ("embJ_embedded_context_propagates", {}, {
+        "@context": {"@vocab": "http://vocab.org/"},
+        "@id": "http://ex.org/myid",
+        "foo": {"@context": {"@vocab": "http://vocab.1.org/"},
+                "@id": "http://ex.org/i1",
+                "bar": {"@id": "http://ex.org/i2", "baz": "buzz"}},
+    }, '''
+<http://ex.org/myid> <http://vocab.org/foo> <http://ex.org/i1> .
+<http://ex.org/i1> <http://vocab.1.org/bar> <http://ex.org/i2> .
+<http://ex.org/i2> <http://vocab.1.org/baz> "buzz" .
+'''),
 ]
