@@ -2957,4 +2957,171 @@ _:b0 <http://ex.org/foo> "value" .
 <http://ex.org/i1> <http://vocab.1.org/bar> <http://ex.org/i2> .
 <http://ex.org/i2> <http://vocab.1.org/baz> "buzz" .
 '''),
+
+    # --- round-3 batch K: container/list/alias/number edge forms --------------
+    # (reference anchors: JsonLdParser-test.ts:7112-8511 container families,
+    #  :4962 out-of-order contexts, :1396 reverse, Util number forms)
+
+    ('ctrK_idmap_none_key_gets_bnode', {}, {'@context': {'p': {'@id': 'http://e/p', '@container': '@id'}}, '@id': 'http://e/s', 'p': {'@none': {'http://e/q': 'v'}}}, '''
+<http://e/s> <http://e/p> _:b0 .
+_:b0 <http://e/q> "v" .
+'''),
+
+    ('ctrK_idmap_relative_key_document_resolved', {'base_iri': 'http://base/dir/doc'}, {'@context': {'p': {'@id': 'http://e/p', '@container': '@id'}}, '@id': 'http://e/s', 'p': {'rel': {'http://e/q': 'v'}}}, '''
+<http://e/s> <http://e/p> <http://base/dir/rel> .
+<http://base/dir/rel> <http://e/q> "v" .
+'''),
+
+    ('ctrK_idmap_inner_id_beats_key', {}, {'@context': {'p': {'@id': 'http://e/p', '@container': '@id'}}, '@id': 'http://e/s', 'p': {'http://e/k': {'@id': 'http://e/other', 'http://e/q': 'v'}}}, '''
+<http://e/s> <http://e/p> <http://e/other> .
+<http://e/other> <http://e/q> "v" .
+'''),
+
+    ('ctrK_indexmap_array_values_fan_out', {}, {'@context': {'p': {'@id': 'http://e/p', '@container': '@index'}}, '@id': 'http://e/s', 'p': {'i': ['a', 'b']}}, '''
+<http://e/s> <http://e/p> "a" .
+<http://e/s> <http://e/p> "b" .
+'''),
+
+    ('ctrK_indexmap_none_key', {}, {'@context': {'p': {'@id': 'http://e/p', '@container': '@index'}}, '@id': 'http://e/s', 'p': {'@none': 'a'}}, '''
+<http://e/s> <http://e/p> "a" .
+'''),
+
+    ('ctrK_graph_id_container_names_graph', {}, {'@context': {'p': {'@id': 'http://e/p', '@container': ['@graph', '@id']}}, '@id': 'http://e/s', 'p': {'http://e/g1': {'http://e/q': 'v'}}}, '''
+<http://e/s> <http://e/p> <http://e/g1> .
+_:b0 <http://e/q> "v" <http://e/g1> .
+'''),
+
+    ('ctrK_graph_container_array_two_graphs', {}, {'@context': {'p': {'@id': 'http://e/p', '@container': '@graph'}}, '@id': 'http://e/s', 'p': [{'http://e/q': 'v1'}, {'http://e/q': 'v2'}]}, '''
+<http://e/s> <http://e/p> _:g1 .
+<http://e/s> <http://e/p> _:g2 .
+_:n1 <http://e/q> "v1" _:g1 .
+_:n2 <http://e/q> "v2" _:g2 .
+'''),
+
+    ('ctrK_graph_container_language_value', {}, {'@context': {'p': {'@id': 'http://e/p', '@container': '@graph'}}, '@id': 'http://e/s', 'p': {'http://e/q': {'@value': 'v', '@language': 'en'}}}, '''
+<http://e/s> <http://e/p> _:g .
+_:n <http://e/q> "v"@en _:g .
+'''),
+
+    ('oooK_top_level_context_after_data', {}, {'@id': 'http://e/s', 'name': 'v', '@context': {'name': 'http://e/name'}}, '''
+<http://e/s> <http://e/name> "v" .
+'''),
+
+    ('ctrK_langmap_array_values_mixed_none', {}, {'@context': {'p': {'@id': 'http://e/p', '@container': '@language'}}, '@id': 'http://e/s', 'p': {'en': ['a', 'b'], '@none': ['c']}}, '''
+<http://e/s> <http://e/p> "a"@en .
+<http://e/s> <http://e/p> "b"@en .
+<http://e/s> <http://e/p> "c" .
+'''),
+
+    ('listK_type_coerced_members', {}, {'@context': {'p': {'@id': 'http://e/p', '@container': '@list', '@type': 'http://www.w3.org/2001/XMLSchema#integer'}}, '@id': 'http://e/s', 'p': ['1', '2']}, '''
+<http://e/s> <http://e/p> _:l0 .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> _:l1 .
+_:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .
+_:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
+    ('listK_nested_coordinates', {}, {'@context': {'c': {'@id': 'http://e/c', '@container': '@list'}}, '@id': 'http://e/s', 'c': [[1.1, 2.2]]}, '''
+<http://e/s> <http://e/c> _:l0 .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> _:m0 .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+_:m0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "1.1E0"^^<http://www.w3.org/2001/XMLSchema#double> .
+_:m0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> _:m1 .
+_:m1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "2.2E0"^^<http://www.w3.org/2001/XMLSchema#double> .
+_:m1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
+    ('revK_reverse_term_with_set_container', {}, {'@context': {'children': {'@reverse': 'http://e/parent', '@container': '@set'}}, '@id': 'http://e/s', 'children': [{'@id': 'http://e/c1'}, {'@id': 'http://e/c2'}]}, '''
+<http://e/c1> <http://e/parent> <http://e/s> .
+<http://e/c2> <http://e/parent> <http://e/s> .
+'''),
+
+    ('revK_reverse_keyword_alias', {}, {'@context': {'rev': '@reverse'}, '@id': 'http://e/o', 'rev': {'http://e/p': {'@id': 'http://e/s'}}}, '''
+<http://e/s> <http://e/p> <http://e/o> .
+'''),
+
+    ('starK_embedded_node_as_object', {}, {'@id': 'http://e/s', 'http://e/claims': {'@id': {'@id': 'http://e/x', 'http://e/y': 'z'}}}, '''
+<http://e/s> <http://e/claims> << <http://e/x> <http://e/y> "z" >> .
+'''),
+
+    ('aliasK_set_and_list_aliases', {}, {'@context': {'set': '@set', 'list': '@list'}, '@id': 'http://e/s', 'http://e/p': {'set': ['a']}, 'http://e/q': {'list': ['b']}}, '''
+<http://e/s> <http://e/p> "a" .
+<http://e/s> <http://e/q> _:l0 .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "b" .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
+    ('numK_double_1e21_canonical', {}, {'@id': 'http://e/s', 'http://e/p': 1e+21}, '''
+<http://e/s> <http://e/p> "1.0E21"^^<http://www.w3.org/2001/XMLSchema#double> .
+'''),
+
+    # --- round-3 batch L: misc coverage (generalized RDF, escapes, combos) ----
+
+    ('miscL_graphmap_none_key_bnode_graph', {}, {'@context': {'p': {'@id': 'http://e/p', '@container': ['@graph', '@id']}}, '@id': 'http://e/s', 'p': {'@none': {'http://e/q': 'v'}}}, '''
+<http://e/s> <http://e/p> _:g .
+_:n <http://e/q> "v" _:g .
+'''),
+
+    ('miscL_json_literal_inside_list', {}, {'@context': {'j': {'@id': 'http://e/j', '@type': '@json'}}, '@id': 'http://e/s', 'http://e/p': {'@list': [{'@value': {'a': 1}, '@type': '@json'}]}}, '''
+<http://e/s> <http://e/p> _:l0 .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "{\\"a\\":1}"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
+    ('miscL_bnode_predicate_generalized_rdf', {'produce_generalized_rdf': True}, {'@id': 'http://e/s', '_:p': 'v'}, '''
+<http://e/s> _:p "v" .
+'''),
+
+    ('miscL_bnode_predicate_dropped_by_default', {}, {'@id': 'http://e/s', '_:p': 'v'}, '''
+
+'''),
+
+    ('miscL_bool_and_int_type_coercion', {}, {'@context': {'b': {'@id': 'http://e/b', '@type': 'http://www.w3.org/2001/XMLSchema#boolean'}, 'i': {'@id': 'http://e/i', '@type': 'http://www.w3.org/2001/XMLSchema#integer'}}, '@id': 'http://e/s', 'b': True, 'i': 42}, '''
+<http://e/s> <http://e/b> "true"^^<http://www.w3.org/2001/XMLSchema#boolean> .
+<http://e/s> <http://e/i> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+'''),
+
+    ('miscL_ntriples_escapes_in_literal', {},
+     {'@id': 'http://e/s', 'http://e/p': 'line1\n"quoted"\tand\\slash'},
+     r'''
+<http://e/s> <http://e/p> "line1\n\"quoted\"\tand\\slash" .
+'''),
+
+    ('miscL_unknown_keyword_form_dropped', {}, {'@id': 'http://e/s', '@ignoreMe': 'x', 'http://e/p': 'v'}, '''
+<http://e/s> <http://e/p> "v" .
+'''),
+
+    ('miscL_at_digit_key_vocab_expands', {}, {'@context': {'@vocab': 'http://v/'}, '@id': 'http://e/s', '@123': 'x', 'http://e/p': 'v'}, '''
+<http://e/s> <http://e/p> "v" .
+<http://e/s> <http://v/@123> "x" .
+'''),
+
+    ('miscL_set_with_index_unwraps_keeps_values', {}, {'@id': 'http://e/s', 'http://e/p': {'@set': ['a'], '@index': 'i'}}, '''
+<http://e/s> <http://e/p> "a" .
+'''),
+
+    ('miscL_compound_literal_inside_list', {'rdf_direction': 'compound-literal'}, {'@context': {'@direction': 'rtl'}, '@id': 'http://e/s', 'http://e/p': {'@list': ['x']}}, '''
+<http://e/s> <http://e/p> _:l0 .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> _:c .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#direction> "rtl" .
+_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#value> "x" .
+'''),
+
+    ('miscL_relative_base_chain_in_ctx_array', {'base_iri': 'http://h.org/a/doc'}, {'@context': [{'@base': 'sub/'}, {'@base': 'deeper/'}], '@id': 'rel', 'http://e/p': 'v'}, '''
+<http://h.org/a/sub/deeper/rel> <http://e/p> "v" .
+'''),
+
+    ('miscL_vocab_null_resets', {}, {'@context': [{'@vocab': 'http://v/'}, {'@vocab': None}], '@id': 'http://e/s', 'p': 'dropped', 'http://e/q': 'kept'}, '''
+<http://e/s> <http://e/q> "kept" .
+'''),
+
+    ('miscL_term_language_null_unsets_default', {}, {'@context': {'@language': 'en', 'p': {'@id': 'http://e/p', '@language': None}}, '@id': 'http://e/s', 'p': 'plain'}, '''
+<http://e/s> <http://e/p> "plain" .
+'''),
+
+    ('miscL_graph_index_set_combo_none_key', {}, {'@context': {'p': {'@id': 'http://e/p', '@container': ['@graph', '@index', '@set']}}, '@id': 'http://e/s', 'p': {'@none': {'http://e/q': 'v'}}}, '''
+<http://e/s> <http://e/p> _:g .
+_:n <http://e/q> "v" _:g .
+'''),
 ]
