@@ -3124,4 +3124,48 @@ _:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#value> "x" .
 <http://e/s> <http://e/p> _:g .
 _:n <http://e/q> "v" _:g .
 '''),
+
+    # --- round-3 batch M: datatype/number boundaries ---------------------------
+
+    ("numM_bnode_type_object", {}, {
+        "@id": "http://e/s", "@type": "_:T",
+    }, '''
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> _:b0 .
+'''),
+
+    ("numM_subnormal_double_toExponential15", {}, {
+        # matches the reference's Number.toExponential(15) serialization
+        # (lib/Util.ts double formatting) bit-for-bit
+        "@id": "http://e/s", "http://e/p": 5e-324,
+    }, '''
+<http://e/s> <http://e/p> "4.940656458412465E-324"^^<http://www.w3.org/2001/XMLSchema#double> .
+'''),
+
+    ("numM_max_safe_integer", {}, {
+        "@id": "http://e/s", "http://e/p": 9007199254740991,
+    }, '''
+<http://e/s> <http://e/p> "9007199254740991"^^<http://www.w3.org/2001/XMLSchema#integer> .
+'''),
+
+    ("numM_integral_float_is_integer", {}, {
+        "@id": "http://e/s", "http://e/p": 3.0,
+    }, '''
+<http://e/s> <http://e/p> "3"^^<http://www.w3.org/2001/XMLSchema#integer> .
+'''),
+
+    ("numM_xsd_date_coercion", {}, {
+        "@context": {"d": {"@id": "http://e/d", "@type": "http://www.w3.org/2001/XMLSchema#date"}},
+        "@id": "http://e/s", "d": "2024-02-29",
+    }, '''
+<http://e/s> <http://e/d> "2024-02-29"^^<http://www.w3.org/2001/XMLSchema#date> .
+'''),
+
+    ("ctrM_idmap_with_vocab_type_coercion", {}, {
+        "@context": {"@vocab": "http://v/",
+                     "p": {"@id": "http://e/p", "@container": "@id",
+                           "@type": "@vocab"}},
+        "@id": "http://e/s", "p": {"http://e/k": "Term"},
+    }, '''
+<http://e/s> <http://e/p> <http://v/Term> .
+'''),
 ]
