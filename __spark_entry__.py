@@ -409,11 +409,14 @@ def _q_streaming_sessionize(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="stream-sess-")
     try:
         out = streaming_sessionize(spark, f"{sf_dir}/events.parquet", work)
-        # materialize on the executors (cache + count) before the temp
-        # inputs/outputs are deleted — no driver-side row loop
-        df = out.orderBy("user_id", "session_seq").cache()
-        df.count()
-        return df
+        # fully materialize BEFORE the temp inputs/outputs are deleted —
+        # a cache() can be evicted and would recompute from removed files.
+        # Driver-side collect is safe here: the session table is one row
+        # per (user, session), orders of magnitude smaller than events
+        # (9.5k rows at sf=0.01), and this query is the bounded-input
+        # streaming ORACLE lane, not the production path.
+        rows = out.orderBy("user_id", "session_seq").collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

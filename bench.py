@@ -215,11 +215,13 @@ def _deltas_vs_prev(result: dict) -> dict | None:
     judgment call (this VM's documented noise band is wide — BENCH.md)."""
     import glob
     import re
-    runs = sorted(glob.glob(os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
-    if not runs:
+    candidates = glob.glob(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "BENCH_r*.json"))
+    numbered = [(int(m.group(1)), p) for p in candidates
+                if (m := re.search(r"_r(\d+)\.json$", p))]
+    if not numbered:
         return None
+    runs = [p for _, p in sorted(numbered)]
     prev_path = runs[-1]
     try:
         with open(prev_path, encoding="utf-8") as fh:

@@ -398,11 +398,12 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
             elif isinstance(value, str):
                 if (result.mode == "json-ld-1.0"
                         and not value.startswith("_:")
-                        and not iri_mod.is_absolute_iri(value)
-                        and ":" not in value):
-                    # relative @vocab (incl. '' and '#') is 1.1-only; 1.0
-                    # rejects it (reference: 'Relative vocab expansion ...
-                    # is not allowed', jsonld-context-parser 1.0 gate)
+                        and not iri_mod.has_scheme(value)):
+                    # relative @vocab (incl. '', '#' and 'rel/a:b') is
+                    # 1.1-only; 1.0 rejects it (reference: 'Relative vocab
+                    # expansion ... is not allowed'). Relativity = no
+                    # scheme/prefix colon at the head — a compact IRI or
+                    # absolute IRI both pass and expand below.
                     raise JsonLdError("invalid vocab mapping",
                                       f"relative @vocab {value!r} requires "
                                       "json-ld-1.1")

@@ -23,7 +23,13 @@ _INVALID_IRI_CHARS_RE = re.compile(r'[\x00-\x20<>"{}|^`\\\[\]]')
 # the one place brackets are legal (e.g. http://[2001:db8::7]:8080/x)
 _IP_LITERAL_AUTHORITY_RE = re.compile(
     r"^([A-Za-z][A-Za-z0-9+\-.]*)://(?:[^\s/?#@\[\]]*@)?"
-    r"\[[0-9A-Fa-f:.]+\](?::\d*)?(?=[/?#]|$)")
+    r"(\[[0-9A-Fa-f:.]+\])(?::\d*)?(?=[/?#]|$)")
+
+
+def has_scheme(value: str) -> bool:
+    """True when the reference starts with a scheme (or compact-IRI prefix)
+    colon — i.e. it is NOT a relative reference per RFC 3986 section 4.2."""
+    return bool(_SCHEME_RE.match(value))
 
 
 @lru_cache(maxsize=16384)
@@ -36,7 +42,10 @@ def is_absolute_iri(value: str) -> bool:
         return False
     m = _IP_LITERAL_AUTHORITY_RE.match(value)
     if m:
-        value = value[m.end():]
+        # excise ONLY the bracketed host: the scheme/userinfo prefix and the
+        # tail still go through the forbidden-character scan (a '<' in the
+        # userinfo must stay invalid)
+        value = value[:m.start(2)] + value[m.end(2):]
     return not _INVALID_IRI_CHARS_RE.search(value)
 
 

@@ -16,6 +16,7 @@ from .context import Context, JsonLdError, initial_context, process_context
 from .expand import expand
 from .to_rdf import (
     BlankNodeIssuer,
+    apply_default_graph,
     emit_quads,
     generate_node_map,
     skolemize_quads,
@@ -77,10 +78,10 @@ def jsonld_to_quads(doc: Any, options: ParserOptions | None = None
     quads = emit_quads(node_map, rdf_direction=options.rdf_direction,
                        produce_generalized_rdf=options.produce_generalized_rdf,
                        doc_issuer=issuer)
-    if options.default_graph:
-        dg = options.default_graph
-        quads = [(s, p, o, dg if g == "" else g) for s, p, o, g in quads]
-    return quads
+    # non-skolemized API: safe to remap here. Skolemizing callers
+    # (parse_block) remap AFTER skolemize_quads instead — see the ordering
+    # contract on apply_default_graph.
+    return apply_default_graph(quads, options.default_graph)
 
 
 def parse_block(block_text: str, url: str, blk: int,
@@ -123,10 +124,7 @@ def parse_block(block_text: str, url: str, blk: int,
         # anything unforeseen to the error channel instead
         return [], f"internal error: {type(exc).__name__}: {exc}"
     try:
-        out = skolemize_quads(quads, url, blk)
-        if default_graph:
-            out = [(s, p, o, default_graph if g == "" else g)
-                   for s, p, o, g in out]
-        return out, None
+        return apply_default_graph(
+            skolemize_quads(quads, url, blk), default_graph), None
     except Exception as exc:  # noqa: BLE001 — same backstop for skolemizer
         return [], f"internal error: {type(exc).__name__}: {exc}"

@@ -473,6 +473,22 @@ def skolemize_label(url: str, blk: int) -> str:
     return f"s{hashlib.md5(url.encode('utf-8')).hexdigest()[:16]}x{blk}"
 
 
+def apply_default_graph(quads: list[tuple], default_graph: str | None
+                        ) -> list[tuple]:
+    """Remap default-graph quads to the caller-supplied graph term (the
+    reference's defaultGraph option, lib/JsonLdParser.ts:686-688).
+
+    ORDERING CONTRACT: when the quads are also skolemized, this must run
+    AFTER ``skolemize_quads`` — a blank-node graph term ('_:dg') is ONE
+    shared graph for the whole corpus, and the per-(url, blk) skolemizer
+    would otherwise split it per document (or, run before, conflate it
+    with a document-local bnode that happens to share the label)."""
+    if not default_graph:
+        return quads
+    return [(s, p, o, default_graph if g == "" else g)
+            for s, p, o, g in quads]
+
+
 def skolemize_quads(quads: list[tuple], url: str, blk: int) -> list[tuple]:
     """Rewrite document-local ``_:bN`` / ``_:lN`` labels to globally-unique
     deterministic labels."""

@@ -38,11 +38,16 @@ DEFAULT_WELL_KNOWN = ("application/activity+json",)
 # when the JSON-LD context relation appears in the (possibly
 # space-separated, RFC 8288) quoted rel list. Dots escaped — the IRI is a
 # literal, not a pattern. The param run steps over quoted strings as whole
-# units ((?:"[^"]*"|[^,"])*?) so a comma INSIDE an earlier quoted param
-# (e.g. title="a, b") doesn't end the element early — matching the
-# reference's RFC 8288 quoted-string tokenizer (parseLinkHeader).
+# units, INCLUDING backslash-escaped quotes inside them
+# ((?:"(?:\\.|[^"\\])*"|[^,"])*? at the regex level; backslashes are
+# doubled below because the pattern travels through a Spark SQL string
+# literal), so neither a comma nor an escaped quote inside an earlier
+# quoted param (e.g. title="a \"b, c\"") ends the element early — matching
+# the reference's RFC 8288 quoted-string/quoted-pair tokenizer
+# (parseLinkHeader).
 _CTX_REL_ESCAPED = JSONLD_CONTEXT_REL.replace(".", r"\\.")
-_CTX_LINK_RE = (r'<([^>]*)>(?:"[^"]*"|[^,"])*?rel="(?:[^"]* )?'
+_QUOTED_UNIT = r'"(?:\\\\.|[^"\\\\])*"'
+_CTX_LINK_RE = (r'<([^>]*)>(?:' + _QUOTED_UNIT + r'|[^,"])*?rel="(?:[^"]* )?'
                 + _CTX_REL_ESCAPED + r'( [^"]*)?"')
 
 

@@ -104,12 +104,12 @@ def _sess_update(key, pdfs: Iterator[pd.DataFrame],
             rows["start_str"].tolist(), rows["value"].tolist()):
         if event_id == _SENTINEL_EVENT:
             if n:
-                closed.append((key[0], seq, n, start, round(sv, 2)))
+                closed.append((key[0], seq, n, start, sv))
             last_epoch, start, n, sv = None, None, 0, 0.0
             continue
         if last_epoch is None or epoch - last_epoch > SESSION_GAP_S:
             if n:
-                closed.append((key[0], seq, n, start, round(sv, 2)))
+                closed.append((key[0], seq, n, start, sv))
             seq += 1
             start, n, sv = start_str, 0, 0.0
         last_epoch = epoch
@@ -190,4 +190,8 @@ def streaming_sessionize(spark, events_path: str, work_dir: str,
          .outputMode("update")
          .start())
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    # round in Spark SQL (HALF_UP), matching the batch twin's F.round and
+    # the DuckDB oracle — Python round() is half-to-even and diverges at
+    # .xx5 tie sums
+    return (spark.read.parquet(out_dir)
+            .withColumn("sum_value", F.round("sum_value", 2)))

@@ -187,3 +187,13 @@ def test_two_context_elements_one_header_is_multiple(spark):
             f'<https://c/b>; rel="{CTX_REL}"')
     row = _gate_row(spark, "application/json", [link])
     assert row["error"] == "multiple context link headers"
+
+
+def test_escaped_quote_inside_quoted_param(spark):
+    # RFC 8288 quoted-pair: an escaped quote (and a comma after it) inside
+    # an earlier quoted param must not end the element early
+    link = (f'<https://o/x>; title="a \\"b, c\\""; rel="describedby", '
+            f'<https://ctx.example.org/c3>; rel="{CTX_REL}"')
+    row = _gate_row(spark, "application/json", [link])
+    assert row["error"] is None
+    assert row["ctx_iri"] == "https://ctx.example.org/c3"
