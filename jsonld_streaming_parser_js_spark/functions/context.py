@@ -17,6 +17,7 @@ cache"), so executors do no per-row network I/O.
 from __future__ import annotations
 
 import json as _json
+import re as _re
 from dataclasses import dataclass, field, replace
 from typing import Any
 
@@ -32,6 +33,33 @@ KEYWORDS = frozenset({
 
 # sentinel: "not specified" (distinct from explicit null)
 UNSET = object()
+
+
+@dataclass
+class KernelFlags:
+    """Per-parse behavior switches mirroring IJsonLdParserOptions
+    (``/root/reference/lib/JsonLdParser.ts:619-740``). Kernel workers are
+    single-threaded per task, so a module-level instance set/restored by
+    ``jsonld_to_quads`` is safe (and far cheaper than threading five flags
+    through every recursive call).
+
+    Defaults follow the reference's W3C SPEC-RUN profile
+    (``spec/parser.js``: validateValueIndexes=true,
+    normalizeLanguageTags=true), not its lenient runtime defaults — the
+    spec suite is this repo's correctness bar."""
+
+    strict_values: bool = False           # strictValues
+    rdfstar: bool = True                  # rdfstar
+    allow_subject_list: bool = False      # allowSubjectList
+    normalize_language_tags: bool = True  # normalizeLanguageTags
+    validate_value_indexes: bool = True   # validateValueIndexes
+
+
+FLAGS = KernelFlags()
+
+# well-formed BCP47-ish language tag (reference: jsonld-context-parser
+# validateLanguage regex) — used by strict-mode language validation
+LANGUAGE_TAG_RE = _re.compile(r"^[a-zA-Z]+(-[a-zA-Z0-9]+)*$")
 
 
 class JsonLdError(ValueError):

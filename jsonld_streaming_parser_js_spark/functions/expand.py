@@ -19,7 +19,9 @@ from typing import Any
 
 from . import iri as iri_mod
 from .context import (
+    FLAGS,
     KEYWORDS,
+    LANGUAGE_TAG_RE,
     UNSET,
     Context,
     JsonLdError,
@@ -196,9 +198,25 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
             continue
         expanded_prop = expand_iri(active_ctx, key, vocab=True)
         if expanded_prop is None:
+            if FLAGS.strict_values:
+                # reference strictValues: 'Unknown keyword ...' /
+                # 'Invalid predicate IRI: ...' (lib/Util.ts:609-613) —
+                # but a term EXPLICITLY mapped to null is a deliberate
+                # drop, never an error (test 'predicate mapped to null')
+                ktd0 = active_ctx.term(key)
+                if ktd0 is not None and ktd0.iri is None:
+                    continue
+                if has_keyword_form(key):
+                    raise JsonLdError("invalid keyword",
+                                      f"unknown keyword {key!r}")
+                raise JsonLdError("invalid IRI mapping",
+                                  f"invalid predicate IRI: {key}")
             continue
         is_kw = expanded_prop in KEYWORDS
         if not is_kw and ":" not in expanded_prop:
+            if FLAGS.strict_values:
+                raise JsonLdError("invalid IRI mapping",
+                                  f"invalid predicate IRI: {key}")
             continue
 
         if is_kw:
@@ -218,6 +236,10 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
 
             if expanded_prop == "@id":
                 if isinstance(value, dict):
+                    if not FLAGS.rdfstar:
+                        # with rdfstar disabled an object @id is simply a
+                        # non-string @id (EntryHandlerKeywordId gate)
+                        raise JsonLdError("invalid @id value", repr(value))
                     # JSON-LD-star embedded node (reference:
                     # lib/entryhandler/keyword/EntryHandlerKeywordId.ts:27-33)
                     embedded = expand(active_ctx, None, value, base_url,
@@ -277,14 +299,22 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
                 if not isinstance(value, str):
                     raise JsonLdError("invalid language-tagged string",
                                       repr(value))
-                result["@language"] = value.lower()
+                if FLAGS.strict_values and not LANGUAGE_TAG_RE.match(value):
+                    raise JsonLdError("invalid language-tagged string",
+                                      repr(value))
+                result["@language"] = (value.lower()
+                                       if FLAGS.normalize_language_tags
+                                       else value)
             elif expanded_prop == "@direction":
                 if value not in ("ltr", "rtl"):
                     raise JsonLdError("invalid base direction", repr(value))
                 result["@direction"] = value
             elif expanded_prop == "@index":
                 if not isinstance(value, str):
-                    raise JsonLdError("invalid @index value", repr(value))
+                    if FLAGS.validate_value_indexes:
+                        raise JsonLdError("invalid @index value",
+                                          repr(value))
+                    continue  # reference: unvalidated indexes are ignored
                 result["@index"] = value
             elif expanded_prop == "@list":
                 if active_prop is None or active_prop == "@graph":
@@ -312,7 +342,9 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
                             continue
                         for item in items:
                             if isinstance(item, dict) and (
-                                    "@value" in item or "@list" in item):
+                                    "@value" in item
+                                    or ("@list" in item
+                                        and not FLAGS.allow_subject_list)):
                                 raise JsonLdError(
                                     "invalid reverse property value", prop)
                             reverse_map.setdefault(prop, []).append(item)
@@ -321,6 +353,8 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
             elif expanded_prop == "@nest":
                 nests.append(key)
             elif expanded_prop == "@annotation":
+                if not FLAGS.rdfstar:
+                    continue  # reference: annotations ignored (test :11487)
                 # JSON-LD-star annotation object(s) — same node-only rule
                 # (reference: EntryHandlerKeywordAnnotation.ts:24)
                 result["@annotation"] = _expand_node_only_keyword(
@@ -361,8 +395,10 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
         if ktd is not None and ktd.reverse:
             reverse_map = result.setdefault("@reverse", {})
             for item in as_list(expanded_value):
-                if isinstance(item, dict) and ("@value" in item
-                                               or "@list" in item):
+                if isinstance(item, dict) and (
+                        "@value" in item
+                        or ("@list" in item
+                            and not FLAGS.allow_subject_list)):
                     raise JsonLdError("invalid reverse property value", key)
                 reverse_map.setdefault(expanded_prop, []).append(item)
         else:
@@ -418,7 +454,11 @@ def _expand_language_map(ctx: Context, td, value: dict) -> list:
         expanded_lang = None
         if lang != "@none" and not (ctx.term(lang) is not None
                                     and ctx.term(lang).iri == "@none"):
-            expanded_lang = lang.lower()
+            if FLAGS.strict_values and not LANGUAGE_TAG_RE.match(lang):
+                raise JsonLdError("invalid language-tagged string",
+                                  repr(lang))
+            expanded_lang = (lang.lower() if FLAGS.normalize_language_tags
+                             else lang)
         for item in as_list(items):
             if item is None:
                 continue

@@ -12,7 +12,14 @@ import json
 from dataclasses import dataclass, field
 from typing import Any
 
-from .context import Context, JsonLdError, initial_context, process_context
+from .context import (
+    FLAGS,
+    Context,
+    JsonLdError,
+    KernelFlags,
+    initial_context,
+    process_context,
+)
 from .expand import expand
 from .to_rdf import (
     BlankNodeIssuer,
@@ -47,9 +54,23 @@ class ParserOptions:
     # rdfstarReverseInEmbedded; default False = error)
     rdfstar_reverse_in_embedded: bool = False
     ctx_cache: dict = field(default_factory=dict)
-    # strictValues analog lives at the pipeline layer
-    # (plans/pipeline.py assert_no_errors): a distributed job fails fast on
-    # the first bad block there instead of per-kernel-call flags
+    # --- IJsonLdParserOptions parity flags (see KernelFlags) ---------------
+    # strictValues: error on silently-droppable constructs (unknown
+    # keywords, non-IRI predicates/subjects/objects/types, malformed
+    # language tags). The pipeline layer ADDITIONALLY offers fail-fast on
+    # error-channel rows (plans/pipeline.py assert_no_errors).
+    strict_values: bool = False
+    # rdfstar=False: @annotation entries are silently ignored and embedded
+    # @id nodes are invalid (reference lib/JsonLdParser.ts rdfstar option)
+    rdfstar: bool = True
+    # allowSubjectList: permit RDF lists in subject position via @reverse
+    allow_subject_list: bool = False
+    # normalizeLanguageTags: lowercase language tags (always on in 1.0).
+    # Default TRUE: the reference's own W3C spec run enables it
+    normalize_language_tags: bool = True
+    # validateValueIndexes: error on non-string/conflicting @index values.
+    # Default TRUE: the reference's own W3C spec run enables it
+    validate_value_indexes: bool = True
 
 
 def expand_document(doc: Any, options: ParserOptions) -> Any:
@@ -69,6 +90,23 @@ def jsonld_to_quads(doc: Any, options: ParserOptions | None = None
                     ) -> list[Quad]:
     """Parsed JSON document -> list of quads (N-Triples lexical tuples)."""
     options = options or ParserOptions()
+    saved = (FLAGS.strict_values, FLAGS.rdfstar, FLAGS.allow_subject_list,
+             FLAGS.normalize_language_tags, FLAGS.validate_value_indexes)
+    (FLAGS.strict_values, FLAGS.rdfstar, FLAGS.allow_subject_list,
+     FLAGS.normalize_language_tags, FLAGS.validate_value_indexes) = (
+        options.strict_values, options.rdfstar, options.allow_subject_list,
+        options.normalize_language_tags or
+        options.processing_mode == "json-ld-1.0",
+        options.validate_value_indexes)
+    try:
+        return _jsonld_to_quads_impl(doc, options)
+    finally:
+        (FLAGS.strict_values, FLAGS.rdfstar, FLAGS.allow_subject_list,
+         FLAGS.normalize_language_tags,
+         FLAGS.validate_value_indexes) = saved
+
+
+def _jsonld_to_quads_impl(doc: Any, options: ParserOptions) -> list[Quad]:
     expanded = expand_document(doc, options)
     node_map: dict = {}
     issuer = BlankNodeIssuer(
@@ -88,7 +126,8 @@ def parse_block(block_text: str, url: str, blk: int,
                 ctx_cache: dict | None = None,
                 rdf_direction: str | None = None,
                 context: Any = None,
-                default_graph: str | None = None
+                default_graph: str | None = None,
+                parser_options: ParserOptions | None = None
                 ) -> tuple[list[Quad], str | None]:
     """One extracted JSON-LD block -> (skolemized quads, error_code).
 
@@ -107,9 +146,14 @@ def parse_block(block_text: str, url: str, blk: int,
         # document, exactly like the reference's defaultGraph option
         # (lib/JsonLdParser.ts:686-688) — the per-(url, blk) skolemizer
         # would otherwise split it into per-document graphs
-        options = ParserOptions(base_iri=url, ctx_cache=ctx_cache or {},
-                                rdf_direction=rdf_direction,
-                                context=context)
+        # parser_options is the behavior-flag TEMPLATE (strict_values,
+        # rdfstar, allowSubjectList, ...); per-block fields are overridden
+        from dataclasses import replace as _replace
+        base_opts = parser_options or ParserOptions()
+        options = _replace(base_opts, base_iri=url,
+                           ctx_cache=ctx_cache or {},
+                           rdf_direction=rdf_direction,
+                           context=context, default_graph=None)
         quads = jsonld_to_quads(doc, options)
     except JsonLdError as exc:
         return [], exc.code

@@ -22,7 +22,7 @@ import hashlib
 from typing import Any
 
 from . import terms as T
-from .context import JsonLdError
+from .context import FLAGS, JsonLdError
 from .iri import is_absolute_iri
 
 
@@ -124,6 +124,14 @@ def generate_node_map(element: Any, node_map: dict, issuer: BlankNodeIssuer,
         if list_ref is None:
             if subject_node is not None:
                 subject_node.setdefault(active_property, []).append(result)
+            elif (isinstance(active_subject, dict)
+                  and FLAGS.allow_subject_list):
+                # reverse subject list (reference allowSubjectList,
+                # JsonLdParser-test.ts:1712): the list head becomes the
+                # SUBJECT of the reversed triple — record for emit
+                node_map.setdefault("@subject-lists", []).append(
+                    (active_graph, result, active_property,
+                     active_subject))
         else:
             list_ref["@list"].append(result)
         return
@@ -179,8 +187,10 @@ def generate_node_map(element: Any, node_map: dict, issuer: BlankNodeIssuer,
     if "@index" in element:
         idx = element.pop("@index")
         if "@index" in node and node["@index"] != idx:
-            raise JsonLdError("conflicting indexes", id_)
-        node["@index"] = idx
+            if FLAGS.validate_value_indexes:
+                raise JsonLdError("conflicting indexes", id_)
+        else:
+            node["@index"] = idx
 
     if "@reverse" in element:
         referenced = {"@id": id_}
@@ -333,17 +343,31 @@ def emit_quads(node_map: dict, rdf_direction: str | None = None,
     quads: list[tuple] = []
     issuer = BlankNodeIssuer(prefix="l")  # list/aux nodes, disjoint from b*
     rdf_type_term = T.iri(T.RDF_TYPE)
+    strict = FLAGS.strict_values
+
+    def _invalid(kind: str, value: str) -> None:
+        # reference strictValues: 'Invalid predicate/resource/term IRI'
+        # (lib/Util.ts:609-613, 633-635, 656-660); lenient mode drops
+        raise JsonLdError("invalid IRI mapping",
+                          f"invalid {kind} IRI: {value}")
+
     for graph_name, graph in node_map.items():
+        if graph_name == "@subject-lists":
+            continue  # emitted below
         if graph_name == "@default":
             graph_term = T.DEFAULT_GRAPH
         else:
             gt = node_to_term(graph_name)
             if gt is None:
+                if strict:
+                    _invalid("resource", graph_name)
                 continue
             graph_term = gt
         for subject_id, node in graph.items():
             subj = node_to_term(subject_id)
             if subj is None:
+                if strict:
+                    _invalid("resource", subject_id)
                 continue
             for prop, values in node.items():
                 if prop == "@id" or prop == "@index":
@@ -354,6 +378,8 @@ def emit_quads(node_map: dict, rdf_direction: str | None = None,
                         if obj is not None:
                             quads.append((subj, rdf_type_term, obj,
                                           graph_term))
+                        elif strict:
+                            _invalid("term", str(t))
                     continue
                 if prop.startswith("@"):
                     continue
@@ -364,6 +390,8 @@ def emit_quads(node_map: dict, rdf_direction: str | None = None,
                 elif is_absolute_iri(prop):
                     pred = T.iri(prop)
                 else:
+                    if strict:
+                        _invalid("predicate", prop)
                     continue
                 for item in values:
                     annotation = (item.pop("@annotation", None)
@@ -372,6 +400,9 @@ def emit_quads(node_map: dict, rdf_direction: str | None = None,
                                           rdf_direction,
                                           produce_generalized_rdf)
                     if obj is None:
+                        if (strict and isinstance(item, dict)
+                                and isinstance(item.get("@id"), str)):
+                            _invalid("resource", item["@id"])
                         continue
                     quads.append((subj, pred, obj, graph_term))
                     if annotation:
@@ -380,6 +411,18 @@ def emit_quads(node_map: dict, rdf_direction: str | None = None,
                                          doc_issuer or issuer,
                                          graph_term, rdf_direction,
                                          produce_generalized_rdf)
+    for graph_name, lst, prop, ref in node_map.get("@subject-lists", ()):
+        # reverse subject lists (allowSubjectList): head -> prop -> node
+        graph_term = (T.DEFAULT_GRAPH if graph_name == "@default"
+                      else node_to_term(graph_name))
+        if graph_term is None:
+            continue
+        obj = node_to_term(ref.get("@id"))
+        if obj is None or not is_absolute_iri(prop):
+            continue
+        head = list_to_quads(lst["@list"], quads, issuer, graph_term,
+                             rdf_direction, produce_generalized_rdf)
+        quads.append((head, T.iri(prop), obj, graph_term))
     return quads
 
 

@@ -1041,3 +1041,113 @@ def test_relative_vocab_rejected_in_10_mode():
     with pytest.raises(JsonLdError) as exc:
         jsonld_to_quads(doc, opts)
     assert exc.value.code == "invalid vocab mapping"
+
+
+# --- IJsonLdParserOptions parity: the five round-3 behavior flags -------------
+
+def _opt_quads(doc, **opts):
+    return set(jsonld_to_quads(doc, ParserOptions(**opts)))
+
+
+def test_strict_unknown_keyword_errors():
+    # reference JsonLdParser-test.ts:12303
+    with pytest.raises(JsonLdError) as exc:
+        _opt_quads({"@unknown": "dummy"}, strict_values=True)
+    assert exc.value.code == "invalid keyword"
+
+
+def test_strict_invalid_predicate_errors():
+    # reference :12312; lenient mode silently drops
+    with pytest.raises(JsonLdError):
+        _opt_quads({"bla": "dummy"}, strict_values=True)
+    assert _opt_quads({"bla": "dummy"}) == set()
+
+
+def test_strict_invalid_subject_and_object_error():
+    # reference :12321, :12330
+    with pytest.raises(JsonLdError):
+        _opt_quads({"@id": "dummy", "http://e/p": "v"}, strict_values=True)
+    with pytest.raises(JsonLdError):
+        _opt_quads({"http://ex.org/pred": {"@id": "dummy"}},
+                   strict_values=True)
+
+
+def test_strict_invalid_type_errors():
+    # reference :12339
+    with pytest.raises(JsonLdError):
+        _opt_quads({"@type": "http://ex.org/ abc"}, strict_values=True)
+    assert _opt_quads({"@type": "http://ex.org/ abc"}) == set()
+
+
+def test_strict_null_mapped_term_still_drops():
+    # reference :12395/:12406 — explicit null mapping is deliberate
+    got = _opt_quads({"@context": {"bla": None}, "@id": "http://e/s",
+                      "bla": "x", "http://e/p": "v"}, strict_values=True)
+    assert got == {("<http://e/s>", "<http://e/p>", '"v"', "")}
+
+
+def test_rdfstar_disabled_ignores_annotations():
+    # reference :11487
+    got = _opt_quads({"@id": "ex:s", "ex:p": {"@id": "ex:o",
+                      "@annotation": {"ex:a": "v"}}}, rdfstar=False)
+    assert got == {("<ex:s>", "<ex:p>", "<ex:o>", "")}
+
+
+def test_rdfstar_disabled_rejects_embedded_nodes():
+    with pytest.raises(JsonLdError) as exc:
+        _opt_quads({"@id": {"@id": "ex:s", "ex:p": "v"}, "ex:q": "w"},
+                   rdfstar=False)
+    assert exc.value.code == "invalid @id value"
+
+
+def test_allow_subject_list():
+    # reference :1695-1727
+    doc = {"@context": {"term": {"@reverse": "http://example/reverse"}},
+           "@id": "http://example/foo",
+           "term": {"@list": ["http://example/bar"]}}
+    with pytest.raises(JsonLdError) as exc:
+        _opt_quads(doc)
+    assert exc.value.code == "invalid reverse property value"
+    got = _opt_quads(doc, allow_subject_list=True)
+    assert got == {
+        ("_:l0", "<http://example/reverse>", "<http://example/foo>", ""),
+        ("_:l0", "<" + T.RDF + "first>", '"http://example/bar"', ""),
+        ("_:l0", "<" + T.RDF + "rest>", "<" + T.RDF + "nil>", "")}
+
+
+def test_normalize_language_tags_off_keeps_case():
+    # reference :684 — default 1.1 runtime keeps 'en-US'
+    got = _opt_quads({"@id": "http://e/s",
+                      "http://e/p": {"@value": "x", "@language": "en-US"}},
+                     normalize_language_tags=False)
+    assert got == {("<http://e/s>", "<http://e/p>", '"x"@en-US', "")}
+
+
+def test_normalize_language_tags_forced_in_10_mode():
+    got = _opt_quads({"@id": "http://e/s",
+                      "http://e/p": {"@value": "x", "@language": "en-US"}},
+                     normalize_language_tags=False,
+                     processing_mode="json-ld-1.0")
+    assert got == {("<http://e/s>", "<http://e/p>", '"x"@en-us', "")}
+
+
+def test_validate_value_indexes_off_is_lenient():
+    # reference :12363-12394 (validateValueIndexes=false leniency)
+    got = _opt_quads({"@id": "http://e/s",
+                      "http://e/p": {"@value": "x", "@index": 9}},
+                     validate_value_indexes=False)
+    assert got == {("<http://e/s>", "<http://e/p>", '"x"', "")}
+    docs = [{"@id": "http://e/s", "@index": "a", "http://e/p": "v"},
+            {"@id": "http://e/s", "@index": "b", "http://e/q": "w"}]
+    got = _opt_quads(docs, validate_value_indexes=False)
+    assert len(got) == 2
+    with pytest.raises(JsonLdError) as exc:
+        _opt_quads(docs)
+    assert exc.value.code == "conflicting indexes"
+
+
+def test_flags_restored_after_parse():
+    from jsonld_streaming_parser_js_spark.functions.context import FLAGS
+    with pytest.raises(JsonLdError):
+        _opt_quads({"bla": "x"}, strict_values=True, rdfstar=False)
+    assert FLAGS.strict_values is False and FLAGS.rdfstar is True
