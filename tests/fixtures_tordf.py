@@ -3168,4 +3168,114 @@ _:n <http://e/q> "v" _:g .
     }, '''
 <http://e/s> <http://e/p> <http://v/Term> .
 '''),
+
+    # --- round-3 batch N: cross-feature combinations ---------------------------
+    # (probe-verified against reference semantics; anchors :7723-8051, :9415)
+
+    ("comboN_nest_with_language_container", {}, {
+        "@context": {"@vocab": "http://v/", "n": "@nest",
+                     "p": {"@id": "http://e/p", "@container": "@language"}},
+        "@id": "http://e/s", "n": {"p": {"en": "hi"}},
+    }, '''
+<http://e/s> <http://e/p> "hi"@en .
+'''),
+
+    ("comboN_included_inside_named_graph", {}, {
+        "@id": "http://e/g",
+        "@graph": {"@id": "http://e/s", "http://e/p": "v",
+                   "@included": [{"@id": "http://e/t",
+                                  "http://e/q": "w"}]},
+    }, '''
+<http://e/s> <http://e/p> "v" <http://e/g> .
+<http://e/t> <http://e/q> "w" <http://e/g> .
+'''),
+
+    ("comboN_reverse_inside_graph_container", {}, {
+        "@context": {"@vocab": "http://v/",
+                     "g": {"@id": "http://e/g", "@container": "@graph"}},
+        "@id": "http://e/s", "g": {"@reverse": {"r": {"@id": "http://e/c"}}},
+    }, '''
+<http://e/s> <http://e/g> _:g0 .
+<http://e/c> <http://v/r> _:n0 _:g0 .
+'''),
+
+    ("comboN_json_literal_index_no_effect", {}, {
+        "@context": {"j": {"@id": "http://e/j", "@type": "@json"}},
+        "@id": "http://e/s",
+        "http://e/p": {"@value": [1], "@type": "@json", "@index": "i"},
+    }, '''
+<http://e/s> <http://e/p> "[1]"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+'''),
+
+    ("comboN_annotation_on_json_literal", {}, {
+        "@id": "ex:s",
+        "ex:p": {"@value": {"k": 1}, "@type": "@json",
+                 "@annotation": {"ex:a": "v"}},
+    }, '''
+<ex:s> <ex:p> "{\\"k\\":1}"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+<< <ex:s> <ex:p> "{\\"k\\":1}"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> >> <ex:a> "v" .
+'''),
+
+    ("comboN_annotation_inside_included", {}, {
+        "@id": "ex:s", "ex:p": "v",
+        "@included": [{"@id": "ex:t",
+                       "ex:q": {"@id": "ex:o",
+                                "@annotation": {"ex:a": "w"}}}],
+    }, '''
+<ex:s> <ex:p> "v" .
+<ex:t> <ex:q> <ex:o> .
+<< <ex:t> <ex:q> <ex:o> >> <ex:a> "w" .
+'''),
+
+    ("comboN_propagating_type_scope_reaches_depth_two", {}, {
+        "@context": {"@vocab": "http://v/",
+                     "T": {"@context": {"@propagate": True,
+                                        "q": "http://scoped/q"}}},
+        "@type": "T", "@id": "http://e/s",
+        "g": {"@id": "http://e/n",
+              "q": {"@id": "http://e/m", "q": "deep"}},
+    }, '''
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://v/T> .
+<http://e/s> <http://v/g> <http://e/n> .
+<http://e/n> <http://scoped/q> <http://e/m> .
+<http://e/m> <http://scoped/q> "deep" .
+'''),
+
+    ("comboN_reverse_term_chained", {}, {
+        "@context": {"@vocab": "http://v/",
+                     "parent": {"@reverse": "child"}},
+        "@id": "http://e/c",
+        "parent": {"@id": "http://e/p2", "parent": {"@id": "http://e/gp"}},
+    }, '''
+<http://e/p2> <http://v/child> <http://e/c> .
+<http://e/gp> <http://v/child> <http://e/p2> .
+'''),
+
+    ("comboN_graph_container_through_nest", {}, {
+        "@context": {"@vocab": "http://v/", "n": "@nest",
+                     "g": {"@id": "http://e/g", "@container": "@graph"}},
+        "@id": "http://e/s", "n": {"g": {"q": "v"}},
+    }, '''
+<http://e/s> <http://e/g> _:g0 .
+_:n0 <http://v/q> "v" _:g0 .
+'''),
+
+    ("comboN_embedded_star_inside_list", {}, {
+        "@id": "ex:s",
+        "ex:p": {"@list": [{"@id": {"@id": "ex:a", "ex:q": "v"}}]},
+    }, '''
+<ex:s> <ex:p> _:l0 .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> << <ex:a> <ex:q> "v" >> .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
+    ("comboN_unresolvable_idmap_keys_drop_everything", {}, {
+        # JsonLdParser-test.ts:7870 — relative keys with no base: []
+        "@context": {"ex": "http://ex.org/",
+                     "p": {"@id": "http://ex.org/pred1",
+                           "@container": "@id"}},
+        "@id": "http://ex.org/myid",
+        "p": {"ignored/1/en": {"http://example.com/posts/body": "body 1"},
+              "ignored/1/de": {"http://example.com/posts/body": "body 2"}},
+    }, ''),
 ]
