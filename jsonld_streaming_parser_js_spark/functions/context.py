@@ -230,7 +230,11 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
 
     for context in as_list(local_ctx):
         if context is None:
-            if not override_protected and active.has_protected_terms():
+            # the check runs against the EVOLVING result (W3C 4.1 5.1.1:
+            # the active context at this loop step), so protected terms
+            # defined by an earlier member of the same context array are
+            # seen too — not just the caller's entry context
+            if not override_protected and result.has_protected_terms():
                 raise JsonLdError(
                     "invalid context nullification",
                     "tried to nullify a context with protected terms")

@@ -21,7 +21,6 @@ from . import iri as iri_mod
 from .context import (
     FLAGS,
     KEYWORDS,
-    LANGUAGE_TAG_RE,
     UNSET,
     Context,
     JsonLdError,
@@ -299,9 +298,6 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
                 if not isinstance(value, str):
                     raise JsonLdError("invalid language-tagged string",
                                       repr(value))
-                if FLAGS.strict_values and not LANGUAGE_TAG_RE.match(value):
-                    raise JsonLdError("invalid language-tagged string",
-                                      repr(value))
                 result["@language"] = (value.lower()
                                        if FLAGS.normalize_language_tags
                                        else value)
@@ -454,9 +450,6 @@ def _expand_language_map(ctx: Context, td, value: dict) -> list:
         expanded_lang = None
         if lang != "@none" and not (ctx.term(lang) is not None
                                     and ctx.term(lang).iri == "@none"):
-            if FLAGS.strict_values and not LANGUAGE_TAG_RE.match(lang):
-                raise JsonLdError("invalid language-tagged string",
-                                  repr(lang))
             expanded_lang = (lang.lower() if FLAGS.normalize_language_tags
                              else lang)
         for item in as_list(items):

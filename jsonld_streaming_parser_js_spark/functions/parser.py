@@ -9,7 +9,7 @@ mirroring the reference's end-to-end behavior
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields, replace
 from typing import Any
 
 from .context import (
@@ -20,6 +20,11 @@ from .context import (
     initial_context,
     process_context,
 )
+
+# ParserOptions carries one field per KernelFlags field (same names);
+# jsonld_to_quads copies them over generically so adding a flag is a
+# two-place change (KernelFlags + ParserOptions), never a silent leak
+_FLAG_NAMES = tuple(f.name for f in fields(KernelFlags))
 from .expand import expand
 from .to_rdf import (
     BlankNodeIssuer,
@@ -90,20 +95,16 @@ def jsonld_to_quads(doc: Any, options: ParserOptions | None = None
                     ) -> list[Quad]:
     """Parsed JSON document -> list of quads (N-Triples lexical tuples)."""
     options = options or ParserOptions()
-    saved = (FLAGS.strict_values, FLAGS.rdfstar, FLAGS.allow_subject_list,
-             FLAGS.normalize_language_tags, FLAGS.validate_value_indexes)
-    (FLAGS.strict_values, FLAGS.rdfstar, FLAGS.allow_subject_list,
-     FLAGS.normalize_language_tags, FLAGS.validate_value_indexes) = (
-        options.strict_values, options.rdfstar, options.allow_subject_list,
-        options.normalize_language_tags or
-        options.processing_mode == "json-ld-1.0",
-        options.validate_value_indexes)
+    saved = {name: getattr(FLAGS, name) for name in _FLAG_NAMES}
+    for name in _FLAG_NAMES:
+        setattr(FLAGS, name, getattr(options, name))
+    if options.processing_mode == "json-ld-1.0":
+        FLAGS.normalize_language_tags = True  # always on in 1.0
     try:
         return _jsonld_to_quads_impl(doc, options)
     finally:
-        (FLAGS.strict_values, FLAGS.rdfstar, FLAGS.allow_subject_list,
-         FLAGS.normalize_language_tags,
-         FLAGS.validate_value_indexes) = saved
+        for name, value in saved.items():
+            setattr(FLAGS, name, value)
 
 
 def _jsonld_to_quads_impl(doc: Any, options: ParserOptions) -> list[Quad]:
@@ -146,14 +147,17 @@ def parse_block(block_text: str, url: str, blk: int,
         # document, exactly like the reference's defaultGraph option
         # (lib/JsonLdParser.ts:686-688) — the per-(url, blk) skolemizer
         # would otherwise split it into per-document graphs
-        # parser_options is the behavior-flag TEMPLATE (strict_values,
-        # rdfstar, allowSubjectList, ...); per-block fields are overridden
-        from dataclasses import replace as _replace
+        # parser_options is the TEMPLATE (behavior flags + defaults); the
+        # explicit per-call arguments win where given
         base_opts = parser_options or ParserOptions()
-        options = _replace(base_opts, base_iri=url,
-                           ctx_cache=ctx_cache or {},
-                           rdf_direction=rdf_direction,
-                           context=context, default_graph=None)
+        default_graph = default_graph or base_opts.default_graph
+        options = replace(base_opts, base_iri=url,
+                          ctx_cache=ctx_cache or base_opts.ctx_cache,
+                          rdf_direction=(rdf_direction
+                                         or base_opts.rdf_direction),
+                          context=(context if context is not None
+                                   else base_opts.context),
+                          default_graph=None)
         quads = jsonld_to_quads(doc, options)
     except JsonLdError as exc:
         return [], exc.code

@@ -22,7 +22,7 @@ import hashlib
 from typing import Any
 
 from . import terms as T
-from .context import FLAGS, JsonLdError
+from .context import FLAGS, LANGUAGE_TAG_RE, JsonLdError
 from .iri import is_absolute_iri
 
 
@@ -278,6 +278,15 @@ def value_object_to_term(item: dict, rdf_direction: str | None,
     if not isinstance(value, str):
         return None
 
+    if language is not None and not LANGUAGE_TAG_RE.match(language):
+        # the reference validates language tags HERE (Util.ts:360-366):
+        # strict mode errors; lenient mode warns and DROPS the value —
+        # emitting '"x"@en_us' would be syntactically invalid N-Triples
+        if FLAGS.strict_values:
+            raise JsonLdError("invalid language-tagged string",
+                              repr(language))
+        return None
+
     if direction is not None and rdf_direction is not None:
         if rdf_direction == "i18n-datatype":
             dt = f"{T.I18N}{language or ''}_{direction}"
@@ -412,17 +421,32 @@ def emit_quads(node_map: dict, rdf_direction: str | None = None,
                                          graph_term, rdf_direction,
                                          produce_generalized_rdf)
     for graph_name, lst, prop, ref in node_map.get("@subject-lists", ()):
-        # reverse subject lists (allowSubjectList): head -> prop -> node
+        # reverse subject lists (allowSubjectList): head -> prop -> node.
+        # Same drop/error/generalized rules as the main loop above.
         graph_term = (T.DEFAULT_GRAPH if graph_name == "@default"
                       else node_to_term(graph_name))
         if graph_term is None:
+            if strict:
+                _invalid("resource", graph_name)
             continue
         obj = node_to_term(ref.get("@id"))
-        if obj is None or not is_absolute_iri(prop):
+        if obj is None:
+            if strict:
+                _invalid("resource", str(ref.get("@id")))
+            continue
+        if prop.startswith("_:"):
+            if not produce_generalized_rdf:
+                continue
+            pred = prop
+        elif is_absolute_iri(prop):
+            pred = T.iri(prop)
+        else:
+            if strict:
+                _invalid("predicate", prop)
             continue
         head = list_to_quads(lst["@list"], quads, issuer, graph_term,
                              rdf_direction, produce_generalized_rdf)
-        quads.append((head, T.iri(prop), obj, graph_term))
+        quads.append((head, pred, obj, graph_term))
     return quads
 
 

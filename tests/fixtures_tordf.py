@@ -1374,13 +1374,13 @@ _:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/0
 <http://e/n> <http://e/q> "w" <http://e/s> .
 '''),
 
-    ("malformed_bcp47_kept_lowercased", {}, {
-        # not well-formed language tags are a SHOULD-warn, not an error
+    ("malformed_bcp47_dropped_leniently", {}, {
+        # not well-formed language tags: lenient mode warns and DROPS the
+        # value (reference Util.ts:360-366 — emitting "@en_us" would be
+        # invalid N-Triples); strict mode errors (negative battery)
         "@id": "http://e/s",
         "http://e/p": {"@value": "x", "@language": "en_US"},
-    }, '''
-<http://e/s> <http://e/p> "x"@en_us .
-'''),
+    }, ''),
 
     ("list_of_nulls_is_nil", {}, {
         "@id": "http://e/s", "http://e/p": {"@list": [None, None]},

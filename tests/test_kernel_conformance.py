@@ -1151,3 +1151,22 @@ def test_flags_restored_after_parse():
     with pytest.raises(JsonLdError):
         _opt_quads({"bla": "x"}, strict_values=True, rdfstar=False)
     assert FLAGS.strict_values is False and FLAGS.rdfstar is True
+
+
+def test_invalid_context_nullification_code():
+    # nullifying a context that defined protected terms (W3C: invalid
+    # context nullification; override only legal via property scope)
+    doc = {"@context": [{"@protected": True, "p": "http://e/p"}, None],
+           "@id": "http://e/s", "http://e/p": "v"}
+    with pytest.raises(JsonLdError) as exc:
+        quads(doc)
+    assert exc.value.code == "invalid context nullification"
+
+
+def test_strict_malformed_language_tag_errors_lenient_drops():
+    doc = {"@id": "http://e/s",
+           "http://e/p": {"@value": "x", "@language": "en_US"}}
+    assert quads(doc) == set()  # lenient: dropped (never invalid N-Triples)
+    with pytest.raises(JsonLdError) as exc:
+        jsonld_to_quads(doc, ParserOptions(strict_values=True))
+    assert exc.value.code == "invalid language-tagged string"

@@ -83,15 +83,37 @@ def main() -> None:
           p.count("HashAggregate") >= 2,
           f"HashAggregate x{p.count('HashAggregate')}")
 
-    p = plan_of(e._q_dedup_embedding_lsh_recall(spark, sf))
+    df = e._q_dedup_embedding_lsh_recall(spark, sf)
     # the recall audit's exact side is all-pairs BY DESIGN, but only on the
-    # deterministic md5 1/4 sample: the sample Filter must sit under the
-    # scan-side of the plan (pmod(conv(substr(md5(...)...)))) so the
-    # quadratic join never sees the full table
-    check("recall audit: exact side sampled before all-pairs",
-          p.count("md5") >= 2 and "pmod" in p,
-          f"md5-filter x{p.count('md5')}, pmod present="
-          f"{'pmod' in p}")
+    # deterministic md5 1/4 sample. Assert STRUCTURALLY that every
+    # BroadcastNestedLoopJoin (the all-pairs op) has the pmod(..md5..)
+    # sample Filter somewhere in its indented subtree — i.e. the quadratic
+    # join never sees the unsampled table. Uses the JVM plan tree string,
+    # where children are printed indented under their parent.
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    lines = tree.splitlines()
+    ok = True
+    n_bnlj = 0
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        n_bnlj += 1
+        indent = len(line) - len(line.lstrip(" +:-*("))
+        subtree = []
+        for nxt in lines[i + 1:]:
+            if nxt.strip() and (len(nxt) - len(nxt.lstrip(" +:-*("))
+                                <= indent):
+                break
+            subtree.append(nxt)
+        sub = "\n".join(subtree)
+        if not ("pmod" in sub and "md5" in sub):
+            # the 1-row x 1-row crossJoin of the two aggregates also shows
+            # as a BNLJ; its subtree CONTAINS the sampled joins, so the
+            # pmod check holds there too — any miss is a real violation
+            ok = False
+    check("recall audit: every all-pairs join sits above the md5 sample",
+          n_bnlj >= 1 and ok,
+          f"BNLJ x{n_bnlj}, each with pmod(md5) filter in subtree={ok}")
 
     with open(os.path.join(ROOT, "EXPLAIN.md"), "w") as f:
         f.write("# EXPLAIN audit — physical-plan invariants\n\n")
