@@ -163,3 +163,53 @@ def test_fuzz_option_matrix_never_crashes(doc, rdf_dir, mode, gen_rdf,
         assert q1 == q2  # deterministic per options
     except (JsonLdError, RecursionError, ValueError):
         pass  # coded/recoverable — parse_block routes these to the channel
+
+
+@settings(max_examples=200, deadline=None)
+@given(json_docs, st.booleans(), st.booleans(), st.booleans(),
+       st.booleans(), st.booleans())
+def test_fuzz_behavior_flags_never_crash_or_leak(doc, strict, star,
+                                                 subj_list, norm_lang,
+                                                 val_idx):
+    """Round-3 behavior flags: any combination must only raise coded
+    errors, stay deterministic, and always restore the module FLAGS."""
+    from jsonld_streaming_parser_js_spark.functions.context import (
+        FLAGS, JsonLdError, KernelFlags)
+    from jsonld_streaming_parser_js_spark.functions.parser import (
+        ParserOptions, jsonld_to_quads)
+    opts = ParserOptions(base_iri="https://fuzz.example.org/p",
+                         strict_values=strict, rdfstar=star,
+                         allow_subject_list=subj_list,
+                         normalize_language_tags=norm_lang,
+                         validate_value_indexes=val_idx)
+    try:
+        q1 = jsonld_to_quads(doc, opts)
+        q2 = jsonld_to_quads(doc, opts)
+        assert q1 == q2
+    except (JsonLdError, RecursionError, ValueError):
+        pass
+    assert FLAGS == KernelFlags(), "flags leaked past the parse"
+
+
+@settings(max_examples=150, deadline=None)
+@given(json_docs)
+def test_fuzz_strict_is_superset_of_lenient(doc):
+    """Strict mode may only ADD errors: whenever strict succeeds, its quads
+    equal the lenient quads plus nothing lost (strict never changes emitted
+    values, it only converts drops into errors)."""
+    from jsonld_streaming_parser_js_spark.functions.context import (
+        JsonLdError)
+    from jsonld_streaming_parser_js_spark.functions.parser import (
+        ParserOptions, jsonld_to_quads)
+    base = ParserOptions(base_iri="https://fuzz.example.org/p")
+    try:
+        lenient = jsonld_to_quads(doc, base)
+    except (JsonLdError, RecursionError, ValueError):
+        return  # both modes error
+    try:
+        strict = jsonld_to_quads(
+            doc, ParserOptions(base_iri="https://fuzz.example.org/p",
+                               strict_values=True))
+    except (JsonLdError, RecursionError, ValueError):
+        return  # strict added an error: allowed
+    assert sorted(strict) == sorted(lenient)
