@@ -3278,4 +3278,65 @@ _:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/0
         "p": {"ignored/1/en": {"http://example.com/posts/body": "body 1"},
               "ignored/1/de": {"http://example.com/posts/body": "body 2"}},
     }, ''),
+
+    # --- round-3 batch O: remote-context edge semantics ------------------------
+
+    ("remO_base_in_remote_context_ignored", {
+        "base_iri": "http://doc/",
+        "ctx_cache": {"https://c/r": {"@context":
+                      {"@base": "http://OTHER/", "p": "http://e/p"}}}}, {
+        # W3C 4.1 step 5.7: @base only applies when remote contexts is
+        # empty — a remote @base never changes the document base
+        "@context": "https://c/r", "@id": "rel", "p": "v",
+    }, '''
+<http://doc/rel> <http://e/p> "v" .
+'''),
+
+    ("remO_version_in_remote_context", {
+        "ctx_cache": {"https://c/r": {"@context":
+                      {"@version": 1.1, "p": "http://e/p"}}}}, {
+        "@context": "https://c/r", "@id": "http://e/s", "p": "v",
+    }, '''
+<http://e/s> <http://e/p> "v" .
+'''),
+
+    ("remO_remote_chain_with_inline_tail", {
+        "ctx_cache": {
+            "https://c/a": {"@context": ["https://c/b",
+                                         {"x": "http://e/x"}]},
+            "https://c/b": {"@context": {"y": "http://e/y"}}}}, {
+        "@context": "https://c/a", "@id": "http://e/s", "x": "1", "y": "2",
+    }, '''
+<http://e/s> <http://e/x> "1" .
+<http://e/s> <http://e/y> "2" .
+'''),
+
+    ("remO_empty_vocab_in_remote_uses_document_base", {
+        "base_iri": "http://doc/page",
+        "ctx_cache": {"https://c/r": {"@context": {"@vocab": ""}}}}, {
+        "@context": "https://c/r", "@id": "http://e/s", "p": "v",
+    }, '''
+<http://e/s> <http://doc/pagep> "v" .
+'''),
+
+    ("remO_property_scoped_remote_context", {
+        "ctx_cache": {"https://c/s": {"@context":
+                      {"q": "http://scoped/q"}}}}, {
+        "@context": {"@vocab": "http://v/",
+                     "p": {"@context": "https://c/s"}},
+        "@id": "http://e/s", "p": {"q": "v"},
+    }, '''
+<http://e/s> <http://v/p> _:b0 .
+_:b0 <http://scoped/q> "v" .
+'''),
+
+    ("remO_same_remote_twice_sequential_ok", {
+        "ctx_cache": {"https://c/r": {"@context":
+                      {"p": "http://e/p"}}}}, {
+        # recursion tracking is per-CHAIN; sequential repeats are legal
+        "@context": ["https://c/r", "https://c/r"],
+        "@id": "http://e/s", "p": "v",
+    }, '''
+<http://e/s> <http://e/p> "v" .
+'''),
 ]
