@@ -32,6 +32,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--rdf-direction", default=None,
                     choices=[None, "i18n-datatype", "compound-literal",
                              "base"])
+    ap.add_argument("--context-cache", default=None,
+                    help="JSON file {ctx_iri: document} built by "
+                         "tools/prefetch_contexts.py; defaults to the "
+                         "built-in fixture CONTEXTS")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -43,6 +47,15 @@ def main(argv: list[str] | None = None) -> None:
     from jsonld_streaming_parser_js_spark.sources.pages import (
         CONTEXTS, pages_from_documents)
 
+    if args.context_cache:
+        from jsonld_streaming_parser_js_spark.functions.context import (
+            validate_context_cache)
+        with open(args.context_cache, encoding="utf-8") as fh:
+            ctx_cache = json.load(fh)
+        validate_context_cache(ctx_cache)  # fail ONCE at the driver
+    else:
+        ctx_cache = CONTEXTS
+
     if args.pages.startswith("synthetic:"):
         parts = args.pages.split(":")
         amp = int(parts[2]) if len(parts) > 2 else 1
@@ -51,14 +64,14 @@ def main(argv: list[str] | None = None) -> None:
         pages = spark.read.parquet(args.pages)
 
     if args.waves > 1:
-        lin.run_in_waves(spark, pages, args.out, CONTEXTS,
+        lin.run_in_waves(spark, pages, args.out, ctx_cache,
                          buckets=args.buckets, waves=args.waves,
                          rdf_direction=args.rdf_direction,
                          snapshot_id=args.snapshot_id)
     cfg = PipelineConfig(out_dir=args.out, buckets=args.buckets,
                          canonicalize=args.canonicalize,
                          rdf_direction=args.rdf_direction,
-                         ctx_cache=CONTEXTS,
+                         ctx_cache=ctx_cache,
                          snapshot_id=args.snapshot_id)
     # with waves > 1 this is a no-op resume pass (all buckets committed)
     # followed by the optional canonicalization step
