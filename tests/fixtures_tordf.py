@@ -3339,4 +3339,34 @@ _:b0 <http://scoped/q> "v" .
     }, '''
 <http://e/s> <http://e/p> "v" .
 '''),
+
+    # --- round-3 batch P: @json type interplay (Util-test.ts:581-604) ----------
+
+    ("jsonP_ctx_type_wraps_inner_value_object", {}, {
+        # a context-@json term turns even a {"@value": ...} map into RAW
+        # JSON (input_type short-circuits value-object interpretation)
+        "@context": {"key": {"@id": "http://e/k", "@type": "@json"}},
+        "@id": "http://e/s", "key": {"@value": "abc"},
+    }, '''
+<http://e/s> <http://e/k> "{\\"@value\\":\\"abc\\"}"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+'''),
+
+    ("jsonP_aliased_json_type_in_value", {}, {
+        "@context": {"json": {"@id": "@json"}},
+        "@id": "http://e/s",
+        "http://e/k": {"@value": {"v": "abc"}, "@type": "json"},
+    }, '''
+<http://e/s> <http://e/k> "{\\"v\\":\\"abc\\"}"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+'''),
+
+    ("jsonP_ctx_and_value_json_double_wrap", {}, {
+        # context @json + literal "@type": "@json" in the map: the WHOLE
+        # map (including @type/@value keys) is the JSON value
+        # (Util-test.ts:598)
+        "@context": {"key": {"@id": "http://e/k", "@type": "@json"}},
+        "@id": "http://e/s",
+        "key": {"@value": {"v": "abc"}, "@type": "@json"},
+    }, '''
+<http://e/s> <http://e/k> "{\\"@type\\":\\"@json\\",\\"@value\\":{\\"v\\":\\"abc\\"}}"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+'''),
 ]
