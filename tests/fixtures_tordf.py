@@ -3369,4 +3369,53 @@ _:b0 <http://scoped/q> "v" .
     }, '''
 <http://e/s> <http://e/k> "{\\"@type\\":\\"@json\\",\\"@value\\":{\\"v\\":\\"abc\\"}}"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
 '''),
+
+    # --- round-3 batch Q: vocab-bnode / keyword-alias / graph-alias edges ------
+
+    ("edgeQ_vocab_bnode_generalized_only", {"produce_generalized_rdf": True},
+     {"@context": {"@vocab": "_:v"}, "@id": "http://e/s", "p": "v"},
+     '''
+<http://e/s> _:p "v" .
+'''),
+
+    ("edgeQ_vocab_bnode_dropped_by_default", {},
+     {"@context": {"@vocab": "_:v"}, "@id": "http://e/s", "p": "v"}, ""),
+
+    ("edgeQ_term_aliased_to_graph_keyword", {},
+     {"@context": {"g": "@graph"}, "@id": "http://e/s",
+      "g": {"@id": "http://e/i", "http://e/p": "v"}},
+     '''
+<http://e/i> <http://e/p> "v" <http://e/s> .
+'''),
+
+    ("edgeQ_type_alias_with_set_container", {},
+     {"@context": {"type": {"@id": "@type", "@container": "@set"}},
+      "@id": "http://e/s", "type": ["http://e/T1", "http://e/T2"]},
+     '''
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T1> .
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T2> .
+'''),
+
+    ("edgeQ_single_at_key_dropped", {},
+     {"@id": "http://e/s", "@": "v", "http://e/p": "w"},
+     '''
+<http://e/s> <http://e/p> "w" .
+'''),
+
+    ("edgeQ_type_alias_and_keyword_merge", {},
+     {"@context": {"type": "@type"}, "@id": "http://e/s",
+      "type": "http://e/T1", "@type": "http://e/T2"},
+     '''
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T1> .
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/T2> .
+'''),
+
+    ("edgeQ_graph_alias_keeps_outer_props_default", {},
+     {"@context": {"g": "@graph"},
+      "@id": "http://e/outer", "http://e/meta": "m",
+      "g": {"@id": "http://e/s", "http://e/p": "v"}},
+     '''
+<http://e/outer> <http://e/meta> "m" .
+<http://e/s> <http://e/p> "v" <http://e/outer> .
+'''),
 ]

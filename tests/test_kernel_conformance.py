@@ -620,6 +620,9 @@ NEGATIVE_CASES = [
      {"@context": {"i1": "@id", "i2": "@id"},
       "i1": "http://e/a", "i2": "http://e/b", "http://e/p": "v"}),
     ("invalid @id value", {"@id": 5, "http://e/p": "v"}),
+    ("invalid term definition",  # empty-string term (W3C: invalid)
+     {"@context": {"": "http://e/x"}, "@id": "http://e/s",
+      "http://e/p": "v"}),
     ("invalid type value",
      {"@id": "http://e/s", "@type": {"bad": "object"}}),
     ("invalid value object",
