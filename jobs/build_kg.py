@@ -38,23 +38,29 @@ def main(argv: list[str] | None = None) -> None:
                          "built-in fixture CONTEXTS")
     args = ap.parse_args(argv)
 
-    from pyspark.sql import SparkSession
-    spark = SparkSession.builder.appName("build-kg").getOrCreate()
-
     from jsonld_streaming_parser_js_spark.plans import lineage as lin
     from jsonld_streaming_parser_js_spark.plans.pipeline import (
         PipelineConfig, build_kg)
     from jsonld_streaming_parser_js_spark.sources.pages import (
         CONTEXTS, pages_from_documents)
 
+    # validate the cache BEFORE building the Spark session: pure-Python
+    # validation fails in milliseconds; a cluster session costs minutes
     if args.context_cache:
         from jsonld_streaming_parser_js_spark.functions.context import (
-            validate_context_cache)
+            JsonLdError, validate_context_cache)
         with open(args.context_cache, encoding="utf-8") as fh:
             ctx_cache = json.load(fh)
+        if not isinstance(ctx_cache, dict):
+            raise JsonLdError("invalid remote context",
+                              f"{args.context_cache}: cache file must be a "
+                              "JSON object {iri: document}")
         validate_context_cache(ctx_cache)  # fail ONCE at the driver
     else:
         ctx_cache = CONTEXTS
+
+    from pyspark.sql import SparkSession
+    spark = SparkSession.builder.appName("build-kg").getOrCreate()
 
     if args.pages.startswith("synthetic:"):
         parts = args.pages.split(":")

@@ -1255,7 +1255,7 @@ _:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#direction> "rtl" .
 <http://e/s> <http://e/p> "a" .
 '''),
 
-    ("graph_set_container", {}, {
+    ("graph_set_container_with_index", {}, {
         "@context": {"g": {"@id": "http://e/g",
                            "@container": ["@graph", "@set"]}},
         "@id": "http://e/s", "g": [{"http://e/q": "v"}],

@@ -202,14 +202,19 @@ def test_fuzz_strict_is_superset_of_lenient(doc):
     from jsonld_streaming_parser_js_spark.functions.parser import (
         ParserOptions, jsonld_to_quads)
     base = ParserOptions(base_iri="https://fuzz.example.org/p")
+    strict_opts = ParserOptions(base_iri="https://fuzz.example.org/p",
+                                strict_values=True)
     try:
         lenient = jsonld_to_quads(doc, base)
     except (JsonLdError, RecursionError, ValueError):
-        return  # both modes error
+        # lenient errored: strict must error too (strict only ADDS errors)
+        try:
+            jsonld_to_quads(doc, strict_opts)
+        except (JsonLdError, RecursionError, ValueError):
+            return
+        raise AssertionError("strict succeeded where lenient errored")
     try:
-        strict = jsonld_to_quads(
-            doc, ParserOptions(base_iri="https://fuzz.example.org/p",
-                               strict_values=True))
+        strict = jsonld_to_quads(doc, strict_opts)
     except (JsonLdError, RecursionError, ValueError):
         return  # strict added an error: allowed
     assert sorted(strict) == sorted(lenient)
