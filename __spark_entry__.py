@@ -328,6 +328,19 @@ def _q_mm_decode_ppm(spark, sf_dir):
     return mm.ppm_stats_from_ids(image_ids).orderBy("media_id")
 
 
+def _q_mm_decode_png(spark, sf_dir):
+    """REAL compressed-image decode lane: full PNG decoder (CRC-verified
+    chunk walk, zlib inflate, Paeth/Average/Sub/Up unfiltering — stdlib
+    only). The synth twin filters every row with a different filter type,
+    so the decoder's filter inversion is genuinely exercised; decoded
+    per-channel sums equal the PPM closed forms, checked by the oracle."""
+    from jsonld_streaming_parser_js_spark.operators import multimodal as mm
+    docs = _tbl(spark, sf_dir, "documents")
+    image_ids = (docs.where(F.col("doc_id") % 3 == 0)
+                 .select(F.col("doc_id").alias("media_id")))
+    return mm.png_stats_from_ids(image_ids).orderBy("media_id")
+
+
 def _q_tpch_q1(spark, sf_dir):
     li = _tbl(spark, sf_dir, "lineitem")
     return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
@@ -495,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": _q_mm_features,
         "mm_decode_wav": _q_mm_decode_wav,
         "mm_decode_ppm": _q_mm_decode_ppm,
+        "mm_decode_png": _q_mm_decode_png,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "window_top_orders": _q_window_top_orders,
@@ -967,6 +981,9 @@ SELECT doc_id AS media_id,
                         FOR y IN range(6 + (doc_id % 3) * 2)]) AS BIGINT)
          AS sum_b
 FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id"""
+
+    # the PNG lane decodes to the SAME closed-form pixel sums as PPM
+    oracles["mm_decode_png"] = oracles["mm_decode_ppm"]
 
     oracles["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,

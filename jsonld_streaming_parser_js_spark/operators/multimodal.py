@@ -7,11 +7,13 @@ The Spark-side architecture is fully real — schemas, Arrow-batched
   ``wave`` module + NumPy), value-oracle-checked (mm_decode_wav).
 - image/PPM: REAL decode (``decode_ppm`` — binary P6, header parse +
   NumPy), value-oracle-checked (mm_decode_ppm).
-- compressed formats (PNG/JPEG/MP3) and video: STUBBED behind
-  deterministic fakes (``_decode_stub``): those codec libraries are not in
-  this container (a permanent constraint documented in PARITY.md).
-  Swapping the stub for PIL/torchaudio/pyav is a one-function change;
-  nothing in the plan shape moves.
+- image/PNG: REAL decode (``decode_png`` — chunk walk with CRC32
+  verification, zlib inflate, full None/Sub/Up/Average/Paeth scanline
+  unfiltering; stdlib-only), value-oracle-checked (mm_decode_png).
+- JPEG/MP3/video: STUBBED behind deterministic fakes (``_decode_stub``):
+  those codec libraries are not in this container (a permanent constraint
+  documented in PARITY.md). Swapping the stub for PIL/torchaudio/pyav is a
+  one-function change; nothing in the plan shape moves.
 
 Scale notes: binary payloads dominate row size, so these stages (a) select
 ONLY the binary column + key (column pruning keeps the scan lean), (b) cap
@@ -301,6 +303,176 @@ def ppm_stats_from_ids(ids: DataFrame, id_col: str = "media_id",
                 acc += len(payload)
                 rows.append({"media_id": int(mid),
                              **decode_ppm(payload)})
+                if acc >= max_batch_bytes:
+                    yield pd.DataFrame(rows)
+                    rows, acc = [], 0
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return ids.select(F.col(id_col)).mapInPandas(run, PPM_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-image codec: PNG (RGB8). Pure stdlib zlib + NumPy — a
+# complete decoder for non-interlaced 8-bit RGB PNGs: chunk walk with CRC
+# verification, IDAT inflate, and full scanline UNFILTERING (None/Sub/Up/
+# Average/Paeth). The synth twin deliberately filters each row with a
+# different filter type (y % 5) so the decoder's filter inversion is
+# genuinely exercised; pixel channels keep the PPM closed-form integers so
+# the DuckDB oracle recomputes the decoded sums exactly.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _z
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def synth_png(media_id: int) -> bytes:
+    """Real non-interlaced RGB8 PNG; pixels follow the same closed-form
+    integer patterns as synth_ppm; row y is filtered with type y % 5."""
+    import struct
+    import zlib as _z
+
+    w = 8 + (media_id % 4) * 4
+    h = 6 + (media_id % 3) * 2
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    img = np.stack([
+        np.broadcast_to((media_id + x) % 256, (h, w)),
+        (x * y) % 256,
+        np.broadcast_to((media_id * 3 + y) % 256, (h, w)),
+    ], axis=-1).astype(np.uint8)
+    bpp = 3
+    raw = bytearray()
+    prior = np.zeros(w * bpp, dtype=np.int64)
+    for row_i in range(h):
+        recon = img[row_i].reshape(-1).astype(np.int64)
+        ftype = row_i % 5
+        line = np.zeros(w * bpp, dtype=np.int64)
+        for i in range(w * bpp):
+            left = recon[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            upleft = prior[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(int(left), int(up), int(upleft))
+            line[i] = (recon[i] - pred) % 256
+        raw.append(ftype)
+        raw.extend(int(v) for v in line)
+        prior = recon
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # RGB8
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse PNG bytes -> (width, height, per-channel sums). REAL decode:
+    signature + chunk walk with CRC32 verification, zlib inflate, and full
+    None/Sub/Up/Average/Paeth unfiltering."""
+    import struct
+    import zlib as _z
+
+    if payload[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG")
+    pos, width, height, idat = 8, None, None, bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length:
+                                             pos + 12 + length])
+        if _z.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", body)
+            if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only non-interlaced 8-bit RGB PNG is decodable here")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = _z.decompress(bytes(idat))
+    bpp, stride = 3, width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    img = np.zeros((height, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for row_i in range(height):
+        off = row_i * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=off + 1).astype(np.int64)
+        recon = np.zeros(stride, dtype=np.int64)
+        for i in range(stride):
+            left = recon[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            upleft = prior[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            elif ftype == 4:
+                pred = _paeth(int(left), int(up), int(upleft))
+            else:
+                raise ValueError(f"bad PNG filter type {ftype}")
+            recon[i] = (line[i] + pred) % 256
+        img[row_i] = recon
+        prior = recon
+    pix = img.reshape(height, width, 3)
+    return {
+        "width": int(width),
+        "height": int(height),
+        "sum_r": int(pix[:, :, 0].sum()),
+        "sum_g": int(pix[:, :, 1].sum()),
+        "sum_b": int(pix[:, :, 2].sum()),
+    }
+
+
+def png_stats_from_ids(ids: DataFrame, id_col: str = "media_id",
+                       max_batch_bytes: int = 64 << 20) -> DataFrame:
+    """ids -> synth PNG payload -> REAL compressed decode -> exact stats
+    (see wav_stats_from_ids for the batching/shuffle notes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows, acc = [], 0
+            for mid in batch[id_col].tolist():
+                payload = synth_png(int(mid))
+                acc += len(payload)
+                rows.append({"media_id": int(mid),
+                             **decode_png(payload)})
                 if acc >= max_batch_bytes:
                     yield pd.DataFrame(rows)
                     rows, acc = [], 0

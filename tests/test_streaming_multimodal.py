@@ -214,3 +214,52 @@ def test_ppm_stats_operator_distributed(spark):
     got = rows[4]
     assert (got["width"], got["height"], got["sum_g"]) == (
         e["width"], e["height"], e["sum_g"])
+
+
+def test_png_roundtrip_matches_ppm_closed_forms():
+    from jsonld_streaming_parser_js_spark.operators import multimodal as mm
+    for mid in (0, 3, 6, 9, 4998):
+        assert mm.decode_png(mm.synth_png(mid)) == \
+            mm.decode_ppm(mm.synth_ppm(mid))
+
+
+def test_png_crc_and_format_gates():
+    import pytest as _pytest
+    from jsonld_streaming_parser_js_spark.operators import multimodal as mm
+    bad = bytearray(mm.synth_png(3))
+    bad[30] ^= 0xFF
+    with _pytest.raises(ValueError):
+        mm.decode_png(bytes(bad))
+    with _pytest.raises(NotImplementedError):
+        mm.decode_png(b"GIF89a...")
+
+
+def test_png_every_filter_type_exercised():
+    # synth uses filter y%5 — an 12-row image hits all five filter types
+    from jsonld_streaming_parser_js_spark.operators import multimodal as mm
+    mid = 5  # h = 6 + (5%3)*2 = 10 rows -> filters 0..4 twice
+    png = mm.synth_png(mid)
+    import zlib, struct
+    pos, idat = 8, bytearray()
+    while pos < len(png):
+        (ln,) = struct.unpack(">I", png[pos:pos + 4])
+        tag = png[pos + 4:pos + 8]
+        if tag == b"IDAT":
+            idat.extend(png[pos + 8:pos + 8 + ln])
+        pos += 12 + ln
+    raw = zlib.decompress(bytes(idat))
+    w = 8 + (mid % 4) * 4
+    stride = w * 3 + 1
+    ftypes = {raw[i * stride] for i in range(len(raw) // stride)}
+    assert ftypes == {0, 1, 2, 3, 4}
+
+
+def test_png_stats_operator_distributed(spark):
+    from jsonld_streaming_parser_js_spark.operators import multimodal as mm
+    ids = spark.range(9).select(F.col("id").alias("media_id"))
+    rows = {r["media_id"]: r for r in
+            mm.png_stats_from_ids(ids).collect()}
+    e = mm.decode_png(mm.synth_png(4))
+    got = rows[4]
+    assert (got["width"], got["height"], got["sum_g"]) == (
+        e["width"], e["height"], e["sum_g"])
