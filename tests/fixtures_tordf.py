@@ -3418,4 +3418,56 @@ _:b0 <http://scoped/q> "v" .
 <http://e/outer> <http://e/meta> "m" .
 <http://e/s> <http://e/p> "v" <http://e/outer> .
 '''),
+
+    # --- round-3 batch R: @graph-container combination depth -------------------
+    # (reference anchors: JsonLdParser-test.ts:8511-9378)
+
+    ("graphR_index_map_two_graphs", {}, {
+        "@context": {"p": {"@id": "http://e/p",
+                           "@container": ["@graph", "@index"]}},
+        "@id": "http://e/s",
+        "p": {"i1": {"http://e/q": "v1"}, "i2": {"http://e/q": "v2"}},
+    }, '''
+<http://e/s> <http://e/p> _:g1 .
+<http://e/s> <http://e/p> _:g2 .
+_:n1 <http://e/q> "v1" _:g1 .
+_:n2 <http://e/q> "v2" _:g2 .
+'''),
+
+    ("graphR_id_map_with_inner_graph_keyword", {}, {
+        # the entry already IS a graph object: not double-wrapped; the @id
+        # key names the graph
+        "@context": {"p": {"@id": "http://e/p",
+                           "@container": ["@graph", "@id"]}},
+        "@id": "http://e/s",
+        "p": {"http://e/g1": {"@graph": {"@id": "http://e/n",
+                                         "http://e/q": "v"}}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/g1> .
+<http://e/n> <http://e/q> "v" <http://e/g1> .
+'''),
+
+    ("graphR_simple_container_array_values_one_graph", {}, {
+        # a plain @graph container entry with an array property keeps ONE
+        # graph for the whole entry
+        "@context": {"p": {"@id": "http://e/p", "@container": "@graph"}},
+        "@id": "http://e/s", "p": {"http://e/q": ["v1", "v2"]},
+    }, '''
+<http://e/s> <http://e/p> _:g .
+_:n <http://e/q> "v1" _:g .
+_:n <http://e/q> "v2" _:g .
+'''),
+
+    ("graphR_index_map_array_value_two_graphs", {}, {
+        # an ARRAY under one index key still yields one graph per node
+        "@context": {"p": {"@id": "http://e/p",
+                           "@container": ["@graph", "@index"]}},
+        "@id": "http://e/s",
+        "p": {"i": [{"http://e/q": "v1"}, {"http://e/q": "v2"}]},
+    }, '''
+<http://e/s> <http://e/p> _:g1 .
+<http://e/s> <http://e/p> _:g2 .
+_:n1 <http://e/q> "v1" _:g1 .
+_:n2 <http://e/q> "v2" _:g2 .
+'''),
 ]
