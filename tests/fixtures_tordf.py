@@ -3470,4 +3470,67 @@ _:n <http://e/q> "v2" _:g .
 _:n1 <http://e/q> "v1" _:g1 .
 _:n2 <http://e/q> "v2" _:g2 .
 '''),
+
+    # --- round-3 batch S: out-of-order / nesting / mixed arrays ----------------
+    # (reference anchors: JsonLdParser-test.ts:5250, :3324, :4095, :11002)
+
+    ("oooS_type_scoped_ctx_after_properties", {}, {
+        # non-streaming semantics: @type LAST still re-scopes earlier keys
+        "@context": {"@vocab": "http://v/",
+                     "Foo": {"@id": "http://e/Foo",
+                             "@context": {"bar": "http://scoped/bar"}}},
+        "@id": "http://e/s", "bar": "baz", "@type": "Foo",
+    }, '''
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/Foo> .
+<http://e/s> <http://scoped/bar> "baz" .
+'''),
+
+    ("nestS_two_levels_of_named_nodes", {}, {
+        "@id": "http://e/a",
+        "http://e/p": {"@id": "http://e/b",
+                       "http://e/q": {"@id": "http://e/c",
+                                      "http://e/r": "v"}},
+    }, '''
+<http://e/a> <http://e/p> <http://e/b> .
+<http://e/b> <http://e/q> <http://e/c> .
+<http://e/c> <http://e/r> "v" .
+'''),
+
+    ("graphS_bnode_child_inherits_graph", {}, {
+        "@id": "http://e/g",
+        "@graph": {"@id": "http://e/s",
+                   "http://e/p": {"http://e/q": "v"}},
+    }, '''
+<http://e/s> <http://e/p> _:b0 <http://e/g> .
+_:b0 <http://e/q> "v" <http://e/g> .
+'''),
+
+    ("arrS_raw_scalar_array_fan_out", {}, {
+        "@id": "ex:id", "ex:p": [1, True, "x", 2.5],
+    }, '''
+<ex:id> <ex:p> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<ex:id> <ex:p> "true"^^<http://www.w3.org/2001/XMLSchema#boolean> .
+<ex:id> <ex:p> "x" .
+<ex:id> <ex:p> "2.5E0"^^<http://www.w3.org/2001/XMLSchema#double> .
+'''),
+
+    ("arrS_mixed_nodes_and_values", {}, {
+        "@id": "http://e/s",
+        "http://e/p": ["lit", {"@id": "http://e/o"}, {"@value": 5}],
+    }, '''
+<http://e/s> <http://e/p> "lit" .
+<http://e/s> <http://e/p> <http://e/o> .
+<http://e/s> <http://e/p> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .
+'''),
+
+    ("graphS_alternating_graph_node_graph", {}, {
+        "@id": "http://e/g1",
+        "@graph": {"@id": "http://e/s",
+                   "http://e/p": {"@id": "http://e/g2",
+                                  "@graph": {"@id": "http://e/t",
+                                             "http://e/q": "v"}}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/g2> <http://e/g1> .
+<http://e/t> <http://e/q> "v" <http://e/g2> .
+'''),
 ]
