@@ -278,6 +278,10 @@ def value_object_to_term(item: dict, rdf_direction: str | None,
     if not isinstance(value, str):
         return None
 
+    if language == "":
+        # falsy empty tag = no language at all (reference Util.ts: a ''
+        # valueLanguage skips every language branch -> plain literal)
+        language = None
     if language is not None and not LANGUAGE_TAG_RE.match(language):
         # the reference validates language tags HERE (Util.ts:360-366):
         # strict mode errors; lenient mode warns and DROPS the value —

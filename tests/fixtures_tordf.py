@@ -3533,4 +3533,86 @@ _:b0 <http://e/q> "v" <http://e/g> .
 <http://e/s> <http://e/p> <http://e/g2> <http://e/g1> .
 <http://e/t> <http://e/q> "v" <http://e/g2> .
 '''),
+
+    # --- round-3 batch T: @included chains / node merge / compact-IRI edges ----
+
+    ("incT_nested_included_chain", {}, {
+        "@id": "http://e/a", "http://e/p": "v",
+        "@included": {"@id": "http://e/b", "http://e/q": "w",
+                      "@included": {"@id": "http://e/c",
+                                    "http://e/r": "z"}},
+    }, '''
+<http://e/a> <http://e/p> "v" .
+<http://e/b> <http://e/q> "w" .
+<http://e/c> <http://e/r> "z" .
+'''),
+
+    ("incT_included_alias", {}, {
+        "@context": {"inc": "@included"},
+        "@id": "http://e/a", "http://e/p": "v",
+        "inc": {"@id": "http://e/b", "http://e/q": "w"},
+    }, '''
+<http://e/a> <http://e/p> "v" .
+<http://e/b> <http://e/q> "w" .
+'''),
+
+    ("mergeT_same_node_in_three_graphs", {}, [
+        {"@id": "http://e/g1",
+         "@graph": {"@id": "http://e/s", "http://e/p": "v1"}},
+        {"@id": "http://e/g2",
+         "@graph": {"@id": "http://e/s", "http://e/p": "v2"}},
+        {"@id": "http://e/s", "http://e/p": "v0"},
+    ], '''
+<http://e/s> <http://e/p> "v0" .
+<http://e/s> <http://e/p> "v1" <http://e/g1> .
+<http://e/s> <http://e/p> "v2" <http://e/g2> .
+'''),
+
+    ("mergeT_shared_bnode_label_coreference", {}, [
+        {"@id": "_:x", "http://e/p": "v1"},
+        {"@id": "_:x", "http://e/q": "v2"},
+    ], '''
+_:x <http://e/p> "v1" .
+_:x <http://e/q> "v2" .
+'''),
+
+    ("iriT_compact_iri_empty_suffix", {}, {
+        "@context": {"pre": "http://e/ns#"},
+        "@id": "http://e/s", "pre:": "v",
+    }, '''
+<http://e/s> <http://e/ns#> "v" .
+'''),
+
+    ("iriT_compact_iri_slashed_suffix", {}, {
+        "@context": {"pre": "http://e/ns/"},
+        "@id": "http://e/s", "pre:a/b": "v",
+    }, '''
+<http://e/s> <http://e/ns/a/b> "v" .
+'''),
+
+    ("starT_annotation_on_reverse_edge_in_graph", {}, {
+        "@id": "http://e/g",
+        "@graph": {"@context": {"r": {"@reverse": "http://e/p"}},
+                   "@id": "http://e/o",
+                   "r": {"@id": "http://e/s",
+                         "@annotation": {"http://e/a": "v"}}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> <http://e/g> .
+<< <http://e/s> <http://e/p> <http://e/o> >> <http://e/a> "v" <http://e/g> .
+'''),
+
+    ("valT_zero_length_string_literal", {}, {
+        "@id": "http://e/s", "http://e/p": "",
+    }, '''
+<http://e/s> <http://e/p> "" .
+'''),
+
+    ("valT_empty_language_means_no_language", {}, {
+        # falsy-empty @language: PLAIN literal (reference Util.ts:
+        # '' valueLanguage skips every language branch)
+        "@id": "http://e/s",
+        "http://e/p": {"@value": "x", "@language": ""},
+    }, '''
+<http://e/s> <http://e/p> "x" .
+'''),
 ]
