@@ -3615,4 +3615,99 @@ _:x <http://e/q> "v2" .
     }, '''
 <http://e/s> <http://e/p> "x" .
 '''),
+
+    # --- round-3 batch U: reverse-map ctx / property-index / set-of-lists ------
+    # (reference anchors: JsonLdParser-test.ts:1730, :7330, :2269)
+
+    ("revU_context_inside_reverse_map", {}, {
+        # JsonLdParser-test.ts:1730 — @context embedded in the @reverse map
+        "@id": "http://ex.org/obj1",
+        "@reverse": {"@context": {"@vocab": "https://t.ttl#"},
+                     "view": {"@id": "http://ex.org/obj2"}},
+    }, '''
+<http://ex.org/obj2> <https://t.ttl#view> <http://ex.org/obj1> .
+'''),
+
+    ("pidxU_property_index_array_values", {}, {
+        "@context": {"p": {"@id": "http://e/p", "@container": "@index",
+                           "@index": "http://e/prop"}},
+        "@id": "http://e/s",
+        "p": {"k": [{"@id": "http://e/a"}, {"@id": "http://e/b"}]},
+    }, '''
+<http://e/s> <http://e/p> <http://e/a> .
+<http://e/s> <http://e/p> <http://e/b> .
+<http://e/a> <http://e/prop> "k" .
+<http://e/b> <http://e/prop> "k" .
+'''),
+
+    ("pidxU_property_index_merges_existing_values", {}, {
+        "@context": {"p": {"@id": "http://e/p", "@container": "@index",
+                           "@index": "http://e/prop"}},
+        "@id": "http://e/s",
+        "p": {"k": {"@id": "http://e/a", "http://e/prop": "pre"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/a> .
+<http://e/a> <http://e/prop> "k" .
+<http://e/a> <http://e/prop> "pre" .
+'''),
+
+    ("nodeU_index_entry_is_metadata_only", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@id": "http://e/o", "@index": "i",
+                       "http://e/q": "v"},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+<http://e/o> <http://e/q> "v" .
+'''),
+
+    ("protU_protected_inside_type_scoped_ok", {}, {
+        "@context": {"@vocab": "http://v/",
+                     "T": {"@context": {"@protected": True,
+                                        "q": "http://scoped/q"}}},
+        "@type": "T", "@id": "http://e/s", "q": "v",
+    }, '''
+<http://e/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://v/T> .
+<http://e/s> <http://scoped/q> "v" .
+'''),
+
+    ("listU_set_of_two_lists", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@set": [{"@list": ["a"]}, {"@list": ["b"]}]},
+    }, '''
+<http://e/s> <http://e/p> _:l0 .
+<http://e/s> <http://e/p> _:m0 .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "a" .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+_:m0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "b" .
+_:m0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
+
+    ("graphU_keyword_array_contents", {}, {
+        "@id": "http://e/g",
+        "@graph": [{"@id": "http://e/s1", "http://e/p": "v1"},
+                   {"@id": "http://e/s2", "http://e/p": "v2"}],
+    }, '''
+<http://e/s1> <http://e/p> "v1" <http://e/g> .
+<http://e/s2> <http://e/p> "v2" <http://e/g> .
+'''),
+
+    ("revU_multiple_reverse_props_with_arrays", {}, {
+        "@id": "http://e/o",
+        "@reverse": {"http://e/p1": {"@id": "http://e/s1"},
+                     "http://e/p2": [{"@id": "http://e/s2"},
+                                     {"@id": "http://e/s3"}]},
+    }, '''
+<http://e/s1> <http://e/p1> <http://e/o> .
+<http://e/s2> <http://e/p2> <http://e/o> .
+<http://e/s3> <http://e/p2> <http://e/o> .
+'''),
+
+    ("setU_aliased_set_of_value_objects", {}, {
+        "@context": {"theset": "@set"},
+        "@id": "http://e/s",
+        "http://e/p": {"theset": [{"@value": 1}, {"@value": 2}]},
+    }, '''
+<http://e/s> <http://e/p> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://e/s> <http://e/p> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .
+'''),
 ]

@@ -643,6 +643,10 @@ NEGATIVE_CASES = [
     ("invalid @index value",
      {"@id": "http://e/s", "http://e/p": {"@value": "x", "@index": 9}}),
 
+    ("invalid container mapping",  # @list may not combine with @set
+     {"@context": {"p": {"@id": "http://e/p",
+                         "@container": ["@list", "@set"]}},
+      "@id": "http://e/s", "p": ["a"]}),
     ("invalid reverse property map",
      {"@id": "http://e/s", "@reverse": {"@type": "http://e/T"}}),
     ("invalid @reverse value",
