@@ -3710,4 +3710,76 @@ _:m0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/0
 <http://e/s> <http://e/p> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .
 <http://e/s> <http://e/p> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .
 '''),
+
+    # --- round-3 batch V: type-scoped context depth -----------------------------
+    # (reference anchors: JsonLdParser-test.ts:10152-10537)
+
+    ("tsV_two_types_lexicographic_override", {}, {
+        # scoped ctxs apply in LEXICAL type order; last one wins the term
+        "@context": {"@vocab": "http://vocab.org/",
+                     "Foo1": {"@id": "http://ex.org/Foo1",
+                              "@context": {"bar": "http://ex.1.org/bar"}},
+                     "Foo2": {"@id": "http://ex.org/Foo2",
+                              "@context": {"bar": "http://ex.2.org/bar"}}},
+        "@type": ["Foo1", "Foo2"], "@id": "http://ex.org/myid",
+        "bar": "baz",
+    }, '''
+<http://ex.org/myid> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/Foo1> .
+<http://ex.org/myid> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/Foo2> .
+<http://ex.org/myid> <http://ex.2.org/bar> "baz" .
+'''),
+
+    ("tsV_two_types_document_order_irrelevant", {}, {
+        "@context": {"@vocab": "http://vocab.org/",
+                     "Foo1": {"@id": "http://ex.org/Foo1",
+                              "@context": {"bar": "http://ex.1.org/bar"}},
+                     "Foo2": {"@id": "http://ex.org/Foo2",
+                              "@context": {"bar": "http://ex.2.org/bar"}}},
+        "@type": ["Foo2", "Foo1"], "@id": "http://ex.org/myid",
+        "bar": "baz",
+    }, '''
+<http://ex.org/myid> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/Foo1> .
+<http://ex.org/myid> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/Foo2> .
+<http://ex.org/myid> <http://ex.2.org/bar> "baz" .
+'''),
+
+    ("tsV_type_scoped_base_rebases_id", {}, {
+        # JsonLdParser-test.ts:10363 — a type-scoped @base applies to the
+        # node's OWN @id
+        "@context": {"@base": "http://example/base-base",
+                     "@vocab": "http://example/",
+                     "foo": "http://example/foo",
+                     "Type": {"@context":
+                              {"@base": "http://example/typed-base"}}},
+        "@id": "#base-id",
+        "p": {"@type": "Type", "@id": "#typed-id"},
+    }, '''
+<http://example/base-base#base-id> <http://example/p> <http://example/typed-base#typed-id> .
+<http://example/typed-base#typed-id> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://example/Type> .
+'''),
+
+    ("tsV_value_alias_from_type_scope", {}, {
+        # JsonLdParser-test.ts:10478 — a type-scoped @value alias applies
+        # to child value nodes
+        "@context": {"@vocab": "ex:",
+                     "Type": {"@context": {"value": "@value"}}},
+        "@id": "ex:outer",
+        "prop": {"@type": "Type", "@id": "ex:inner",
+                 "prop": {"value": "v2"}},
+    }, '''
+<ex:outer> <ex:prop> <ex:inner> .
+<ex:inner> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <ex:Type> .
+<ex:inner> <ex:prop> "v2" .
+'''),
+
+    ("tsV_type_scoped_datatype_coercion", {}, {
+        "@context": {"@vocab": "http://vocab.org/",
+                     "Foo": {"@id": "http://ex.org/Foo",
+                             "@context": {"bar": {"@id": "http://ex.org/bar",
+                                          "@type": "http://ex.org/dt"}}}},
+        "@type": "Foo", "@id": "http://ex.org/myid", "bar": "baz",
+    }, '''
+<http://ex.org/myid> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/Foo> .
+<http://ex.org/myid> <http://ex.org/bar> "baz"^^<http://ex.org/dt> .
+'''),
 ]
