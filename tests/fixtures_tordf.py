@@ -3782,4 +3782,48 @@ _:m0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/0
 <http://ex.org/myid> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/Foo> .
 <http://ex.org/myid> <http://ex.org/bar> "baz"^^<http://ex.org/dt> .
 '''),
+
+    # --- round-3 batch W: @none multiplicity / free-floating reverse -----------
+
+    ("noneW_idmap_keyword_and_alias_both_bnodes", {}, {
+        # @none appearing twice (keyword + alias) yields TWO distinct bnodes
+        "@context": {"p": {"@id": "http://e/p", "@container": "@id"},
+                     "none": "@none"},
+        "@id": "http://e/s",
+        "p": {"@none": {"http://e/q": "a"}, "none": {"http://e/q": "b"}},
+    }, '''
+<http://e/s> <http://e/p> _:n1 .
+<http://e/s> <http://e/p> _:n2 .
+_:n1 <http://e/q> "a" .
+_:n2 <http://e/q> "b" .
+'''),
+
+    ("revW_top_level_reverse_only_node", {}, {
+        # a node with only @reverse is NOT free-floating: the reversed
+        # triple keeps its bnode object
+        "@reverse": {"http://e/p": {"@id": "http://e/o"}},
+    }, '''
+<http://e/o> <http://e/p> _:b0 .
+'''),
+
+    ("noneW_typemap_none_key_adds_no_type", {}, {
+        "@context": {"p": {"@id": "http://e/p", "@container": "@type"}},
+        "@id": "http://e/s",
+        "p": {"@none": {"@id": "http://e/n", "http://e/q": "v"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/n> .
+<http://e/n> <http://e/q> "v" .
+'''),
+
+    ("dirW_language_map_with_term_direction_compound", {
+        "rdf_direction": "compound-literal"}, {
+        "@context": {"p": {"@id": "http://e/p", "@container": "@language",
+                           "@direction": "ltr"}},
+        "@id": "http://e/s", "p": {"en": "hi"},
+    }, '''
+<http://e/s> <http://e/p> _:c .
+_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#value> "hi" .
+_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#language> "en" .
+_:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#direction> "ltr" .
+'''),
 ]
