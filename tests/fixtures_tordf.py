@@ -3826,4 +3826,51 @@ _:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#value> "hi" .
 _:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#language> "en" .
 _:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#direction> "ltr" .
 '''),
+
+    # --- round-3 batch X: RDF-star embedded-subject depth -----------------------
+    # (reference anchors: JsonLdParser-test.ts:11055-11441)
+
+    ("starX_embedded_subject_with_type_triple", {}, {
+        # the embedded triple may be an rdf:type assertion (:11092)
+        "@id": {"@id": "ex:es", "@type": "ex:T"}, "ex:p": "v",
+    }, '''
+<< <ex:es> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <ex:T> >> <ex:p> "v" .
+'''),
+
+    ("starX_nested_embedded_subject", {}, {
+        # :11208 — embedded node inside an embedded node (subject side)
+        "@id": {"@id": {"@id": "ex:in", "ex:ip": "iv"}, "ex:mp": "mv"},
+        "ex:op": "ov",
+    }, '''
+<< << <ex:in> <ex:ip> "iv" >> <ex:mp> "mv" >> <ex:op> "ov" .
+'''),
+
+    ("starX_embedded_subject_inside_named_graph", {}, {
+        # :11129 — the GRAPH applies to the asserting quad; quoted triples
+        # never inherit a graph
+        "@id": "ex:g",
+        "@graph": {"@id": {"@id": "ex:es", "ex:ep": "ev"}, "ex:p": "v"},
+    }, '''
+<< <ex:es> <ex:ep> "ev" >> <ex:p> "v" <ex:g> .
+'''),
+
+    ("starX_nested_embedded_object_object", {}, {
+        # :11324 — embedded node as object whose own object is embedded
+        "@id": "ex:s",
+        "ex:p": {"@id": {"@id": "ex:a",
+                         "ex:q": {"@id": {"@id": "ex:b",
+                                          "ex:r": "rv"}}}},
+    }, '''
+<ex:s> <ex:p> << <ex:a> <ex:q> << <ex:b> <ex:r> "rv" >> >> .
+'''),
+
+    ("starX_reverse_in_embedded_opt_in_ctx_term", {
+        "rdfstar_reverse_in_embedded": True}, {
+        # :11381 — context-reverse term inside an embedded node, opt-in
+        "@context": {"rev": {"@reverse": "ex:p"}},
+        "@id": {"@id": "ex:es", "rev": {"@id": "ex:other"}},
+        "ex:q": "v",
+    }, '''
+<< <ex:other> <ex:p> <ex:es> >> <ex:q> "v" .
+'''),
 ]

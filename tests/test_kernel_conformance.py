@@ -748,6 +748,11 @@ NEGATIVE_CASES = [
       "@id": "http://e/s", "t": "v"}),
     ("loading remote context failed",
      {"@context": "https://absent.example.org/ctx", "http://e/p": "v"}),
+    ("invalid embedded node",  # exactly ONE triple required (got 2)
+     {"@id": {"@id": "http://e/es", "http://e/p1": "a",
+              "http://e/p2": "b"}, "http://e/q": "v"}),
+    ("invalid embedded node",  # exactly ONE triple required (got 0)
+     {"@id": {"@id": "http://e/es"}, "http://e/q": "v"}),
     ("invalid embedded node",  # reverse in embedded: error unless
      # rdfstar_reverse_in_embedded (reference rdfstarReverseInEmbedded)
      {"@id": {"@id": "http://e/rei",
