@@ -3873,4 +3873,56 @@ _:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#direction> "ltr" .
     }, '''
 << <ex:other> <ex:p> <ex:es> >> <ex:q> "v" .
 '''),
+
+    # --- round-3 batch Y: keyword-alias chains / inner ctx in arrays -----------
+    # (reference anchors: JsonLdParser-test.ts:6487-6739)
+
+    ("aliasY_multilevel_id_chain", {}, {
+        # an alias OF an alias still reaches @id (:6501)
+        "@context": [{"id": "@id"}, {"url": "id"}],
+        "url": "http://ex.org/myid",
+        "http://xmlns.com/foaf/0.1/name": "Bob",
+    }, '''
+<http://ex.org/myid> <http://xmlns.com/foaf/0.1/name> "Bob" .
+'''),
+
+    ("aliasY_id_alias_resolves_relative", {"base_iri": "http://ex.org/"}, {
+        "@context": {"url": "@id"},
+        "url": "/myid",
+        "http://xmlns.com/foaf/0.1/name": "Bob",
+    }, '''
+<http://ex.org/myid> <http://xmlns.com/foaf/0.1/name> "Bob" .
+'''),
+
+    ("aliasY_id_alias_via_expanded_def", {}, {
+        "@context": {"url": {"@id": "@id"}},
+        "url": "http://ex.org/myid",
+        "http://xmlns.com/foaf/0.1/name": "Bob",
+    }, '''
+<http://ex.org/myid> <http://xmlns.com/foaf/0.1/name> "Bob" .
+'''),
+
+    ("aliasY_reverse_of_keyword_term_ignored", {}, {
+        # W3C create-term-definition 13.4: @reverse of a keyword form is a
+        # SHOULD-warn + term IGNORED (the reference hard-errors here —
+        # this repo follows the W3C suite behavior, which its earl run
+        # grades against)
+        "@context": {"a": {"@reverse": "@type"}},
+        "@id": "http://ex.org/myid", "a": "http://ex.org/bla",
+    }, ''),
+
+    ("ctxY_inner_context_scoped_to_array_member", {}, {
+        # an embedded @context inside ONE array member does not leak to
+        # its siblings (:6715)
+        "@context": {"@vocab": "http://v/"},
+        "@id": "http://e/s",
+        "p": [{"@context": {"q": "http://inner/q"},
+               "@id": "http://e/a", "q": "v1"},
+              {"@id": "http://e/b", "q": "v2"}],
+    }, '''
+<http://e/s> <http://v/p> <http://e/a> .
+<http://e/s> <http://v/p> <http://e/b> .
+<http://e/a> <http://inner/q> "v1" .
+<http://e/b> <http://v/q> "v2" .
+'''),
 ]
