@@ -3925,4 +3925,106 @@ _:c <http://www.w3.org/1999/02/22-rdf-syntax-ns#direction> "ltr" .
 <http://e/a> <http://inner/q> "v1" .
 <http://e/b> <http://v/q> "v2" .
 '''),
+
+    # --- round-3 batch Z: bnode-pred terms / coercion boundaries ----------------
+    # (reference anchors: JsonLdParser-test.ts:6357-6485, :6183, :6693)
+
+    ("bnZ_term_mapped_to_bnode_pred_generalized",
+     {"produce_generalized_rdf": True}, {
+        "@context": {"p": "_:bp"}, "@id": "http://e/s", "p": "v",
+    }, '''
+<http://e/s> _:bp "v" .
+'''),
+
+    ("bnZ_term_mapped_to_bnode_pred_dropped", {}, {
+        "@context": {"p": "_:bp"}, "@id": "http://e/s", "p": "v",
+    }, ""),
+
+    ("ctxZ_full_iri_as_term_with_coercion", {}, {
+        # a context may define a FULL IRI as a term to add coercion (:6183)
+        "@context": {"http://e/knows": {"@type": "@id"}},
+        "@id": "http://e/s", "http://e/knows": "http://e/o",
+    }, '''
+<http://e/s> <http://e/knows> <http://e/o> .
+'''),
+
+    ("ctxZ_inner_context_inside_graph_entry", {}, {
+        # :6693 — quads with nested contexts
+        "@id": "http://e/g",
+        "@graph": {"@context": {"@vocab": "http://inner/"},
+                   "@id": "http://e/s", "p": "v"},
+    }, '''
+<http://e/s> <http://inner/p> "v" <http://e/g> .
+'''),
+
+    ("coerZ_type_none_disables_coercion", {}, {
+        "@context": {"p": {"@id": "http://e/p", "@type": "@none"}},
+        "@id": "http://e/s", "p": "http://looks-like-iri/",
+    }, '''
+<http://e/s> <http://e/p> "http://looks-like-iri/" .
+'''),
+
+    ("coerZ_fractional_double_keeps_coerced_datatype", {}, {
+        # non-integral numbers serialize in canonical double form but KEEP
+        # the coerced datatype (W3C object-to-rdf)
+        "@context": {"p": {"@id": "http://e/p",
+                           "@type": "http://www.w3.org/2001/XMLSchema#integer"}},
+        "@id": "http://e/s", "p": 3.2,
+    }, '''
+<http://e/s> <http://e/p> "3.2E0"^^<http://www.w3.org/2001/XMLSchema#integer> .
+'''),
+
+    ("coerZ_bool_with_string_coercion_plain", {}, {
+        "@context": {"p": {"@id": "http://e/p",
+                           "@type": "http://www.w3.org/2001/XMLSchema#string"}},
+        "@id": "http://e/s", "p": True,
+    }, '''
+<http://e/s> <http://e/p> "true" .
+'''),
+
+    ("coerZ_default_language_never_tags_numbers", {}, {
+        "@context": {"@language": "en"},
+        "@id": "http://e/s", "http://e/p": 7,
+    }, '''
+<http://e/s> <http://e/p> "7"^^<http://www.w3.org/2001/XMLSchema#integer> .
+'''),
+
+    # --- round-3 final fill: BCP47 long forms / remote+inline arrays -----------
+
+    ("bcpF_extlang_script_region", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@value": "x", "@language": "zh-cmn-Hans-CN"},
+    }, '''
+<http://e/s> <http://e/p> "x"@zh-cmn-hans-cn .
+'''),
+
+    ("bcpF_singleton_extension", {}, {
+        "@id": "http://e/s",
+        "http://e/p": {"@value": "x", "@language": "de-DE-u-co-phonebk"},
+    }, '''
+<http://e/s> <http://e/p> "x"@de-de-u-co-phonebk .
+'''),
+
+    ("ctxF_remote_then_inline_override_in_array", {
+        "ctx_cache": {"https://c/base": {"@context":
+                      {"@vocab": "http://remote/",
+                       "a": "http://remote/A"}}}}, {
+        "@context": ["https://c/base", {"a": "http://local/A"}],
+        "@id": "http://e/s", "a": "1", "b": "2",
+    }, '''
+<http://e/s> <http://local/A> "1" .
+<http://e/s> <http://remote/b> "2" .
+'''),
+
+    ("setF_empty_set_drops_property", {}, {
+        "@id": "http://e/s", "http://e/p": {"@set": []},
+    }, ""),
+
+    ("listF_null_members_filtered", {}, {
+        "@id": "http://e/s", "http://e/p": {"@list": [None, "a", None]},
+    }, '''
+<http://e/s> <http://e/p> _:l0 .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "a" .
+_:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+'''),
 ]
