@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json as _json
 import re as _re
+import threading
 from dataclasses import dataclass, field, replace
 from typing import Any
 
@@ -36,12 +37,13 @@ UNSET = object()
 
 
 @dataclass
-class KernelFlags:
+class KernelFlags(threading.local):
     """Per-parse behavior switches mirroring IJsonLdParserOptions
-    (``/root/reference/lib/JsonLdParser.ts:619-740``). Kernel workers are
-    single-threaded per task, so a module-level instance set/restored by
-    ``jsonld_to_quads`` is safe (and far cheaper than threading five flags
-    through every recursive call).
+    (``/root/reference/lib/JsonLdParser.ts:619-740``). Thread-local: each
+    thread sees fresh defaults and its own set/restore window, so
+    driver-side concurrent parses can't cross-talk; Spark's
+    process-per-task workers were already safe. Far cheaper than
+    threading five flags through every recursive call.
 
     Defaults follow the reference's W3C SPEC-RUN profile
     (``spec/parser.js``: validateValueIndexes=true,

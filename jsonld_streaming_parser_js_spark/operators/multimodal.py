@@ -176,11 +176,13 @@ def decode_wav(payload: bytes) -> dict:
             raise NotImplementedError(
                 "only uncompressed 16-bit PCM WAV is decodable here")
         rate = w.getframerate()
+        nchannels = w.getnchannels()
         frames = w.readframes(w.getnframes())
     samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
-    if w.getnchannels() > 1:
-        samples = samples.reshape(-1, w.getnchannels()).mean(axis=1)
-        samples = samples.astype(np.int64)
+    if nchannels > 1:
+        # integer downmix: floor-divide the channel sum (exact-integer
+        # stats contract; float mean would truncate implementation-defined)
+        samples = samples.reshape(-1, nchannels).sum(axis=1) // nchannels
     return {
         "n_samples": int(samples.size),
         "sample_rate": int(rate),

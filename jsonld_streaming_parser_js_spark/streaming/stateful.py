@@ -144,6 +144,8 @@ def streaming_sessionize(spark, events_path: str, work_dir: str,
                      F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
                      .alias("start_str"), "value")
     lo, hi = base.agg(F.min("epoch"), F.max("epoch")).first()
+    if lo is None:
+        return spark.createDataFrame([], SESSION_SCHEMA)
     step = max((hi - lo) // n_slices + 1, 1)
     in_dir = os.path.join(work_dir, "input")
     os.makedirs(in_dir, exist_ok=True)

@@ -191,6 +191,30 @@ def test_fuzz_behavior_flags_never_crash_or_leak(doc, strict, star,
     assert FLAGS == KernelFlags(), "flags leaked past the parse"
 
 
+def test_flags_are_thread_local():
+    """Concurrent driver-side parses must not cross-talk: FLAGS is
+    threading.local, so a strict parse in one thread never flips flags
+    under a lenient parse in another (ADVICE round 3)."""
+    import threading
+
+    from jsonld_streaming_parser_js_spark.functions.context import FLAGS
+
+    seen = {}
+    gate = threading.Barrier(2, timeout=10)
+
+    def worker(name, value):
+        FLAGS.strict_values = value
+        gate.wait()          # both threads have written their own value
+        seen[name] = FLAGS.strict_values
+        gate.wait()
+
+    t1 = threading.Thread(target=worker, args=("a", True))
+    t2 = threading.Thread(target=worker, args=("b", False))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert seen == {"a": True, "b": False}
+    assert FLAGS.strict_values is False  # main thread untouched
+
+
 @settings(max_examples=150, deadline=None)
 @given(json_docs)
 def test_fuzz_strict_is_superset_of_lenient(doc):
