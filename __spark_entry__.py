@@ -191,6 +191,46 @@ def _q_kg_quads_canonical(spark, sf_dir):
             .orderBy("url", "blk", "pred", "obj"))
 
 
+def _entity_quads(spark, sf_dir):
+    """Deterministic coreference corpus for the FUZZY canonicalization path.
+
+    Each document spawns one 3-node chain A-B-C whose feature sets are
+    12-token sliding windows shifted by 2: J(A,B)=J(B,C)=10/14 (above the
+    0.6 merge threshold), J(A,C)=8/16=0.5 (below it). So the only route
+    from C to canonical A is transitive — MinHash-LSH candidates + REAL
+    connected-components iteration, the north_rule's named mechanism.
+    Pure SQL expressions from ``documents`` so the DuckDB oracle rebuilds
+    the identical quads (same trick as sources/pages.py)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    ent = (docs
+           .select("doc_id",
+                   F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r"))
+           .select("doc_id", "r",
+                   F.explode(F.sequence(F.lit(0), F.lit(11))).alias("j")))
+    return ent.select(
+        F.lit("synthetic://entities").alias("url"),
+        F.lit(0).alias("blk"),
+        F.concat(F.lit("<http://auth.example.org/e"),
+                 F.col("doc_id").cast("string"),
+                 F.expr("substr('abc', r + 1, 1)"),
+                 F.lit(">")).alias("subj"),
+        F.lit("<http://ex.org/feat>").alias("pred"),
+        F.concat(F.lit('"t'), F.col("doc_id").cast("string"), F.lit("_"),
+                 (F.col("r") * 2 + F.col("j")).cast("string"),
+                 F.lit('"')).alias("obj"),
+        F.lit("").alias("graph"))
+
+
+def _q_kg_canonical_fuzzy(spark, sf_dir):
+    """north_rule mechanism end-to-end: MinHash-LSH candidate blocking ->
+    Jaccard verify -> hash-min connected components (must iterate: the
+    A-B-C chains have diameter 2) -> (node, canonical) mapping."""
+    mapping = canon.canonical_mapping_fuzzy(
+        _entity_quads(spark, sf_dir), min_jaccard=0.6,
+        num_hashes=32, bands=16)
+    return mapping.orderBy("node")
+
+
 def _q_text_extract_identity(spark, sf_dir):
     from jsonld_streaming_parser_js_spark.operators.extract import (
         extracted_text)
@@ -488,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ndjson_quads": _q_kg_ndjson_quads,
         "kg_canonical_clusters": _q_kg_canonical_clusters,
         "kg_quads_canonical": _q_kg_quads_canonical,
+        "kg_canonical_fuzzy": _q_kg_canonical_fuzzy,
         "text_extract_identity": _q_text_extract_identity,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -776,6 +817,74 @@ FROM q
 LEFT JOIN m ms ON q.subj = ms.node
 LEFT JOIN m mo ON q.obj = mo.node
 ORDER BY q.url, q.blk, q.pred, q.obj""")
+
+    # Full value oracle for the FUZZY canonicalization mechanism: DuckDB
+    # independently recomputes the node feature sets, the 32-hash MinHash
+    # signatures (identical (a,b) literals from canon.minhash_params), the
+    # 16-band bucket keys, the banded candidate join, the exact-Jaccard
+    # verify at 0.6, AND the transitive closure (recursive CTE == the
+    # fixpoint of Spark's iterated hash-min label propagation). No recall
+    # assumption anywhere: a banding off-by-one, hash-family drift, or a
+    # CC loop that stops early now breaks the value hash.
+    cparams = canon.minhash_params(32)
+    cparam_rows = ", ".join(
+        f"({j}, {int(a)}, {int(b)})"
+        for j, (a, b) in enumerate(zip(cparams[0], cparams[1])))
+    oracles["kg_canonical_fuzzy"] = f"""
+WITH RECURSIVE
+f AS (  -- node -> feature string 'pred=obj' (mirrors node_features)
+  SELECT '<http://auth.example.org/e' || doc_id::VARCHAR
+           || substr('abc', r + 1, 1) || '>' AS node,
+         '<http://ex.org/feat>="t' || doc_id::VARCHAR || '_'
+           || (r * 2 + j)::VARCHAR || '"' AS feat
+  FROM documents, range(3) t1(r), range(12) t2(j)
+),
+hv AS (  -- 31-bit feature hash: first 4 md5 bytes, sign bit cleared
+  SELECT node, ('0x' || substr(md5(feat), 1, 8))::BIGINT & 2147483647 AS h
+  FROM f
+),
+params(j, a, b) AS (VALUES {cparam_rows}),
+sig AS (  -- minhash_j = min (a_j*h + b_j) mod M  (fits BIGINT: a,h < 2^31)
+  SELECT node, j, min((a * h + b) % {canon._MERSENNE}) AS m
+  FROM hv CROSS JOIN params GROUP BY node, j
+),
+bands AS (  -- 16 bands x 2 rows; md5 bucket key like the Spark side
+  SELECT node, j // 2 AS band,
+         md5(string_agg(CAST(m AS STRING), ',' ORDER BY j)) AS bkey
+  FROM sig GROUP BY node, j // 2
+),
+cand AS (
+  SELECT x.node AS src, y.node AS dst
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.node < y.node
+  GROUP BY 1, 2
+),
+sizes AS (SELECT node, count(*) AS n FROM f GROUP BY node),
+inter AS (
+  SELECT c.src, c.dst, count(*) AS ni
+  FROM cand c
+  JOIN f fa ON fa.node = c.src
+  JOIN f fb ON fb.node = c.dst AND fb.feat = fa.feat
+  GROUP BY 1, 2
+),
+edges AS (  -- exact-Jaccard verify at the 0.6 merge threshold
+  SELECT i.src, i.dst FROM inter i
+  JOIN sizes sa ON sa.node = i.src
+  JOIN sizes sb ON sb.node = i.dst
+  WHERE CAST(i.ni AS DOUBLE) / greatest(sa.n + sb.n - i.ni, 1) >= 0.6
+),
+sym AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+reach AS (  -- transitive closure == CC fixpoint
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+)
+SELECT node, component AS canonical FROM comp
+WHERE node <> component ORDER BY node"""
 
     oracles["text_extract_identity"] = f"""
 WITH {_D_CTE}

@@ -55,6 +55,30 @@ def candidate_edges_exact(features: DataFrame) -> DataFrame:
             .select(F.col("node").alias("src"), "dst"))
 
 
+# Mersenne prime 2^31-1: with 31-bit token hashes, a*h+b (< 2^62, fits
+# BIGINT/uint64) wraps the modulus ~2^31 times, so h -> (a*h+b) mod p mixes
+# like a random permutation. A LARGER modulus (2^61-1) would be a real bug
+# here: the map would wrap at most twice, staying piecewise-monotone in h,
+# so set-minima would track raw-hash minima and MinHash agreement would no
+# longer estimate Jaccard (observed: 2/32 agreement at true J=0.71).
+_MERSENNE = (1 << 31) - 1
+
+
+def minhash_params(num_hashes: int):
+    """The (a, b) universal-hash constants for the node-feature MinHash.
+
+    Module-level so the DuckDB correctness oracle can inline the SAME
+    constants as SQL literals (the kg_canonical_fuzzy oracle recomputes
+    signatures + banding + Jaccard + connected components end-to-end).
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(1, _MERSENNE, size=num_hashes).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes).astype(np.uint64)
+    return a, b
+
+
 def candidate_edges_minhash(features: DataFrame, num_hashes: int = 32,
                             bands: int = 8,
                             min_jaccard: float = 0.5) -> DataFrame:
@@ -73,13 +97,8 @@ def candidate_edges_minhash(features: DataFrame, num_hashes: int = 32,
     from collections.abc import Iterator
 
     rows = num_hashes // bands
-    mersenne = (1 << 61) - 1
-    # params and token hashes < 2^31 so a*x+b < 2^62 never wraps uint64
-    # before the Mersenne mod (wrapping breaks the universal-family
-    # collision probabilities the banding math assumes)
-    rng = np.random.RandomState(7)
-    a = rng.randint(1, 1 << 31, size=num_hashes).astype(np.uint64)
-    b = rng.randint(0, 1 << 31, size=num_hashes).astype(np.uint64)
+    mersenne = _MERSENNE
+    a, b = minhash_params(num_hashes)
 
     schema = ST.StructType([
         ST.StructField("node", ST.StringType()),
@@ -192,11 +211,14 @@ def canonical_mapping(quads: DataFrame) -> DataFrame:
 
 
 def canonical_mapping_fuzzy(quads: DataFrame,
-                            min_jaccard: float = 0.5) -> DataFrame:
+                            min_jaccard: float = 0.5,
+                            num_hashes: int = 32,
+                            bands: int = 8) -> DataFrame:
     """Fuzzy variant: MinHash-LSH candidates can chain A~B~C across
     blocks, so real connected components are required."""
     features = node_features(quads)
-    edges = candidate_edges_minhash(features, min_jaccard=min_jaccard)
+    edges = candidate_edges_minhash(features, num_hashes=num_hashes,
+                                    bands=bands, min_jaccard=min_jaccard)
     comps = connected_components(edges)
     return (comps
             .where(F.col("node") != F.col("component"))

@@ -76,12 +76,17 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
 
 # -- MinHash + LSH ------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
-# a, b and token hashes are kept < 2^31 so a*x + b < 2^62 fits uint64 with
-# NO wraparound before the Mersenne mod — with 61-bit params the uint64
-# product silently wrapped mod 2^64 first, which is not the universal hash
-# family the LSH band/row collision math assumes
-_PARAM_MAX = 1 << 31
+# Mersenne prime 2^31-1. Two constraints pin this choice:
+# (1) a, b, token hashes < 2^31 keep a*x + b < 2^62, fitting uint64/BIGINT
+#     with NO wrap mod 2^64 (61-bit params silently wrapped the product,
+#     which is not the universal hash family the banding math assumes);
+# (2) the MODULUS must be ~ the hash range, not far above it: with 31-bit
+#     inputs and modulus 2^61-1 the map a*x+b wraps at most twice, staying
+#     piecewise-monotone in x, so set-minima track raw-hash minima and
+#     MinHash agreement stops estimating Jaccard (measured 2/32 agreement
+#     at true J=0.71). Mod 2^31-1 wraps ~2^31 times and mixes properly.
+_MERSENNE = (1 << 31) - 1
+_PARAM_MAX = _MERSENNE
 
 
 def _hash_params(n: int, seed: int = 42) -> list[tuple[int, int]]:

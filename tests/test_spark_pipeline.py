@@ -163,6 +163,69 @@ def test_fuzzy_canonicalization_minhash(spark):
     assert labels["<http://a.org/alice>"] == labels["<http://b.org/alice>"]
 
 
+def test_fuzzy_canonical_chain_needs_cc_iteration(spark):
+    """The kg_canonical_fuzzy corpus (A-B-C chains, J(A,B)=J(B,C)=10/14,
+    J(A,C)=0.5 < the 0.6 threshold) must produce a candidate graph of
+    diameter >= 2 — i.e. hash-min CC genuinely iterates; a single
+    block-min pass would mislabel C. Also checks the mapping equals a
+    Python brute-force union-find over the realized edge list."""
+    import __spark_entry__ as e
+
+    quads = e._entity_quads(spark, "/root/testdata/sf0.001")
+    feats = canon.node_features(quads)
+    edges = canon.candidate_edges_minhash(feats, num_hashes=32, bands=16,
+                                          min_jaccard=0.6)
+    edge_list = [(r["src"], r["dst"]) for r in edges.collect()]
+    adj = {}
+    for s, d in edge_list:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    # no A-C shortcut edge anywhere: every chain is a genuine path
+    assert edge_list, "no candidate edges realized"
+    assert all(not (s[-2] == "a" and d[-2] == "c") for s, d in edge_list)
+    # at least one full a-b-c path (diameter 2) exists
+    assert any(n.endswith("a>") and any(m.endswith("c>") for nb in adj[n]
+                                        for m in adj.get(nb, ()))
+               for n in adj), "no 2-hop chain realized"
+    # CC output == brute-force union-find ground truth
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edge_list:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    truth = {n: find(n) for n in adj}
+    got = {r["node"]: r["component"]
+           for r in canon.connected_components(edges).collect()}
+    assert got == truth
+
+
+def test_minhash_estimator_tracks_true_jaccard(spark):
+    """Guards the 2^31-1 modulus choice: with a near-monotone hash family
+    (the old 2^61-1 modulus over 31-bit hashes) signature agreement no
+    longer estimates Jaccard. 32-hash agreement at true J=10/14 must land
+    well inside (J +/- 0.25)."""
+    feats_a = [f'<http://s.org/f>="t{i}"' for i in range(12)]
+    feats_b = [f'<http://s.org/f>="t{i}"' for i in range(2, 14)]
+    features = spark.createDataFrame(
+        [("<http://x.org/a>", feats_a), ("<http://x.org/b>", feats_b)],
+        "node string, features array<string>")
+    edges = canon.candidate_edges_minhash(features, num_hashes=32,
+                                          bands=16, min_jaccard=0.6)
+    # J = 10/14 = 0.714 -> with a sound family the pair is found with
+    # p ~ 1 - (1-J^2)^16 ~ 0.99998; the broken family measured 2/32
+    # agreement and found nothing
+    assert [(r["src"], r["dst"]) for r in edges.collect()] == [
+        ("<http://x.org/a>", "<http://x.org/b>")]
+
+
 def test_extraction_tag_variants():
     from jsonld_streaming_parser_js_spark.operators.extract import (
         extract_blocks_from_html)
