@@ -89,6 +89,37 @@ def _q_kg_errors(spark, sf_dir):
     return errors_only(parsed).orderBy("url", "blk")
 
 
+def _strict_blocks(spark, sf_dir):
+    """Deterministic strict-mode violation corpus (SQL-expressible both
+    engines): doc_id%4 -> 0 unknown keyword, 1 non-IRI predicate,
+    2 ill-formed language tag, 3 valid control block."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    block = F.expr("""CASE doc_id % 4
+  WHEN 0 THEN '{"@id": "http://ex.org/s", "@bogus": "x"}'
+  WHEN 1 THEN '{"@id": "http://ex.org/s", "name": "x"}'
+  WHEN 2 THEN '{"@id": "http://ex.org/s", "http://ex.org/p": {"@value": "v", "@language": "en_US"}}'
+  ELSE '{"@id": "http://ex.org/s", "http://ex.org/p": "v"}' END""")
+    return d.select(
+        F.concat(F.lit("strict://doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(0).cast("int").alias("blk"),
+        block.alias("block"))
+
+
+def _q_kg_strict_errors(spark, sf_dir):
+    """strictValues END-TO-END at driver level (reference: lib/Util.ts
+    609-660 'Invalid predicate/term IRI' + 'unknown keyword' + language
+    validation): the same corpus parses clean in lenient mode (drops), but
+    strict mode converts every drop into a coded error-channel row. The
+    job-level fail-fast twin (plans/pipeline.py assert_no_errors) is
+    negative-tested in tests/test_spark_pipeline.py."""
+    from jsonld_streaming_parser_js_spark.functions.parser import (
+        ParserOptions)
+    parsed = parse_blocks(_strict_blocks(spark, sf_dir), CONTEXTS,
+                          parser_options=ParserOptions(strict_values=True))
+    return errors_only(parsed).orderBy("url")
+
+
 def _q_kg_quads_by_predicate(spark, sf_dir):
     return stats.quads_by_predicate(_quads(spark, sf_dir))
 
@@ -515,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_quads": _q_kg_quads,
         "kg_extract_blocks": _q_kg_extract_blocks,
         "kg_errors": _q_kg_errors,
+        "kg_strict_errors": _q_kg_strict_errors,
         "kg_quads_by_predicate": _q_kg_quads_by_predicate,
         "kg_type_counts": _q_kg_type_counts,
         "kg_distinct_objects": _q_kg_distinct_objects,
@@ -664,6 +696,13 @@ SELECT url,
          + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS blk,
        'invalid json' AS error
 FROM d WHERE doc_id % 17 = 0 ORDER BY url, blk"""
+
+    oracles["kg_strict_errors"] = """
+SELECT 'strict://doc/' || doc_id::VARCHAR AS url, 0 AS blk,
+       CASE doc_id % 4 WHEN 0 THEN 'invalid keyword'
+                       WHEN 1 THEN 'invalid IRI mapping'
+                       ELSE 'invalid language-tagged string' END AS error
+FROM documents WHERE doc_id % 4 < 3 ORDER BY url"""
 
     oracles["kg_quads_by_predicate"] = _with_quads(
         "SELECT pred, count(*) AS n_quads FROM q GROUP BY pred"

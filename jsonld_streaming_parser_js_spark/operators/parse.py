@@ -75,9 +75,12 @@ def rows_from_results(results) -> pd.DataFrame:
 
 
 def parse_blocks(blocks: DataFrame, ctx_cache: dict | None = None,
-                 rdf_direction: str | None = None) -> DataFrame:
+                 rdf_direction: str | None = None,
+                 parser_options=None) -> DataFrame:
     """blocks(url, blk, block) -> raw rows(url, blk, subj, pred, obj, graph,
-    error) per the rows_from_results protocol."""
+    error) per the rows_from_results protocol. ``parser_options`` is the
+    behavior-flag template (e.g. strict_values=True turns lenient drops
+    into error-channel rows); it is broadcast-safe (a plain dataclass)."""
     spark = blocks.sparkSession
     validate_context_cache(ctx_cache or {})  # fail ONCE at the driver
     bc = spark.sparkContext.broadcast(ctx_cache or {})
@@ -87,7 +90,8 @@ def parse_blocks(blocks: DataFrame, ctx_cache: dict | None = None,
         for batch in batches:
             yield rows_from_results(
                 (url, blk, *parse_block(block, url, int(blk), cache,
-                                        rdf_direction))
+                                        rdf_direction,
+                                        parser_options=parser_options))
                 for url, blk, block in zip(batch["url"].tolist(),
                                            batch["blk"].tolist(),
                                            batch["block"].tolist()))

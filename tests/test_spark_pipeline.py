@@ -255,6 +255,25 @@ def test_strict_mode_fails_fast(spark, pages):
     pipe.assert_no_errors(clean)  # no raise
 
 
+def test_strict_values_driver_lane_fail_fast(spark):
+    """The kg_strict_errors corpus parses CLEAN in lenient mode (silent
+    drops) but trips job-level fail-fast in strict mode — the reference's
+    strictValues abort semantics at pipeline altitude."""
+    import __spark_entry__ as e
+    from jsonld_streaming_parser_js_spark.functions.parser import (
+        ParserOptions)
+    from jsonld_streaming_parser_js_spark.operators.parse import (
+        parse_blocks)
+
+    blocks = e._strict_blocks(spark, "/root/testdata/sf0.001")
+    lenient = parse_blocks(blocks, CONTEXTS)
+    pipe.assert_no_errors(lenient)  # no raise: drops, not errors
+    strict = parse_blocks(blocks, CONTEXTS,
+                          parser_options=ParserOptions(strict_values=True))
+    with pytest.raises(ValueError, match="strict mode"):
+        pipe.assert_no_errors(strict)
+
+
 def test_rdf_direction_plumbed_through_pipeline(spark):
     # a page whose block carries @direction must honor the configured
     # rdfDirection all the way through the distributed pipeline
