@@ -8,16 +8,19 @@ reference, BUILD the broadcast context cache once at the driver —
 fetch/mirror -> parse -> discover transitively referenced contexts ->
 validate — so no executor ever does per-row I/O.
 
-The loader is pluggable. This sandbox has no network, so the shipped
-loaders are offline (in-memory mapping / directory mirror); a production
-``HttpLoader`` implements the same one-method protocol with requests/urllib
-plus RFC 8288 Link-header handling — the cache-build logic is identical.
+The loader is pluggable: in-memory mapping, directory mirror (crawl
+snapshot), or ``HttpLoader`` — urllib over http(s) with the media-type
+gate, redirect following, and RFC 8288 Link-header ``rel=json-ld#context``
+one-hop follow mirroring the reference's default FetchDocumentLoader
+(``lib/JsonLdParser.ts:633-636``). Tests drive HttpLoader against a
+loopback ``http.server`` — no external network.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re as _re
 from typing import Any, Callable, Protocol
 
 from ..functions import iri as iri_mod
@@ -70,6 +73,103 @@ class FileMirrorLoader:
                 return json.load(fh)
         except FileNotFoundError:
             raise JsonLdError("loading remote context failed", url)
+        except ValueError as exc:
+            raise JsonLdError("invalid remote context",
+                              f"{url}: {exc}") from exc
+
+
+JSONLD_CONTEXT_REL = "http://www.w3.org/ns/json-ld#context"
+
+# RFC 8288 Link element whose (space-separated, quoted) rel list contains
+# the JSON-LD context relation. Same tokenizer as the JVM-side gate in
+# operators/responses.py (_CTX_LINK_RE), in plain-Python escaping: the
+# param run steps over quoted strings as whole units including
+# backslash-escaped quotes, so commas inside earlier quoted params (e.g.
+# title="a \"b, c\"") never end the element early.
+_QUOTED_UNIT_PY = r'"(?:\\.|[^"\\])*"'
+_CTX_LINK_RE_PY = _re.compile(
+    r'<([^>]*)>(?:' + _QUOTED_UNIT_PY + r'|[^,"])*?rel="(?:[^"]* )?'
+    + _re.escape(JSONLD_CONTEXT_REL) + r'( [^"]*)?"')
+
+
+def _is_json_media_type(media_type: str) -> bool:
+    return (media_type == "application/ld+json"
+            or media_type == "application/json"
+            or media_type.endswith("+json"))
+
+
+class HttpLoader:
+    """Production DocumentLoader: urllib over http(s), driver-side only.
+
+    Mirrors the reference's default document loader semantics
+    (``lib/JsonLdParser.ts:633-636``; jsonld-context-parser
+    FetchDocumentLoader):
+
+    - sends ``Accept: application/ld+json;q=1.0, application/json;q=0.7``
+    - follows redirects (urllib's bounded redirect handler)
+    - ``application/ld+json`` / ``application/json`` / any ``*+json``
+      body parses as the document
+    - any OTHER media type: if exactly one RFC 8288 ``Link`` header
+      carries ``rel="http://www.w3.org/ns/json-ld#context"``, that IRI
+      (resolved against the post-redirect URL) is fetched instead — one
+      hop, and the target must itself be a JSON media type
+    - network / HTTP / scheme / size failures ->
+      ``JsonLdError('loading remote context failed')``; unparseable JSON
+      -> ``JsonLdError('invalid remote context')``
+
+    Driver-only by design: executors never load contexts — the validated
+    cache is broadcast once (see build_context_cache).
+    """
+
+    ACCEPT = "application/ld+json;q=1.0, application/json;q=0.7"
+
+    def __init__(self, timeout: float = 10.0,
+                 max_bytes: int = 8 << 20,
+                 user_agent: str = "jsonld-spark-prefetch/1.0"):
+        self._timeout = timeout
+        self._max_bytes = max_bytes
+        self._user_agent = user_agent
+
+    def load(self, url: str) -> Any:
+        return self._load(url, allow_link_hop=True)
+
+    def _load(self, url: str, allow_link_hop: bool) -> Any:
+        import urllib.error
+        import urllib.request
+
+        if not url.startswith(("http://", "https://")):
+            raise JsonLdError("loading remote context failed",
+                              f"unsupported scheme: {url}")
+        req = urllib.request.Request(
+            url, headers={"Accept": self.ACCEPT,
+                          "User-Agent": self._user_agent})
+        try:
+            with urllib.request.urlopen(req,
+                                        timeout=self._timeout) as resp:
+                body = resp.read(self._max_bytes + 1)
+                media_type = (resp.headers.get_content_type() or "").lower()
+                link_headers = resp.headers.get_all("Link") or []
+                final_url = resp.geturl()
+        except (urllib.error.URLError, OSError, ValueError) as exc:
+            raise JsonLdError("loading remote context failed",
+                              f"{url}: {exc}") from exc
+        if len(body) > self._max_bytes:
+            raise JsonLdError("loading remote context failed",
+                              f"{url}: response exceeds "
+                              f"{self._max_bytes} bytes")
+        if not _is_json_media_type(media_type):
+            targets = [m.group(1) for h in link_headers
+                       for m in _CTX_LINK_RE_PY.finditer(h)]
+            if allow_link_hop and len(targets) == 1:
+                return self._load(iri_mod.resolve(final_url, targets[0]),
+                                  allow_link_hop=False)
+            if len(targets) > 1:
+                raise JsonLdError("multiple context link headers", url)
+            raise JsonLdError(
+                "loading remote context failed",
+                f"{url}: unsupported media type {media_type!r}")
+        try:
+            return json.loads(body.decode("utf-8"))
         except ValueError as exc:
             raise JsonLdError("invalid remote context",
                               f"{url}: {exc}") from exc
@@ -152,6 +252,7 @@ def build_context_cache(context_iris: list[str] | set[str],
 __all__ = [
     "DocumentLoader",
     "FileMirrorLoader",
+    "HttpLoader",
     "MappingLoader",
     "build_context_cache",
     "MAX_REMOTE_CONTEXTS",
