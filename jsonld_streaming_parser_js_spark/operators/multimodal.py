@@ -393,7 +393,14 @@ def synth_png(media_id: int) -> bytes:
 def decode_png(payload: bytes) -> dict:
     """Parse PNG bytes -> (width, height, per-channel sums). REAL decode:
     signature + chunk walk with CRC32 verification, zlib inflate, and full
-    None/Sub/Up/Average/Paeth unfiltering."""
+    None/Sub/Up/Average/Paeth unfiltering.
+
+    ORACLE-LANE ONLY: the Sub/Average/Paeth inversions scan per-byte in
+    Python (each byte depends on the previous reconstructed byte, so the
+    inner loop doesn't vectorize without per-filter NumPy scans). Fine for
+    the mm_decode_png correctness lane over tiny synthetic images; a
+    production image path swaps this one function for a real codec lib
+    (see _decode_stub and PARITY.md)."""
     import struct
     import zlib as _z
 

@@ -74,17 +74,44 @@ def completed_buckets(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return lineage.select("bucket").distinct()
 
 
+def parquet_quad_sink(sorted_quads: DataFrame, out_dir: str) -> None:
+    """Default sink: parquet + dynamic partition overwrite (idempotent
+    per-bucket re-runs). Stands in for Iceberg in this container — the
+    spark-iceberg runtime jar is absent and cannot be vendored offline
+    (PERMANENT constraint, documented in README/PARITY.md)."""
+    spark = sorted_quads.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (sorted_quads.write.mode("overwrite")
+     .partitionBy("bucket")
+     .parquet(f"{out_dir}/quads"))
+
+
+def iceberg_quad_sink(table: str):
+    """Config-only Iceberg swap: ``overwritePartitions`` on a table
+    ``PARTITIONED BY (bucket)`` has exactly the parquet sink's idempotent
+    dynamic-overwrite semantics (same commit contract, plus real snapshot
+    ids for ``snapshot_id``). Requires the iceberg-spark-runtime jar +
+    catalog conf; unusable in this container, so the abstraction test
+    drives ``write_bucketed`` through a recording sink instead."""
+    def sink(sorted_quads: DataFrame, out_dir: str) -> None:
+        sorted_quads.writeTo(table).overwritePartitions()
+    return sink
+
+
 def write_bucketed(parsed_with_bucket: DataFrame, out_dir: str,
-                   snapshot_id: str = "") -> None:
+                   snapshot_id: str = "", quad_sink=None) -> None:
     """Write quads (+error rows) partitioned by bucket, then commit lineage.
 
     Ordering is the crash-safety contract: quads land first (dynamic
     partition overwrite -> idempotent per bucket), lineage appends last.
     A crash between the two re-runs those buckets; dynamic overwrite makes
     the re-run idempotent.
+
+    ``quad_sink(sorted_df, out_dir)`` is the ONLY format-specific step:
+    parquet_quad_sink by default, iceberg_quad_sink(table) on a cluster
+    with the Iceberg runtime — lineage, resume, waves, and verify are
+    sink-agnostic.
     """
-    spark = parsed_with_bucket.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     cached = parsed_with_bucket.persist()
     try:
         # sortWithinPartitions (no shuffle): quads cluster by (pred, subj)
@@ -94,10 +121,8 @@ def write_bucketed(parsed_with_bucket: DataFrame, out_dir: str,
         # NB: "bucket" must lead the sort — the dynamic-partition writer
         # needs Sort(bucket) and the optimizer ELIMINATES any other
         # sortWithinPartitions beneath it (verified on PySpark 4.1.2)
-        (cached.sortWithinPartitions("bucket", "pred", "subj")
-         .write.mode("overwrite")
-         .partitionBy("bucket")
-         .parquet(f"{out_dir}/quads"))
+        sorted_quads = cached.sortWithinPartitions("bucket", "pred", "subj")
+        (quad_sink or parquet_quad_sink)(sorted_quads, out_dir)
         (bucket_lineage(cached, snapshot_id).write.mode("append")
          .parquet(f"{out_dir}/lineage"))
     finally:
@@ -127,7 +152,7 @@ def check_snapshot(spark: SparkSession, out_dir: str,
 def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
                     ctx_cache: dict, buckets: int = 64,
                     rdf_direction: str | None = None,
-                    snapshot_id: str = "") -> dict:
+                    snapshot_id: str = "", quad_sink=None) -> dict:
     """Process only urls in not-yet-committed buckets; returns stats.
 
     ``pages -> filter(uncommitted bucket) -> extract+parse -> write``.
@@ -146,7 +171,7 @@ def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
 
     parsed = extract_and_parse(pages_b, ctx_cache, rdf_direction)
     parsed_b = with_bucket(parsed, buckets)
-    write_bucketed(parsed_b, out_dir, snapshot_id)
+    write_bucketed(parsed_b, out_dir, snapshot_id, quad_sink=quad_sink)
 
     lineage = spark.read.parquet(f"{out_dir}/lineage")
     agg = lineage.agg(F.countDistinct("bucket").alias("b"),
@@ -161,7 +186,7 @@ def run_in_waves(spark: SparkSession, pages: DataFrame, out_dir: str,
                  ctx_cache: dict, buckets: int = 64,
                  waves: int = 4,
                  rdf_direction: str | None = None,
-                 snapshot_id: str = "") -> list[dict]:
+                 snapshot_id: str = "", quad_sink=None) -> list[dict]:
     """Process the corpus in `waves` independently-committed bucket ranges.
 
     Each wave write+commit is atomic at the wave level, so a crash between
@@ -186,7 +211,7 @@ def run_in_waves(spark: SparkSession, pages: DataFrame, out_dir: str,
         parsed = with_bucket(
             extract_and_parse(wave_pages.drop("bucket"), ctx_cache,
                               rdf_direction), buckets)
-        write_bucketed(parsed, out_dir, snapshot_id)
+        write_bucketed(parsed, out_dir, snapshot_id, quad_sink=quad_sink)
         stats.append({"wave": w, "buckets": [lo, hi]})
     return stats
 

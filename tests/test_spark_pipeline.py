@@ -7,6 +7,7 @@ pipeline granularity the reference doesn't have.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -82,6 +83,39 @@ def test_checkpoint_resume(spark, pages):
 
         # lineage audit: recomputed == recorded for every bucket
         assert lin.verify_lineage(spark, out).count() == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_quad_sink_swap_is_config_only(spark, pages):
+    """Iceberg abstraction contract: the sink is the ONLY format-specific
+    step. A recording sink slotted where iceberg_quad_sink would go must
+    receive the sorted bucket-partitioned quads BEFORE lineage commits,
+    and the lineage/resume/verify machinery must work unchanged over
+    whatever the sink wrote."""
+    out = tempfile.mkdtemp(prefix="kg_sink_")
+    calls = []
+
+    def recording_sink(sorted_quads, out_dir):
+        # write parquet like the default, but RECORD the call contract —
+        # exactly what iceberg_quad_sink does via writeTo().
+        calls.append((sorted_quads.columns, out_dir,
+                      os.path.exists(f"{out_dir}/lineage")))
+        lin.parquet_quad_sink(sorted_quads, out_dir)
+
+    try:
+        s = lin.run_with_resume(spark, pages, out, CONTEXTS, buckets=8,
+                                quad_sink=recording_sink)
+        assert len(calls) == 1
+        cols, out_dir, lineage_existed_before_sink = calls[0]
+        assert "bucket" in cols and out_dir == out
+        # crash-safety ordering: quads sink FIRST, lineage commit after
+        assert not lineage_existed_before_sink
+        assert s["buckets_done"] == 8
+        assert lin.verify_lineage(spark, out).count() == 0
+        # the iceberg sink builds the same one-call contract (no catalog
+        # in this container: constructing it must not touch the session)
+        assert callable(lin.iceberg_quad_sink("cat.db.quads"))
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
