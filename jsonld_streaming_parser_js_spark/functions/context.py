@@ -251,6 +251,14 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
             if len(remote_contexts) > MAX_REMOTE_CONTEXTS:
                 raise JsonLdError("context overflow", ctx_iri)
             if ctx_iri in remote_contexts:
+                # W3C 1.1 4.1.2 step 5.2.2: when validate scoped context is
+                # false (i.e. this IS the scoped-context validation pass),
+                # a context already in the chain is skipped — recursive
+                # scoped contexts are VALID (toRdf te126/te127). At use
+                # time the cycle stays an error (depth is bounded by the
+                # document, so use-time recursion means a real loop).
+                if not validate_scoped:
+                    continue
                 raise JsonLdError("recursive context inclusion", ctx_iri)
             if ctx_iri not in ctx_cache:
                 raise JsonLdError("loading remote context failed",

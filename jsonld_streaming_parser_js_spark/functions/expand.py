@@ -511,8 +511,10 @@ def _expand_map(ctx: Context, key: str, td, container: frozenset,
                     expanded_index_prop = expand_iri(ctx, td.index,
                                                      vocab=True)
                     index_value = expand_value(ctx, td.index, idx)
-                    if "@graph" in container:
-                        raise JsonLdError("invalid term definition", key)
+                    # with a @graph container, item is already the wrapping
+                    # graph object, so the index property lands on the
+                    # GRAPH node (W3C tpi11; reference
+                    # lib/containerhandler/ContainerHandlerIndex.ts:42-110)
                     item[expanded_index_prop] = (
                         [index_value] + as_list(
                             item.get(expanded_index_prop, [])))

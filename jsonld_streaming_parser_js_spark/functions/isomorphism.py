@@ -84,7 +84,9 @@ def parse_nquads(text: str) -> list[Quad]:
     """Minimal N-Quads reader for fixture files (terms stay in lexical
     form — the same encoding the engine emits)."""
     quads = []
-    for line in text.splitlines():
+    # NOT splitlines(): that treats \f/\v INSIDE literals as line breaks
+    # (raw form-feed is legal in an N-Quads STRING_LITERAL_QUOTE)
+    for line in text.split("\n"):
         line = line.strip()
         if not line or line.startswith("#"):
             continue

@@ -4028,3 +4028,340 @@ _:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> "a" .
 _:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
 '''),
 ]
+
+
+# --- W3C EARL traceability batch (round 4): fixtures covering toRdf test
+# behaviors that had no direct counterpart in the corpus. Each name cites
+# the W3C toRdf-manifest id(s) it covers (see tests/w3c_earl_map.py).
+W3C_GAP_FIXTURES = [
+    ("w3c_t0032_ctx_order", {}, {
+        # t0032/t0034: term definitions independent of @context key order
+        # (a term referencing a prefix defined LATER in the same context)
+        "@context": {"t": "pre:suffix", "pre": "http://e/ns/"},
+        "@id": "http://e/s", "t": "v",
+    }, '''
+<http://e/s> <http://e/ns/suffix> "v" .
+'''),
+
+    ("w3c_t0033_id_not_first", {}, {
+        # t0033/te074: @id after other properties (objects are unordered)
+        "http://e/p": "v", "@id": "http://e/s",
+    }, '''
+<http://e/s> <http://e/p> "v" .
+'''),
+
+    ("w3c_tc008_aliased_type_scoped", {}, {
+        # tc008: an ALIAS of @type still triggers type-scoped contexts
+        "@context": {"type": "@type",
+                     "T": {"@id": "http://e/T",
+                           "@context": {"p": "http://e/scoped_p"}}},
+        "@id": "http://e/s", "type": "T", "p": "v",
+    }, f'''
+<http://e/s> <{RDF}type> <http://e/T> .
+<http://e/s> <http://e/scoped_p> "v" .
+'''),
+
+    ("w3c_tc016_type_scoped_vocab", {}, {
+        # tc016: type-scoped context sets @vocab
+        "@context": {"T": {"@id": "http://e/T",
+                           "@context": {"@vocab": "http://v/"}}},
+        "@id": "http://e/s", "@type": "T", "p": "v",
+    }, f'''
+<http://e/s> <{RDF}type> <http://e/T> .
+<http://e/s> <http://v/p> "v" .
+'''),
+
+    ("w3c_tc018_prevctx_types", {}, {
+        # tc018: multiple @type values expand against the PREVIOUS context,
+        # not against contexts introduced by earlier type-scoped terms
+        "@context": {"B": "http://outer/B",
+                     "A": {"@id": "http://e/A",
+                           "@context": {"B": "http://inner/B"}}},
+        "@id": "http://e/s", "@type": ["A", "B"],
+    }, f'''
+<http://e/s> <{RDF}type> <http://e/A> .
+<http://e/s> <{RDF}type> <http://outer/B> .
+'''),
+
+    ("w3c_tc025_type_scoped_graph_container", {}, {
+        # tc025: type-scoped context defining an @graph container term
+        "@context": {"T": {"@id": "http://e/T",
+                           "@context": {"g": {"@id": "http://e/g",
+                                              "@container": "@graph"}}}},
+        "@id": "http://e/s", "@type": "T", "g": {"http://e/p": "v"},
+    }, f'''
+<http://e/s> <{RDF}type> <http://e/T> .
+<http://e/s> <http://e/g> _:g0 .
+_:n0 <http://e/p> "v" _:g0 .
+'''),
+
+    ("w3c_te027_list_dups", {}, {
+        # te027: duplicates KEPT in @list cells; identical set triples
+        # collapse under RDF dataset set-semantics
+        "@id": "http://e/s",
+        "http://e/l": {"@list": ["a", "a"]},
+        "http://e/m": {"@set": ["b", "b"]},
+    }, f'''
+<http://e/s> <http://e/l> _:l0 .
+_:l0 <{RDF}first> "a" .
+_:l0 <{RDF}rest> _:l1 .
+_:l1 <{RDF}first> "a" .
+_:l1 <{RDF}rest> <{RDF}nil> .
+<http://e/s> <http://e/m> "b" .
+'''),
+
+    ("w3c_te034_same_iri_props", {}, {
+        # te034: multiple terms expanding to the same IRI merge values
+        "@context": {"a": "http://e/p", "b": "http://e/p"},
+        "@id": "http://e/s", "a": "x", "b": "y",
+    }, '''
+<http://e/s> <http://e/p> "x" .
+<http://e/s> <http://e/p> "y" .
+'''),
+
+    ("w3c_te044_index_lang", {}, {
+        # te044: index-container values use the term language mapping
+        "@context": {"p": {"@id": "http://e/p", "@container": "@index",
+                           "@language": "de"}},
+        "@id": "http://e/s", "p": {"i1": "hallo"},
+    }, '''
+<http://e/s> <http://e/p> "hallo"@de .
+'''),
+
+    ("w3c_te048_term_in_id", {"base_iri": "http://base.org/"}, {
+        # te048/t0048: terms are NOT used when expanding @id values —
+        # "t" resolves as a document-relative IRI, not via the term
+        "@context": {"t": "http://e/abs"},
+        "@id": "t", "http://e/p": "v",
+    }, '''
+<http://base.org/t> <http://e/p> "v" .
+'''),
+
+    ("w3c_te049_reverse_id_strings", {}, {
+        # te049: strings as values of a reverse property via @type: @id
+        "@context": {"children": {"@reverse": "http://e/parent",
+                                  "@type": "@id"}},
+        "@id": "http://e/s", "children": "http://e/c",
+    }, '''
+<http://e/c> <http://e/parent> <http://e/s> .
+'''),
+
+    ("w3c_te113_js_names", {}, {
+        # te113: JavaScript Object property names are ordinary terms
+        "@context": {"@vocab": "http://v/"},
+        "@id": "http://e/s", "constructor": "x", "toString": "y",
+    }, '''
+<http://e/s> <http://v/constructor> "x" .
+<http://e/s> <http://v/toString> "y" .
+'''),
+
+    ("w3c_te117_colon_term", {}, {
+        # te117: a term beginning with a colon is a term, not an IRI
+        "@context": {":term": "http://e/colon"},
+        "@id": "http://e/s", ":term": "v",
+    }, '''
+<http://e/s> <http://e/colon> "v" .
+'''),
+
+    ("w3c_te118_colon_value", {}, {
+        # te118: a VALUE beginning with a colon expands via the term, and
+        # is not treated as an absolute IRI
+        "@context": {":v": "http://e/cv",
+                     "p": {"@id": "http://e/p", "@type": "@vocab"}},
+        "@id": "http://e/s", "p": ":v",
+    }, '''
+<http://e/s> <http://e/p> <http://e/cv> .
+'''),
+
+    ("w3c_te120_id_keyword_form", {}, {
+        # te120: @id values in keyword form are ignored -> bnode subject
+        "@id": "@bogus", "http://e/p": "v",
+    }, '''
+_:b0 <http://e/p> "v" .
+'''),
+
+    ("w3c_te126_recursive_scoped_direct", {"ctx_cache": {
+        "https://c/self": {"@context": {
+            "t": {"@id": "http://e/t", "@context": "https://c/self"}}}}}, {
+        # te126: a scoped context may reference itself directly
+        "@context": "https://c/self", "@id": "http://e/s", "t": {"t": "v"},
+    }, '''
+<http://e/s> <http://e/t> _:x .
+_:x <http://e/t> "v" .
+'''),
+
+    ("w3c_te127_recursive_scoped_indirect", {"ctx_cache": {
+        "https://c/a2": {"@context": {
+            "t": {"@id": "http://e/t", "@context": "https://c/b2"}}},
+        "https://c/b2": {"@context": {
+            "u": {"@id": "http://e/u", "@context": "https://c/a2"}}}}}, {
+        # te127: scoped contexts may reference each other in a cycle
+        "@context": "https://c/a2", "@id": "http://e/s",
+        "t": {"u": {"t": "v"}},
+    }, '''
+<http://e/s> <http://e/t> _:x .
+_:x <http://e/u> _:y .
+_:y <http://e/t> "v" .
+'''),
+
+    ("w3c_tjs09_jcs_strings", {}, {
+        # tjs09: RFC 8785 string canonicalization — two-char escapes where
+        # defined, \u00xx lowercase hex otherwise, literal non-ASCII
+        "@context": {"p": {"@id": "http://e/p", "@type": "@json"}},
+        "@id": "http://e/s", "p": {"s": "a\b\u000b\u00e9\"q\""},
+    }, f'''
+<http://e/s> <http://e/p> "{{\\"s\\":\\"a\\\\b\\\\u000b\u00e9\\\\\\"q\\\\\\"\\"}}"^^<{RDF}JSON> .
+'''),
+
+    ("w3c_tjs11_jcs_unicode", {}, {
+        # tjs11: JCS sorts object keys by UTF-16 code units
+        "@context": {"p": {"@id": "http://e/p", "@type": "@json"}},
+        "@id": "http://e/s", "p": {"\u00e9": 1, "e": 2},
+    }, f'''
+<http://e/s> <http://e/p> "{{\\"e\\":2,\\"\u00e9\\":1}}"^^<{RDF}JSON> .
+'''),
+
+    ("w3c_tnt_controls", {}, {
+        # tnt03-tnt16: N-Triples handling of control characters and quote
+        # forms: \t as ECHAR, raw \b/\f (STRING_LITERAL_QUOTE only
+        # forbids 0x22 0x5C 0x0A 0x0D), escaped dquote, literal squotes
+        "@id": "http://e/s",
+        "http://e/p": "x'y''z\"w\b\fq\tr",
+    }, '''
+<http://e/s> <http://e/p> "x'y''z\\"w\b\fq\\tr" .
+'''),
+
+    ("w3c_tpi10_none", {}, {
+        # tpi10: property-valued index emits NO property for @none keys
+        "@context": {"p": {"@id": "http://e/p", "@container": "@index",
+                           "@index": "http://e/prop"}},
+        "@id": "http://e/s", "p": {"@none": {"@id": "http://e/o"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+'''),
+
+    ("w3c_tpi11_graph_pindex", {}, {
+        # tpi11: property-valued index adds the property to a graph object
+        "@context": {"p": {"@id": "http://e/p",
+                           "@container": ["@graph", "@index"],
+                           "@index": "http://e/prop"}},
+        "@id": "http://e/s", "p": {"i1": {"http://e/q": "v"}},
+    }, '''
+<http://e/s> <http://e/p> _:g0 .
+_:g0 <http://e/prop> "i1" .
+_:n0 <http://e/q> "v" _:g0 .
+'''),
+
+    ("w3c_tpr02_protected_false", {}, {
+        # tpr02/tpr04/tpr13: @protected: false opts a term out of a
+        # protected context; overriding it later is legal
+        "@context": [{"@protected": True, "a": "http://e/a",
+                      "b": {"@id": "http://e/b", "@protected": False}},
+                     {"b": "http://e/b2"}],
+        "@id": "http://e/s", "a": "x", "b": "y",
+    }, '''
+<http://e/s> <http://e/a> "x" .
+<http://e/s> <http://e/b2> "y" .
+'''),
+
+    ("w3c_tpr30_protected_keyword", {}, {
+        # tpr30: keyword aliases may be protected
+        "@context": {"type": {"@id": "@type", "@protected": True}},
+        "@id": "http://e/s", "type": "http://e/T",
+    }, f'''
+<http://e/s> <{RDF}type> <http://e/T> .
+'''),
+
+    ("w3c_tso05_import_propagate_type", {"ctx_cache": {
+        "https://c/imp": {"@context": {"p": "http://e/p"}}}}, {
+        # tso05: @import inside a type-scoped context with @propagate: true
+        "@context": {"T": {"@id": "http://e/T",
+                           "@context": {"@import": "https://c/imp",
+                                        "@propagate": True}}},
+        "@id": "http://e/s", "@type": "T",
+        "http://e/child": {"@id": "http://e/c", "p": "v"},
+    }, f'''
+<http://e/s> <{RDF}type> <http://e/T> .
+<http://e/s> <http://e/child> <http://e/c> .
+<http://e/c> <http://e/p> "v" .
+'''),
+
+    ("w3c_tso06_import_propagate_prop", {"ctx_cache": {
+        "https://c/imp": {"@context": {"p": "http://e/p"}}}}, {
+        # tso06: @import inside a property-scoped context with
+        # @propagate: false — applies one level, reverts below
+        "@context": {"n": {"@id": "http://e/n",
+                           "@context": {"@import": "https://c/imp",
+                                        "@propagate": False}}},
+        "@id": "http://e/s",
+        "n": {"@id": "http://e/c", "p": "first",
+              "http://e/child": {"@id": "http://e/d", "p": "deep"}},
+    }, '''
+<http://e/s> <http://e/n> <http://e/c> .
+<http://e/c> <http://e/p> "first" .
+<http://e/c> <http://e/child> <http://e/d> .
+'''),
+
+    ("w3c_twf_invalid_terms", {}, {
+        # twf02/03/04/07: ill-formed triples are rejected, well-formed
+        # siblings survive (invalid object IRI, invalid type IRI,
+        # invalid graph name)
+        "@graph": [
+            {"@id": "http://e/s",
+             "http://e/p": {"@id": "http://e/ sp"},
+             "@type": "http://e/ bad",
+             "http://e/q": "keep"},
+            {"@id": "http://e/ gname",
+             "@graph": [{"@id": "http://e/in", "http://e/r": "x"}]},
+        ],
+    }, '''
+<http://e/s> <http://e/q> "keep" .
+'''),
+
+    ("w3c_tst02_annotation_ignored_no_rdfstar", {"rdfstar": False}, {
+        # star tst02: node-object @annotation ignored without rdfstar
+        "@id": "http://e/s",
+        "http://e/p": {"@id": "http://e/o",
+                       "@annotation": {"http://e/q": "v"}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+'''),
+
+    ("w3c_tst03_value_annotation_ignored", {"rdfstar": False}, {
+        # star tst03: value-object @annotation ignored without rdfstar
+        "@id": "http://e/s",
+        "http://e/p": {"@value": "x", "@annotation": {"http://e/q": "v"}},
+    }, '''
+<http://e/s> <http://e/p> "x" .
+'''),
+
+    ("w3c_tst20b_empty_annotation", {}, {
+        # star tst20b: an empty @annotation node object emits nothing
+        "@id": "http://e/s",
+        "http://e/p": {"@id": "http://e/o", "@annotation": {}},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+'''),
+
+    ("w3c_tst28_annotation_with_embedded_subject", {}, {
+        # star tst28/tst29: @annotation on an edge whose subject is an
+        # embedded node — the annotated triple nests the quoted triple
+        "@id": {"@id": "http://e/a", "http://e/p": {"@id": "http://e/b"}},
+        "http://e/q": {"@id": "http://e/c",
+                       "@annotation": {"http://e/m": "x"}},
+    }, '''
+<< <http://e/a> <http://e/p> <http://e/b> >> <http://e/q> <http://e/c> .
+<< << <http://e/a> <http://e/p> <http://e/b> >> <http://e/q> <http://e/c> >> <http://e/m> "x" .
+'''),
+
+    ("w3c_tst36_id_alias_embedded", {}, {
+        # star tst36: embedded node reached through an ALIAS of @id
+        "@context": {"id": "@id"},
+        "id": {"id": "http://e/a", "http://e/p": "v"},
+        "http://e/q": "w",
+    }, '''
+<< <http://e/a> <http://e/p> "v" >> <http://e/q> "w" .
+'''),
+]
+
+FIXTURES = FIXTURES + W3C_GAP_FIXTURES

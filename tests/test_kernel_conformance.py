@@ -720,6 +720,14 @@ NEGATIVE_CASES = [
                                           "@language": None}}),
     ("invalid local context",
      {"@context": 5, "http://e/p": "v"}),
+    ("invalid context nullification",  # W3C tpr14: null can't drop
+     {"@context": [{"@protected": True, "p": "http://e/p"}, None,
+                   {"p": "http://e/q"}],  # protected terms at top level
+      "@id": "http://e/s", "p": "v"}),
+    ("invalid context nullification",  # W3C tpr05: nor from an embedded
+     {"@context": {"@protected": True, "p": "http://e/p"},  # node context
+      "@id": "http://e/s",
+      "p": {"@context": None, "@id": "http://e/o", "p": "w"}}),
     ("invalid reverse property",
      {"@context": {"r": {"@reverse": "http://e/p", "@container": "@list"}},
       "@id": "http://e/s", "r": {"@id": "http://e/o"}}),
