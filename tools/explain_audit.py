@@ -83,6 +83,31 @@ def main() -> None:
           p.count("HashAggregate") >= 2,
           f"HashAggregate x{p.count('HashAggregate')}")
 
+    # fuzzy canonicalization: the MinHash banding must reach the candidate
+    # join as an EQUI-join on (band, bucket) — never all-pairs — and the
+    # CC loop's per-iteration localCheckpoint must keep the FINAL mapping
+    # plan flat (scan of checkpointed RDD, not an n-deep join tree).
+    from jsonld_streaming_parser_js_spark.operators import (
+        canonicalize as canon)
+    feats = canon.node_features(e._entity_quads(spark, sf))
+    p = plan_of(canon.candidate_edges_minhash(feats, num_hashes=32,
+                                              bands=16, min_jaccard=0.6))
+    check("canonical fuzzy: banded candidate equi-join, never all-pairs",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+               or "BroadcastHashJoin" in p),
+          f"SMJ x{p.count('SortMergeJoin')}, "
+          f"BHJ x{p.count('BroadcastHashJoin')}, cartesian x0")
+    mapping = canon.canonical_mapping_fuzzy(
+        e._entity_quads(spark, sf), min_jaccard=0.6,
+        num_hashes=32, bands=16)
+    p = plan_of(mapping)
+    check("canonical fuzzy: CC iterations truncated by localCheckpoint",
+          "Scan ExistingRDD" in p and p.count("Join") <= 2,
+          f"ExistingRDD scan={'Scan ExistingRDD' in p}, "
+          f"joins in final plan x{p.count('Join')}")
+
     df = e._q_dedup_embedding_lsh_recall(spark, sf)
     # the recall audit's exact side is all-pairs BY DESIGN, but only on the
     # deterministic md5 1/4 sample. Assert STRUCTURALLY that every
