@@ -150,6 +150,16 @@ class Context:
     def has_protected_terms(self) -> bool:
         return any(td.protected for td in self.terms.values())
 
+    def may_alias_type(self) -> bool:
+        """True when some term could expand to "@type" (then every node
+        key must be checked in the type-scoped scan). Lazily cached:
+        expansion only sees fully-processed, no-longer-mutated contexts."""
+        cached = self.__dict__.get("_may_alias_type")
+        if cached is None:
+            cached = any(td.iri == "@type" for td in self.terms.values())
+            self.__dict__["_may_alias_type"] = cached
+        return cached
+
     # -- term-definition accessors used by expansion ------------------------
 
     def term(self, key: str) -> TermDefinition | None:
@@ -333,9 +343,14 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
                            # never re-enter the memo from inside a probe
                            and active.original_base != _BASE_SENTINEL)
         if pristine_inline:
+            # repr() is ~2.5x cheaper than canonical JSON and still a SOUND
+            # memo key: equal reprs imply equal JSON content (repr keeps
+            # 0/False and 1/1.0 distinct); insertion-order differences only
+            # MISS the memo (web corpora repeat byte-identical context
+            # snippets, so same order is the overwhelming case)
             try:
-                ser = _json.dumps(context, sort_keys=True)
-            except (TypeError, ValueError):
+                ser = repr(context)
+            except RecursionError:
                 ser = None
             if ser is not None:
                 # an EMPTY cache is interchangeable with any other empty

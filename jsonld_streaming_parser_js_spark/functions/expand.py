@@ -70,9 +70,19 @@ def expand(active_ctx: Context, active_prop: str | None, element: Any,
     # arrays ----------------------------------------------------------------
     if isinstance(element, list):
         result = []
+        scalar_ok = (active_prop is not None and active_prop != "@graph"
+                     and not has_scope)
         for item in element:
-            expanded = expand(active_ctx, active_prop, item, base_url,
-                              ctx_cache, from_map)
+            if scalar_ok and not isinstance(item, (dict, list)):
+                # scalar fast path: expand() would only re-fetch the term
+                # and land in expand_value (td/has_scope already in hand)
+                if item is None:
+                    continue
+                expanded = expand_value(active_ctx, active_prop, item,
+                                        td=td)
+            else:
+                expanded = expand(active_ctx, active_prop, item, base_url,
+                                  ctx_cache, from_map)
             # JSON-LD 1.1 expansion step 5.2.1: under a @list container a
             # nested array becomes a nested list object; in 1.0 mode the
             # classic "list of lists" error still applies
@@ -114,9 +124,15 @@ def expand(active_ctx: Context, active_prop: str | None, element: Any,
     # type-scoped contexts: lexicographically ordered type terms
     type_scoped_ctx = active_ctx
     input_type = None
-    for key in sorted(element):
-        if expand_iri(type_scoped_ctx, key, vocab=True) != "@type":
-            continue
+    if type_scoped_ctx.may_alias_type():
+        type_keys = [k for k in sorted(element)
+                     if expand_iri(type_scoped_ctx, k, vocab=True)
+                     == "@type"]
+    else:
+        # no term maps to @type, so only the literal key can (hot path:
+        # skips an expand_iri per node key)
+        type_keys = ["@type"] if "@type" in element else ()
+    for key in type_keys:
         values = sorted(v for v in as_list(element[key])
                         if isinstance(v, str))
         for term in values:
@@ -371,6 +387,18 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
                or "@id" in container) and isinstance(value, dict)):
             expanded_value = _expand_map(active_ctx, key, ktd, container,
                                          value, base_url, ctx_cache)
+        elif not isinstance(value, (dict, list)):
+            # scalar fast path: expand() would re-fetch the term and
+            # re-check for a scoped context before landing in
+            # expand_value — do it directly (ktd already in hand)
+            if value is None:
+                continue
+            if ktd is not None and ktd.context is not UNSET:
+                expanded_value = expand(active_ctx, key, value, base_url,
+                                        ctx_cache)
+            else:
+                expanded_value = expand_value(active_ctx, key, value,
+                                              td=ktd)
         else:
             expanded_value = expand(active_ctx, key, value, base_url,
                                     ctx_cache)
@@ -536,9 +564,13 @@ def _expand_map(ctx: Context, key: str, td, container: frozenset,
     return result
 
 
-def expand_value(ctx: Context, active_prop: str, value: Any) -> dict:
-    """Value Expansion (W3C json-ld11-api section 5.3)."""
-    td = ctx.term(active_prop)
+def expand_value(ctx: Context, active_prop: str, value: Any,
+                 td: Any = UNSET) -> dict:
+    """Value Expansion (W3C json-ld11-api section 5.3). ``td`` lets hot
+    callers pass the already-fetched term definition (None is a valid
+    "no term" value, so the sentinel is UNSET)."""
+    if td is UNSET:
+        td = ctx.term(active_prop)
     type_mapping = td.type_mapping if td is not None else None
     if isinstance(value, str):
         if type_mapping == "@id":

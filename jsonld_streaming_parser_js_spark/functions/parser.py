@@ -95,16 +95,21 @@ def jsonld_to_quads(doc: Any, options: ParserOptions | None = None
                     ) -> list[Quad]:
     """Parsed JSON document -> list of quads (N-Triples lexical tuples)."""
     options = options or ParserOptions()
-    saved = {name: getattr(FLAGS, name) for name in _FLAG_NAMES}
+    # FLAGS is threading.local, so its __dict__ IS this thread's flag set:
+    # swap it wholesale instead of 10 getattr/setattr per parse (measured
+    # ~1.5% of kernel time at one parse per block)
+    opt_dict = options.__dict__
+    flags_dict = FLAGS.__dict__
+    saved = dict(flags_dict)
     for name in _FLAG_NAMES:
-        setattr(FLAGS, name, getattr(options, name))
+        flags_dict[name] = opt_dict[name]
     if options.processing_mode == "json-ld-1.0":
-        FLAGS.normalize_language_tags = True  # always on in 1.0
+        flags_dict["normalize_language_tags"] = True  # always on in 1.0
     try:
         return _jsonld_to_quads_impl(doc, options)
     finally:
-        for name, value in saved.items():
-            setattr(FLAGS, name, value)
+        flags_dict.clear()
+        flags_dict.update(saved)
 
 
 def _jsonld_to_quads_impl(doc: Any, options: ParserOptions) -> list[Quad]:
@@ -151,13 +156,16 @@ def parse_block(block_text: str, url: str, blk: int,
         # explicit per-call arguments win where given
         base_opts = parser_options or ParserOptions()
         default_graph = default_graph or base_opts.default_graph
-        options = replace(base_opts, base_iri=url,
-                          ctx_cache=ctx_cache or base_opts.ctx_cache,
-                          rdf_direction=(rdf_direction
-                                         or base_opts.rdf_direction),
-                          context=(context if context is not None
-                                   else base_opts.context),
-                          default_graph=None)
+        # manual shallow clone: dataclasses.replace re-runs __init__ and
+        # measured ~4% of kernel time at one call per block
+        options = ParserOptions.__new__(ParserOptions)
+        options.__dict__.update(base_opts.__dict__)
+        options.base_iri = url
+        options.ctx_cache = ctx_cache or base_opts.ctx_cache
+        options.rdf_direction = rdf_direction or base_opts.rdf_direction
+        if context is not None:
+            options.context = context
+        options.default_graph = None
         quads = jsonld_to_quads(doc, options)
     except JsonLdError as exc:
         return [], exc.code
