@@ -219,8 +219,20 @@ def generate_node_map(element: Any, node_map: dict, issuer: BlankNodeIssuer,
         values = element[prop]
         if prop.startswith("_:"):
             prop = issuer.issue(prop)
-        node.setdefault(prop, [])
-        generate_node_map(values, node_map, issuer, active_graph, id_, prop)
+        plist = node.setdefault(prop, [])
+        if type(values) is list:
+            for item in values:
+                if type(item) is dict and "@value" in item:
+                    # inline of the @value branch below for the dominant
+                    # literal case: expansion already validated @type (an
+                    # invalid/bnode datatype raised), so no relabel check
+                    _append_unique(plist, item)
+                else:
+                    generate_node_map(item, node_map, issuer, active_graph,
+                                      id_, prop)
+        else:
+            generate_node_map(values, node_map, issuer, active_graph, id_,
+                              prop)
 
 
 _EMBEDDED_PREFIX = "\x00star\x00"
@@ -249,10 +261,11 @@ def _embedded_node_key(embedded: dict, node_map: dict,
 
 def node_to_term(node_id: str) -> str | None:
     """Node-map key -> N-Triples term (None = invalid, skip)."""
-    if node_id.startswith(_EMBEDDED_PREFIX):
-        return node_id[len(_EMBEDDED_PREFIX):]
-    if node_id.startswith("_:"):
+    c = node_id[0]
+    if c == "_" and node_id[1] == ":":
         return node_id
+    if c == "\x00" and node_id.startswith(_EMBEDDED_PREFIX):
+        return node_id[len(_EMBEDDED_PREFIX):]
     if is_absolute_iri(node_id):
         return T.iri(node_id)
     return None
@@ -264,12 +277,20 @@ def value_object_to_term(item: dict, rdf_direction: str | None,
     """Literal conversion (W3C "Object to RDF" steps for value objects;
     reference semantics: lib/Util.ts:242-553, 676-782)."""
     value = item["@value"]
-    if type(value) is str and len(item) == 1:
-        # fast path: plain string literal with no @type/@language/
-        # @direction/@index (the dominant shape in web corpora; a context
+    if type(value) is str:
+        # fast paths: plain string literal, and valid language-tagged
+        # string (the two dominant shapes in web corpora; a context
         # default language/direction was already folded into the value
-        # object by expand_value)
-        return T.literal(value)
+        # object by expand_value). Anything else — datatypes, @direction,
+        # @index, ill-formed tags — falls through to the full path.
+        n = len(item)
+        if n == 1:
+            return T.literal(value)
+        if n == 2:
+            lang = item.get("@language")
+            if (type(lang) is str and lang
+                    and LANGUAGE_TAG_RE.match(lang)):
+                return T.literal(value, language=lang)
     datatype = item.get("@type")
     language = item.get("@language")
     direction = item.get("@direction")
