@@ -343,14 +343,14 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
                            # never re-enter the memo from inside a probe
                            and active.original_base != _BASE_SENTINEL)
         if pristine_inline:
-            # repr() is ~2.5x cheaper than canonical JSON and still a SOUND
-            # memo key: equal reprs imply equal JSON content (repr keeps
-            # 0/False and 1/1.0 distinct); insertion-order differences only
-            # MISS the memo (web corpora repeat byte-identical context
-            # snippets, so same order is the overwhelming case)
+            # compact UNSORTED json.dumps: ~40% cheaper than the sorted
+            # form and still sound — dumps serializes dict SUBCLASSES by
+            # content (repr would not), and an insertion-order difference
+            # only MISSES the memo (web corpora repeat byte-identical
+            # context snippets, so same order is the overwhelming case)
             try:
-                ser = repr(context)
-            except RecursionError:
+                ser = _json.dumps(context, separators=(",", ":"))
+            except (TypeError, ValueError):
                 ser = None
             if ser is not None:
                 # an EMPTY cache is interchangeable with any other empty

@@ -261,9 +261,12 @@ def _embedded_node_key(embedded: dict, node_map: dict,
 
 def node_to_term(node_id: str) -> str | None:
     """Node-map key -> N-Triples term (None = invalid, skip)."""
+    if not node_id:
+        return None
     c = node_id[0]
-    if c == "_" and node_id[1] == ":":
-        return node_id
+    if c == "_":
+        # '_' alone and '_x' are (invalid) relative IRIs, not bnodes
+        return node_id if node_id[1:2] == ":" else None
     if c == "\x00" and node_id.startswith(_EMBEDDED_PREFIX):
         return node_id[len(_EMBEDDED_PREFIX):]
     if is_absolute_iri(node_id):

@@ -109,8 +109,8 @@ def write_bucketed(parsed_with_bucket: DataFrame, out_dir: str,
 
     ``quad_sink(sorted_df, out_dir)`` is the ONLY format-specific step:
     parquet_quad_sink by default, iceberg_quad_sink(table) on a cluster
-    with the Iceberg runtime — lineage, resume, waves, and verify are
-    sink-agnostic.
+    with the Iceberg runtime — lineage, resume, and waves are
+    sink-agnostic; verify_lineage takes ``quads=`` for non-parquet sinks.
     """
     cached = parsed_with_bucket.persist()
     try:
@@ -216,10 +216,14 @@ def run_in_waves(spark: SparkSession, pages: DataFrame, out_dir: str,
     return stats
 
 
-def verify_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+def verify_lineage(spark: SparkSession, out_dir: str,
+                   quads: DataFrame | None = None) -> DataFrame:
     """Recompute per-bucket stats from the quads table and diff against the
-    lineage records — the audit every resume can run cheaply."""
-    quads = spark.read.parquet(f"{out_dir}/quads")
+    lineage records — the audit every resume can run cheaply. Reads the
+    default parquet layout; a non-parquet sink (Iceberg) passes its own
+    ``quads`` DataFrame (e.g. ``spark.table('cat.db.quads')``)."""
+    if quads is None:
+        quads = spark.read.parquet(f"{out_dir}/quads")
     recomputed = bucket_lineage(quads).drop("snapshot_id")
     recorded = spark.read.parquet(f"{out_dir}/lineage")
     return (recomputed.alias("a")

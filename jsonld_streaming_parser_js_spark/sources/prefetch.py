@@ -140,16 +140,30 @@ class HttpLoader:
         if not url.startswith(("http://", "https://")):
             raise JsonLdError("loading remote context failed",
                               f"unsupported scheme: {url}")
+
+        class _HttpOnlyRedirect(urllib.request.HTTPRedirectHandler):
+            # urllib's default handler follows 3xx to ftp:// too — reject
+            # non-http(s) targets BEFORE any fetch (SSRF via redirect)
+            def redirect_request(self, req, fp, code, msg, hdrs, newurl):
+                if not newurl.startswith(("http://", "https://")):
+                    raise JsonLdError(
+                        "loading remote context failed",
+                        f"redirect to non-http url: {newurl}")
+                return super().redirect_request(req, fp, code, msg, hdrs,
+                                                newurl)
+
+        opener = urllib.request.build_opener(_HttpOnlyRedirect)
         req = urllib.request.Request(
             url, headers={"Accept": self.ACCEPT,
                           "User-Agent": self._user_agent})
         try:
-            with urllib.request.urlopen(req,
-                                        timeout=self._timeout) as resp:
+            with opener.open(req, timeout=self._timeout) as resp:
                 body = resp.read(self._max_bytes + 1)
                 media_type = (resp.headers.get_content_type() or "").lower()
                 link_headers = resp.headers.get_all("Link") or []
                 final_url = resp.geturl()
+        except JsonLdError:
+            raise  # e.g. the redirect-scheme gate: keep the coded error
         except (urllib.error.URLError, OSError, ValueError) as exc:
             raise JsonLdError("loading remote context failed",
                               f"{url}: {exc}") from exc

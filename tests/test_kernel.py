@@ -589,3 +589,23 @@ def test_default_graph_bnode_shared_across_documents():
     s1, _ = parse_block(doc2, "http://a/", 0, default_graph="_:dg")
     s2, _ = parse_block(doc2, "http://b/", 0, default_graph="_:dg")
     assert s1[0][0] != s2[0][0]
+
+
+def test_invalid_node_ids_drop_not_crash():
+    """Review regression guard: node ids '', '_', '_x' (invalid relative
+    IRIs, not bnodes) must DROP leniently / error in strict mode — never
+    IndexError out of the error channel."""
+    from jsonld_streaming_parser_js_spark.functions.context import (
+        JsonLdError)
+    from jsonld_streaming_parser_js_spark.functions.parser import (
+        ParserOptions, jsonld_to_quads)
+
+    for bad in ("", "_", "_x"):
+        assert jsonld_to_quads(
+            {"@id": bad, "http://e/p": {"@id": "http://e/o"}},
+            ParserOptions()) == []
+        assert jsonld_to_quads(
+            {"@id": "http://e/s", "@type": bad}, ParserOptions()) == []
+        with pytest.raises(JsonLdError):
+            jsonld_to_quads({"@id": bad, "http://e/p": "v"},
+                            ParserOptions(strict_values=True))

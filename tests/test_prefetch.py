@@ -156,6 +156,10 @@ def ctx_server():
                 self.send_response(302)
                 self.send_header("Location", "/ctx.jsonld")
                 self.end_headers()
+            elif self.path == "/redirect-ftp":
+                self.send_response(302)
+                self.send_header("Location", "ftp://127.0.0.1/ctx")
+                self.end_headers()
             elif self.path == "/html-linked":
                 # quoted param with an escaped quote AND a comma before
                 # the context link: the RFC 8288 tokenizer must step over
@@ -217,6 +221,15 @@ def test_http_loader_link_header_errors(ctx_server):
     with pytest.raises(JsonLdError) as exc:
         HttpLoader().load(ctx_server + "/html-bare")
     assert exc.value.code == "loading remote context failed"
+
+
+def test_http_loader_rejects_non_http_redirect(ctx_server):
+    # SSRF guard: urllib's default redirect handler would follow 3xx to
+    # ftp://; the loader must reject BEFORE any fetch
+    with pytest.raises(JsonLdError) as exc:
+        HttpLoader().load(ctx_server + "/redirect-ftp")
+    assert exc.value.code == "loading remote context failed"
+    assert "redirect to non-http" in str(exc.value)
 
 
 def test_http_loader_failure_modes(ctx_server):

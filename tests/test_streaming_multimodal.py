@@ -263,3 +263,31 @@ def test_png_stats_operator_distributed(spark):
     got = rows[4]
     assert (got["width"], got["height"], got["sum_g"]) == (
         e["width"], e["height"], e["sum_g"])
+
+
+def test_decode_wav_stereo_integer_downmix():
+    """Multichannel downmix is floor-divided integer averaging (exact-
+    integer stats contract): (-3,-2) -> -3, (3,2) -> 2 — pinned here
+    because the synthetic corpus is mono-only."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from jsonld_streaming_parser_js_spark.operators.multimodal import (
+        decode_wav)
+
+    frames = np.array([[-3, -2], [3, 2], [100, 200], [-100, -201]],
+                      dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(frames.tobytes())
+    got = decode_wav(buf.getvalue())
+    # floor division: -5//2=-3, 5//2=2, 300//2=150, -301//2=-151
+    assert got["n_samples"] == 4
+    assert got["peak"] == 150
+    assert got["sum_abs"] == 3 + 2 + 150 + 151
+    assert got["sample_rate"] == 8000
