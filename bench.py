@@ -139,6 +139,28 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # assemble + adjudicate BEFORE the scaling legs so the 32-thread parent
+    # JVM can be stopped first: an alive parent session's threads schedule
+    # onto the children's pinned cores and depress the legs (observed:
+    # lo-leg load 9.4 and a hi leg 28% under its quiet-window value)
+    result = {
+        "metric": "quads/sec (pages->RDF quads, amplified corpus) "
+                  "+ headline query secs",
+        "value": hi["wall_sec"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "quads_per_sec": hi["quads_per_sec"],
+        "n_quads": hi["n_quads"],
+        "cores": CPUS,
+        "amplify": AMPLIFY,
+        "load_avg_1m_at_start": load_avg_start,
+        "scaling": None,
+    }
+    result["deltas_vs_prev"] = _deltas_vs_prev(result)
+    _adjudicate_flags(result, qs, spark)
+    spark.stop()
+
     # scaling evidence: identical job at N and 4N dedicated CPUs, both in
     # fresh CPU-pinned processes (see _subprocess_parse). The pair (2, 8)
     # keeps both runs below this single box's memory-bandwidth saturation
@@ -211,22 +233,7 @@ def main() -> None:
                        ("cores", "wall_sec", "quads_per_sec")},
                    "efficiency_n_to_4n": round(eff, 3)}
 
-    result = {
-        "metric": "quads/sec (pages->RDF quads, amplified corpus) "
-                  "+ headline query secs",
-        "value": hi["wall_sec"],
-        "unit": "sec",
-        "queries": timings,
-        "sf": SF_DIR,
-        "quads_per_sec": hi["quads_per_sec"],
-        "n_quads": hi["n_quads"],
-        "cores": CPUS,
-        "amplify": AMPLIFY,
-        "load_avg_1m_at_start": load_avg_start,
-        "scaling": scaling,
-    }
-    result["deltas_vs_prev"] = _deltas_vs_prev(result)
-    _adjudicate_flags(result, qs, spark)
+    result["scaling"] = scaling
     print(json.dumps(result))
 
 
