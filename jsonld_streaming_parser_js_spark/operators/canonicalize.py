@@ -170,26 +170,34 @@ def connected_components(edges: DataFrame,
     labels = labels.localCheckpoint()
 
     for _ in range(max_iter):
-        # each node adopts min(own label, neighbors' labels)
+        # each node adopts min(own label, neighbors' labels). The change
+        # flag is computed IN the same select (hash-min labels only ever
+        # decrease, so changed == some neighbor label beat the old one) and
+        # the convergence count doubles as the action that materializes the
+        # LAZY localCheckpoint — one Spark job per iteration instead of
+        # three (eager checkpoint + old-vs-new join + count). The count is
+        # deliberately un-limited: it must touch every partition so the
+        # checkpoint is fully materialized before lineage truncation.
         neighbor_min = (sym.join(labels,
                                  sym["dst"] == labels["node"])
                         .groupBy("src")
                         .agg(F.min("component").alias("nbr_component")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels["node"] == neighbor_min["src"],
-                                  "left")
-                      .select(
-                          "node",
-                          F.least(F.col("component"),
-                                  F.coalesce(F.col("nbr_component"),
-                                             F.col("component")))
-                          .alias("component")))
-        new_labels = new_labels.localCheckpoint()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
-        labels = new_labels
+        joined = (labels.join(neighbor_min,
+                              labels["node"] == neighbor_min["src"],
+                              "left")
+                  .select(
+                      "node",
+                      F.least(F.col("component"),
+                              F.coalesce(F.col("nbr_component"),
+                                         F.col("component")))
+                      .alias("component"),
+                      # refs resolve against the JOIN input, not the
+                      # sibling alias: old component vs neighbor min
+                      (F.col("nbr_component") < F.col("component"))
+                      .alias("_changed"))
+                  .localCheckpoint(eager=False))
+        changed = joined.where(F.col("_changed")).count()
+        labels = joined.drop("_changed")
         if changed == 0:
             return labels
     raise RuntimeError(
