@@ -34,6 +34,15 @@ from .context import (
 _VALUE_OBJECT_KEYS = frozenset({"@value", "@language", "@type", "@index",
                                 "@direction", "@annotation"})
 
+_GRAPH_OBJECT_KEYS = frozenset({"@graph", "@id", "@index"})
+
+
+def _is_graph_object(v) -> bool:
+    """W3C graph-object test: a map with @graph whose other keys are at
+    most @id/@index (a node object with @graph + properties is NOT one)."""
+    return (isinstance(v, dict) and "@graph" in v
+            and not (v.keys() - _GRAPH_OBJECT_KEYS))
+
 
 def _unalias_keys(ctx: Context, element: dict) -> dict[str, str]:
     """Map raw keys -> expanded property (keyword or IRI)."""
@@ -413,7 +422,12 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
 
         if ("@graph" in container and "@id" not in container
                 and "@index" not in container):
-            expanded_value = [{"@graph": as_list(v)}
+            # W3C 13.8 wrap step: a value that is ALREADY a graph object
+            # (only @graph/@id/@index keys) must not be wrapped again
+            # (toRdf te081/te084 family); node objects that merely CONTAIN
+            # @graph alongside other properties DO get wrapped
+            expanded_value = [v if _is_graph_object(v)
+                              else {"@graph": as_list(v)}
                               for v in as_list(expanded_value)]
 
         if ktd is not None and ktd.reverse:
@@ -522,8 +536,7 @@ def _expand_map(ctx: Context, key: str, td, container: frozenset,
         for item in as_list(expanded):
             if item is None:
                 continue
-            if "@graph" in container and not (
-                    isinstance(item, dict) and "@graph" in item):
+            if "@graph" in container and not _is_graph_object(item):
                 item = {"@graph": as_list(item)}
             if index_kind == "@index" and not idx_is_none:
                 if td is not None and td.index is not None:

@@ -4362,6 +4362,72 @@ _:n0 <http://e/q> "v" _:g0 .
     }, '''
 << <http://e/a> <http://e/p> "v" >> <http://e/q> "w" .
 '''),
+
+    ("w3c_te064_reverse_bnode_values", {}, {
+        # te064: reverse property whose values are unlabeled blank nodes
+        "@id": "http://e/o",
+        "@reverse": {"http://e/p": [{"http://e/x": "1"}]},
+    }, '''
+_:b0 <http://e/p> <http://e/o> .
+_:b0 <http://e/x> "1" .
+'''),
+
+    ("w3c_te084_graph_value_not_rewrapped", {}, {
+        # te084/te087/te095/te098/te101/te105/te106: a value that is
+        # ALREADY a graph object must not be wrapped in a second @graph
+        # layer by @graph containers
+        "@context": {"g": {"@id": "http://e/g", "@container": "@graph"}},
+        "@id": "http://e/s",
+        "g": {"@graph": [{"@id": "http://e/n", "http://e/p": "v"}]},
+    }, '''
+<http://e/s> <http://e/g> _:g0 .
+<http://e/n> <http://e/p> "v" _:g0 .
+'''),
+
+    ("w3c_tm004_type_map_prepends", {}, {
+        # tm004: the type-map key is PREPENDED to an existing @type
+        "@context": {"p": {"@id": "http://e/p", "@container": "@type"}},
+        "@id": "http://e/s",
+        "p": {"http://e/A": {"@id": "http://e/x",
+                             "@type": "http://e/B"}},
+    }, f'''
+<http://e/s> <http://e/p> <http://e/x> .
+<http://e/x> <{RDF}type> <http://e/A> .
+<http://e/x> <{RDF}type> <http://e/B> .
+'''),
+
+    ("w3c_tin02_included_object", {}, {
+        # tin02: @included whose value is a single node OBJECT (not array)
+        "@id": "http://e/s", "http://e/p": "v",
+        "@included": {"@id": "http://e/t", "http://e/q": "w"},
+    }, '''
+<http://e/s> <http://e/p> "v" .
+<http://e/t> <http://e/q> "w" .
+'''),
+
+    ("w3c_tin05_included_in_property_value", {}, {
+        # tin05: @included inside a node that is itself a property VALUE
+        "@id": "http://e/s",
+        "http://e/p": {"@id": "http://e/o", "http://e/r": "x",
+                       "@included": [{"@id": "http://e/t",
+                                      "http://e/q": "w"}]},
+    }, '''
+<http://e/s> <http://e/p> <http://e/o> .
+<http://e/o> <http://e/r> "x" .
+<http://e/t> <http://e/q> "w" .
+'''),
+
+    ("w3c_tc035_embedded_scope_vocab", {}, {
+        # tc035: a term defined in an embedded context uses the @vocab of
+        # its DEFINING scope, not the outer one
+        "@context": {"@vocab": "http://outer/"},
+        "@id": "http://e/s",
+        "inner": {"@context": {"@vocab": "http://inner/", "t": "x"},
+                  "@id": "http://e/c", "t": "v"},
+    }, '''
+<http://e/s> <http://outer/inner> <http://e/c> .
+<http://e/c> <http://inner/x> "v" .
+'''),
 ]
 
 FIXTURES = FIXTURES + W3C_GAP_FIXTURES
