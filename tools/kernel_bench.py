@@ -44,8 +44,20 @@ def main() -> None:
                 n_quads += len(quads)
         dt = time.perf_counter() - t0
         best = max(best, n_quads / dt)
+    # deterministic work proxy: wall time on this VM swings +/-20% from
+    # CPU-frequency steal invisible to load average; total function calls
+    # do not (round-4 kernel work tracked 2.58M -> 1.80M on this metric)
+    import cProfile
+    import pstats
+    pr = cProfile.Profile()
+    pr.enable()
+    for block, url, blk in blocks:
+        parse_block(block, url, blk, CONTEXTS)
+    pr.disable()
+    calls = pstats.Stats(pr).total_calls
     print(f"{len(blocks)} blocks x{repeat}: "
-          f"{best / 1000:.1f}k quads/s single-core")
+          f"{best / 1000:.1f}k quads/s single-core; "
+          f"{calls} calls/corpus-pass (deterministic)")
 
 
 if __name__ == "__main__":
