@@ -217,10 +217,17 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
     """Steps 13-14 of the Expansion Algorithm (including @nest recursion)."""
     nests: list[str] = []
 
+    # inline vocab-IRI cache probe: expansion never runs inside
+    # process_context, so the depth gate expand_iri checks is always open
+    # here; keyword keys are never cached and fall through correctly
+    iri_cache = active_ctx._iri_cache
+
     for key, value in element.items():
         if key == "@context":
             continue
-        expanded_prop = expand_iri(active_ctx, key, vocab=True)
+        expanded_prop = iri_cache.get((key, True), UNSET)
+        if expanded_prop is UNSET:
+            expanded_prop = expand_iri(active_ctx, key, vocab=True)
         if expanded_prop is None:
             if FLAGS.strict_values:
                 # reference strictValues: 'Unknown keyword ...' /
