@@ -4428,6 +4428,54 @@ _:b0 <http://e/x> "1" .
 <http://e/s> <http://outer/inner> <http://e/c> .
 <http://e/c> <http://inner/x> "v" .
 '''),
+
+    ("probeR4_graph_container_named_graph_obj", {}, {
+        # round-4 probe: graph object WITH @id under a @graph container —
+        # kept as the named graph, not re-wrapped
+        "@context": {"g": {"@id": "http://e/g", "@container": "@graph"}},
+        "@id": "http://e/s",
+        "g": {"@id": "http://e/gname",
+              "@graph": [{"@id": "http://e/n", "http://e/p": "v"}]},
+    }, '''
+<http://e/s> <http://e/g> <http://e/gname> .
+<http://e/n> <http://e/p> "v" <http://e/gname> .
+'''),
+
+    ("probeR4_typescope_array_remote", {"ctx_cache": {
+        "https://c/r1": {"@context": {"b": "http://e/b"}}}}, {
+        # round-4 probe: type-scoped context ARRAY mixing inline + remote
+        "@context": {"T": {"@id": "http://e/T",
+                           "@context": [{"a": "http://e/a"},
+                                        "https://c/r1"]}},
+        "@id": "http://e/s", "@type": "T", "a": "1", "b": "2",
+    }, f'''
+<http://e/s> <{RDF}type> <http://e/T> .
+<http://e/s> <http://e/a> "1" .
+<http://e/s> <http://e/b> "2" .
+'''),
+
+    ("probeR4_graph_object_in_list", {}, {
+        # round-4 probe: a named graph object as a LIST member — the cell
+        # references the graph name; contents land in that graph
+        "@id": "http://e/s",
+        "http://e/p": {"@list": [{"@id": "http://e/g",
+                                  "@graph": [{"@id": "http://e/n",
+                                              "http://e/q": "v"}]}]},
+    }, f'''
+<http://e/s> <http://e/p> _:l0 .
+_:l0 <{RDF}first> <http://e/g> .
+_:l0 <{RDF}rest> <{RDF}nil> .
+<http://e/n> <http://e/q> "v" <http://e/g> .
+'''),
+
+    ("probeR4_vocab_via_term", {}, {
+        # round-4 probe: 1.1 @vocab value expanded via a TERM of the
+        # current context
+        "@context": [{"base": "http://e/ns#"}, {"@vocab": "base"}],
+        "@id": "http://e/s", "x": "v",
+    }, '''
+<http://e/s> <http://e/ns#x> "v" .
+'''),
 ]
 
 FIXTURES = FIXTURES + W3C_GAP_FIXTURES
