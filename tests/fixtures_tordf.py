@@ -4476,6 +4476,21 @@ _:l0 <{RDF}rest> <{RDF}nil> .
     }, '''
 <http://e/s> <http://e/ns#x> "v" .
 '''),
+
+    ("w3c_tst06_embedded_bnode_id", {}, {
+        # star tst06: embedded subject whose @id is a blank node
+        "@id": {"@id": "_:x", "http://e/p": "v"}, "http://e/q": "w",
+    }, '''
+<< _:b0 <http://e/p> "v" >> <http://e/q> "w" .
+'''),
+
+    ("w3c_tst09_embedded_bnode_value", {}, {
+        # star tst09: embedded subject whose triple OBJECT is a bnode
+        "@id": {"@id": "http://e/a", "http://e/p": {"@id": "_:ob"}},
+        "http://e/q": "w",
+    }, '''
+<< <http://e/a> <http://e/p> _:b0 >> <http://e/q> "w" .
+'''),
 ]
 
 FIXTURES = FIXTURES + W3C_GAP_FIXTURES
