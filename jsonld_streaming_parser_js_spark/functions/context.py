@@ -343,14 +343,19 @@ def _process_context_impl(active: Context, local_ctx, base_url: str | None,
                            # never re-enter the memo from inside a probe
                            and active.original_base != _BASE_SENTINEL)
         if pristine_inline:
-            # compact UNSORTED json.dumps: ~40% cheaper than the sorted
-            # form and still sound — dumps serializes dict SUBCLASSES by
-            # content (repr would not), and an insertion-order difference
-            # only MISSES the memo (web corpora repeat byte-identical
-            # context snippets, so same order is the overwhelming case)
+            # composite (repr, unsorted compact dumps) key: equal pairs
+            # imply equal content — dumps serializes dict SUBCLASSES by
+            # content (repr would not) while repr distinguishes int vs
+            # str dict keys (dumps coerces {1: x} and {"1": x} to the
+            # same text; the kernel treats them differently, so the memo
+            # must too). An insertion-order difference only MISSES the
+            # memo (web corpora repeat byte-identical context snippets).
+            # RecursionError must be caught: a deep inline context would
+            # otherwise escape lenient mode as a hard error.
             try:
-                ser = _json.dumps(context, separators=(",", ":"))
-            except (TypeError, ValueError):
+                ser = (repr(context),
+                       _json.dumps(context, separators=(",", ":")))
+            except (TypeError, ValueError, RecursionError):
                 ser = None
             if ser is not None:
                 # an EMPTY cache is interchangeable with any other empty

@@ -126,9 +126,27 @@ class HttpLoader:
     def __init__(self, timeout: float = 10.0,
                  max_bytes: int = 8 << 20,
                  user_agent: str = "jsonld-spark-prefetch/1.0"):
+        import urllib.request
+
         self._timeout = timeout
         self._max_bytes = max_bytes
         self._user_agent = user_agent
+
+        class _HttpOnlyRedirect(urllib.request.HTTPRedirectHandler):
+            # urllib's default handler follows 3xx to ftp:// too — reject
+            # non-http(s) targets BEFORE any fetch (SSRF via redirect).
+            # Scheme compare is case-insensitive (RFC 3986 3.1).
+            def redirect_request(self, req, fp, code, msg, hdrs, newurl):
+                scheme = newurl.split(":", 1)[0].lower()
+                if scheme not in ("http", "https"):
+                    raise JsonLdError(
+                        "loading remote context failed",
+                        f"redirect to non-http url: {newurl}")
+                return super().redirect_request(req, fp, code, msg, hdrs,
+                                                newurl)
+
+        # built once: build_opener instantiates ~10 handler objects
+        self._opener = urllib.request.build_opener(_HttpOnlyRedirect)
 
     def load(self, url: str) -> Any:
         return self._load(url, allow_link_hop=True)
@@ -140,24 +158,11 @@ class HttpLoader:
         if not url.startswith(("http://", "https://")):
             raise JsonLdError("loading remote context failed",
                               f"unsupported scheme: {url}")
-
-        class _HttpOnlyRedirect(urllib.request.HTTPRedirectHandler):
-            # urllib's default handler follows 3xx to ftp:// too — reject
-            # non-http(s) targets BEFORE any fetch (SSRF via redirect)
-            def redirect_request(self, req, fp, code, msg, hdrs, newurl):
-                if not newurl.startswith(("http://", "https://")):
-                    raise JsonLdError(
-                        "loading remote context failed",
-                        f"redirect to non-http url: {newurl}")
-                return super().redirect_request(req, fp, code, msg, hdrs,
-                                                newurl)
-
-        opener = urllib.request.build_opener(_HttpOnlyRedirect)
         req = urllib.request.Request(
             url, headers={"Accept": self.ACCEPT,
                           "User-Agent": self._user_agent})
         try:
-            with opener.open(req, timeout=self._timeout) as resp:
+            with self._opener.open(req, timeout=self._timeout) as resp:
                 body = resp.read(self._max_bytes + 1)
                 media_type = (resp.headers.get_content_type() or "").lower()
                 link_headers = resp.headers.get_all("Link") or []

@@ -609,3 +609,32 @@ def test_invalid_node_ids_drop_not_crash():
         with pytest.raises(JsonLdError):
             jsonld_to_quads({"@id": bad, "http://e/p": "v"},
                             ParserOptions(strict_values=True))
+
+
+def test_inline_ctx_memo_deep_and_key_soundness():
+    """Review-2 regression guards for the inline-context memo key:
+    (a) a deep inline scoped-context chain must still parse (serialization
+    RecursionError falls back to no-memo, not a hard error); (b) an
+    int-keyed context dict must behave identically cold and after the
+    colliding string-key form warmed the memo (json.dumps coerces
+    {1: x} and {"1": x} to the same text; the composite repr+dumps key
+    keeps them distinct)."""
+    from jsonld_streaming_parser_js_spark.functions.parser import (
+        ParserOptions, jsonld_to_quads)
+
+    deep = "v"
+    for _ in range(400):
+        deep = {"@context": {"p": "http://e/p"}, "http://e/q": deep}
+    quads = jsonld_to_quads({"@id": "http://e/s", "http://e/top": deep},
+                            ParserOptions())
+    assert len(quads) > 400
+
+    # warm the memo with the string-key form...
+    ok = jsonld_to_quads({"@context": {"1": "http://e/one"},
+                          "@id": "http://e/s", "1": "x"}, ParserOptions())
+    assert ok == [("<http://e/s>", "<http://e/one>", '"x"', "")]
+    # ...then the int-key form must NOT silently reuse its result
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        jsonld_to_quads({"@context": {1: "http://e/one"},
+                         "@id": "http://e/s", "1": "x"}, ParserOptions())
