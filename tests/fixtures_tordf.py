@@ -4491,6 +4491,26 @@ _:l0 <{RDF}rest> <{RDF}nil> .
     }, '''
 << <http://e/a> <http://e/p> _:b0 >> <http://e/q> "w" .
 '''),
+
+    ("w3c_tpr36_term_to_keyword_form", {}, {
+        # tpr36/tpr37: a term whose MAPPING is in the form of a keyword
+        # is ignored (its uses drop); other terms unaffected
+        "@context": {"t": "@ignoreMe", "p": "http://e/p"},
+        "@id": "http://e/s", "t": "dropped", "p": "kept",
+    }, '''
+<http://e/s> <http://e/p> "kept" .
+'''),
+
+    ("w3c_te083_graph_index_set", {}, {
+        # te083/te097: [@graph, @index, @set] container combo
+        "@context": {"g": {"@id": "http://e/g",
+                           "@container": ["@graph", "@index", "@set"]}},
+        "@id": "http://e/s",
+        "g": {"i1": [{"http://e/q": "v"}]},
+    }, '''
+<http://e/s> <http://e/g> _:g0 .
+_:n0 <http://e/q> "v" _:g0 .
+'''),
 ]
 
 FIXTURES = FIXTURES + W3C_GAP_FIXTURES
