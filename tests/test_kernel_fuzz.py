@@ -242,3 +242,70 @@ def test_fuzz_strict_is_superset_of_lenient(doc):
     except (JsonLdError, RecursionError, ValueError):
         return  # strict added an error: allowed
     assert sorted(strict) == sorted(lenient)
+
+
+# --- round-4: container-aware structured fuzz ------------------------------
+# Random but WELL-TYPED term definitions (every legal container combo, type/
+# language/direction/index/nest mappings, scoped contexts) paired with
+# values shaped to sometimes match and sometimes violate the container —
+# digs into the container-map machinery the flat json_docs generator rarely
+# reaches.
+
+_CONTAINER_COMBOS = [
+    "@list", "@set", "@index", "@language", "@type", "@id", "@graph",
+    ["@index", "@set"], ["@language", "@set"], ["@type", "@set"],
+    ["@id", "@set"], ["@graph", "@set"], ["@graph", "@index"],
+    ["@graph", "@id"], ["@graph", "@index", "@set"],
+    ["@graph", "@id", "@set"],
+]
+
+_term_defs = st.fixed_dictionaries(
+    {"@id": st.sampled_from(["http://e/p", "ex:p", "p2"])},
+    optional={
+        "@container": st.sampled_from(_CONTAINER_COMBOS),
+        "@type": st.sampled_from(["@id", "@vocab", "@json", "@none",
+                                  "http://e/dt"]),
+        "@language": st.sampled_from(["en", "DE", None]),
+        "@direction": st.sampled_from(["ltr", "rtl", None]),
+        "@index": st.sampled_from(["http://e/idx", "ex:idx"]),
+        "@context": st.sampled_from([None, {"q": "http://e/q"}]),
+        "@protected": st.booleans(),
+        "@prefix": st.booleans(),
+    })
+
+_map_values = st.recursive(
+    st.one_of(st.text(max_size=6), st.integers(-5, 5), st.booleans(),
+              st.none(),
+              st.sampled_from(["http://e/o", "_:b0", "en", "rel"])),
+    lambda ch: st.one_of(
+        st.lists(ch, max_size=3),
+        st.dictionaries(
+            st.sampled_from(["@id", "@value", "@language", "@index",
+                             "@none", "en", "de", "http://e/T", "k1",
+                             "http://e/k"]),
+            ch, max_size=3)),
+    max_leaves=12)
+
+_structured_docs = st.fixed_dictionaries(
+    {"@context": st.dictionaries(
+        st.sampled_from(["t", "u", "ex"]), st.one_of(
+            st.sampled_from(["http://e/ns#", "http://e/p"]), _term_defs),
+        min_size=1, max_size=3),
+     "@id": st.sampled_from(["http://e/s", "_:s", "rel"])},
+    optional={"t": _map_values, "u": _map_values,
+              "@type": st.sampled_from(["http://e/T", "t", ["t", "u"]])})
+
+
+@settings(max_examples=300, deadline=None)
+@given(_structured_docs)
+def test_fuzz_container_machinery(doc):
+    """Container-shaped documents: only coded errors, deterministic
+    output, and every emitted term grammatical."""
+    got1, err1 = parse_block(json.dumps(doc), "https://fz.org/c", 0)
+    got2, err2 = parse_block(json.dumps(doc), "https://fz.org/c", 0)
+    assert (got1, err1) == (got2, err2)
+    for s, p, o, g in got1:
+        assert _terms_ok(s), s
+        assert _terms_ok(p) or p.startswith("<"), p
+        assert _terms_ok(o) or o.startswith('"'), o
+        assert g == "" or _terms_ok(g), g
