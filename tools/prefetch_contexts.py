@@ -1,11 +1,13 @@
 """CLI: build the broadcast remote-context cache at the driver.
 
+    python tools/prefetch_contexts.py --http --out cache.json IRI...
     python tools/prefetch_contexts.py --mirror DIR --out cache.json IRI...
 
-Fetches every IRI (plus transitively referenced contexts) through a
-directory mirror (offline sandbox analog of an HTTP loader — see
-``jsonld_streaming_parser_js_spark/sources/prefetch.py``), validates the
-result once, and writes the JSON mapping that jobs load and broadcast:
+Fetches every IRI (plus transitively referenced contexts) through
+HttpLoader (--http; real network), a directory mirror, or a JSON mapping
+(see ``jsonld_streaming_parser_js_spark/sources/prefetch.py``), validates
+the result once, and writes the JSON mapping that jobs load and
+broadcast:
 
     cache = json.load(open("cache.json"))
     parse_pages(pages, ctx_cache=cache)
@@ -21,6 +23,7 @@ sys.path.insert(0, ".")
 
 from jsonld_streaming_parser_js_spark.sources.prefetch import (  # noqa: E402
     FileMirrorLoader,
+    HttpLoader,
     MappingLoader,
     build_context_cache,
 )
@@ -32,6 +35,10 @@ def main() -> int:
     ap.add_argument("--mirror", help="directory of mirrored .jsonld files")
     ap.add_argument("--mapping",
                     help="JSON file {iri: document} to load from")
+    ap.add_argument("--http", action="store_true",
+                    help="fetch over http(s) with HttpLoader (media-type "
+                         "gate, RFC 8288 Link hop, bounded redirects)")
+    ap.add_argument("--timeout", type=float, default=10.0)
     ap.add_argument("--out", required=True, help="output cache JSON path")
     ap.add_argument("--lenient", action="store_true",
                     help="skip unloadable contexts instead of failing")
@@ -41,8 +48,10 @@ def main() -> int:
     elif args.mapping:
         with open(args.mapping, encoding="utf-8") as fh:
             loader = MappingLoader(json.load(fh))
+    elif args.http:
+        loader = HttpLoader(timeout=args.timeout)
     else:
-        ap.error("one of --mirror / --mapping is required")
+        ap.error("one of --mirror / --mapping / --http is required")
     cache = build_context_cache(args.iris, loader,
                                 strict=not args.lenient)
     with open(args.out, "w", encoding="utf-8") as fh:
