@@ -622,12 +622,15 @@ def test_inline_ctx_memo_deep_and_key_soundness():
     from jsonld_streaming_parser_js_spark.functions.parser import (
         ParserOptions, jsonld_to_quads)
 
-    deep = "v"
-    for _ in range(400):
-        deep = {"@context": {"p": "http://e/p"}, "http://e/q": deep}
-    quads = jsonld_to_quads({"@id": "http://e/s", "http://e/top": deep},
+    deep_ctx = {"p": "http://e/p"}
+    for _ in range(1200):
+        # nest the CONTEXT itself so json.dumps in the memo-key path
+        # genuinely raises RecursionError and the no-memo fallback fires
+        deep_ctx = {"p": {"@id": "http://e/p", "@context": deep_ctx}}
+    quads = jsonld_to_quads({"@context": deep_ctx,
+                             "@id": "http://e/s", "p": "v"},
                             ParserOptions())
-    assert len(quads) > 400
+    assert quads == [("<http://e/s>", "<http://e/p>", '"v"', "")]
 
     # warm the memo with the string-key form...
     ok = jsonld_to_quads({"@context": {"1": "http://e/one"},

@@ -306,6 +306,6 @@ def test_fuzz_container_machinery(doc):
     assert (got1, err1) == (got2, err2)
     for s, p, o, g in got1:
         assert _terms_ok(s), s
-        assert _terms_ok(p) or p.startswith("<"), p
-        assert _terms_ok(o) or o.startswith('"'), o
+        assert _terms_ok(p) and not p.startswith('"'), p
+        assert _terms_ok(o), o
         assert g == "" or _terms_ok(g), g

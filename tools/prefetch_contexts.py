@@ -32,13 +32,15 @@ from jsonld_streaming_parser_js_spark.sources.prefetch import (  # noqa: E402
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("iris", nargs="+", help="root context IRIs to prefetch")
-    ap.add_argument("--mirror", help="directory of mirrored .jsonld files")
-    ap.add_argument("--mapping",
-                    help="JSON file {iri: document} to load from")
-    ap.add_argument("--http", action="store_true",
-                    help="fetch over http(s) with HttpLoader (media-type "
-                         "gate, RFC 8288 Link hop, bounded redirects)")
-    ap.add_argument("--timeout", type=float, default=10.0)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--mirror", help="directory of mirrored .jsonld files")
+    src.add_argument("--mapping",
+                     help="JSON file {iri: document} to load from")
+    src.add_argument("--http", action="store_true",
+                     help="fetch over http(s) with HttpLoader (media-type "
+                          "gate, RFC 8288 Link hop, bounded redirects)")
+    ap.add_argument("--timeout", type=float, default=10.0,
+                    help="per-request timeout for --http")
     ap.add_argument("--out", required=True, help="output cache JSON path")
     ap.add_argument("--lenient", action="store_true",
                     help="skip unloadable contexts instead of failing")
@@ -48,10 +50,8 @@ def main() -> int:
     elif args.mapping:
         with open(args.mapping, encoding="utf-8") as fh:
             loader = MappingLoader(json.load(fh))
-    elif args.http:
-        loader = HttpLoader(timeout=args.timeout)
     else:
-        ap.error("one of --mirror / --mapping / --http is required")
+        loader = HttpLoader(timeout=args.timeout)
     cache = build_context_cache(args.iris, loader,
                                 strict=not args.lenient)
     with open(args.out, "w", encoding="utf-8") as fh:
