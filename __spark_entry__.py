@@ -301,6 +301,13 @@ def _q_text_langid(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_text_boilerplate(spark, sf_dir):
+    """Repeated-span boilerplate detection (k-gram document frequency) —
+    the exact-substring dedup signal for training corpora."""
+    return (textstats.boilerplate_spans(_docs(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
 def _q_text_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -570,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "text_boilerplate": _q_text_boilerplate,
         "kg_graph_nodes": _q_kg_graph_nodes,
         "kg_graph_edges": _q_kg_graph_edges,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
@@ -928,6 +936,34 @@ WHERE node <> component ORDER BY node"""
     oracles["text_extract_identity"] = f"""
 WITH {_D_CTE}
 SELECT url, true AS match FROM d ORDER BY url"""
+
+    oracles["text_boilerplate"] = """
+WITH base AS (
+  SELECT doc_id, text,
+         greatest(CAST(floor((length(text) - 30) / 15) AS INT) + 1, 1) AS n
+  FROM documents
+),
+g AS (  -- strided char 30-grams, md5 keys (identical to the Spark side)
+  SELECT doc_id, md5(substr(text, (i - 1) * 15 + 1, 30)) AS g
+  FROM base, LATERAL unnest(range(1, n + 1)) AS t(i)
+  WHERE length(substr(text, (i - 1) * 15 + 1, 30)) = 30
+),
+hot AS (
+  SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 3
+),
+per_doc AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN hot.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boilerplate
+  FROM g LEFT JOIN hot ON g.g = hot.g
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_boilerplate, 0) AS n_boilerplate,
+       round(coalesce(p.n_boilerplate, 0) * 1.0
+             / greatest(coalesce(p.n_grams, 0), 1), 6) AS ratio
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id"""
 
     oracles["dedup_exact"] = """
 SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,

@@ -91,3 +91,53 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("fingerprint"),
     )
+
+
+def boilerplate_spans(docs: DataFrame, k: int = 30, stride: int = 15,
+                      min_docs: int = 3) -> DataFrame:
+    """Repeated-span (boilerplate) detection via character k-gram document
+    frequency — the exact-substring dedup signal from the training-data
+    literature (cf. PAPERS.md, "Deduplicating Training Data Makes Language
+    Models Better": memorized/boilerplate spans recur verbatim across
+    documents).
+
+    Pipeline (all JVM built-ins, one shuffle on a uniform hash key):
+      1. strided char k-grams per doc (stride=k/2 bounds volume at ~2x
+         chars; md5 gram key so the DuckDB oracle reproduces it exactly)
+      2. document frequency per gram (groupBy md5 — uniform, skew-free)
+      3. grams with df >= min_docs are boilerplate; join back (the
+         boilerplate gram set is small -> broadcast at corpus scale)
+      4. per-doc boilerplate gram count + ratio
+
+    100 TB design: step 2's shuffle is on md5 keys (perfectly uniform);
+    step 3's join side shrinks with min_docs (hot boilerplate is by
+    definition low-cardinality); stride/k tune volume independently of
+    correctness. Returns (doc_id, n_grams, n_boilerplate, ratio).
+    """
+    grams = (docs
+             .select("doc_id",
+                     F.explode(F.expr(
+                         f"transform(sequence(1, greatest(cast(floor((length(text)"
+                         f" - {k}) / {stride}) as int) + 1, 1)),"
+                         f" i -> substr(text, (i - 1) * {stride} + 1, {k}))"
+                     )).alias("gram"))
+             .where(F.length("gram") == k)
+             .select("doc_id", F.md5("gram").alias("g")))
+    df_counts = (grams.groupBy("g")
+                 .agg(F.countDistinct("doc_id").alias("df")))
+    hot = df_counts.where(F.col("df") >= min_docs).select("g")
+    per_doc = (grams
+               .join(F.broadcast(hot.withColumn("hot", F.lit(1))),
+                     "g", "left")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_grams"),
+                    F.sum(F.coalesce("hot", F.lit(0)).cast("long"))
+                    .alias("n_boilerplate")))
+    return (docs.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                    F.coalesce("n_boilerplate", F.lit(0))
+                    .alias("n_boilerplate"),
+                    F.round(F.coalesce("n_boilerplate", F.lit(0))
+                            / F.greatest(F.coalesce("n_grams", F.lit(0)),
+                                         F.lit(1)), 6).alias("ratio")))

@@ -417,3 +417,21 @@ def test_ndjson_blocks_line_numbering_and_blanks(spark):
         [("u2", '{"a":1}\r\n\r\n{"b":2}\r\n')], "url string, body string")
     rows = {(r["blk"], r["block"]) for r in ndjson_blocks(crlf).collect()}
     assert rows == {(0, '{"a":1}'), (2, '{"b":2}')}
+
+
+def test_boilerplate_spans_flags_repeated_text(spark):
+    """Docs sharing a verbatim 60-char prefix (aligned at stride 15) are
+    flagged as boilerplate; unique docs are not."""
+    from jsonld_streaming_parser_js_spark.operators import textstats
+
+    shared = "x" * 60
+    rows = [(i, shared + f" unique tail {i} " + "y" * 40) for i in range(4)]
+    rows += [(10 + i, " ".join(f"w{i}x{j}" for j in range(20)))
+             for i in range(3)]  # genuinely unique bodies, no shared runs
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.boilerplate_spans(docs, min_docs=3).collect()}
+    for i in range(4):
+        assert out[i]["n_boilerplate"] >= 2, out[i]  # shared prefix grams
+    for i in range(3):
+        assert out[10 + i]["n_boilerplate"] <= 1, out[10 + i]
