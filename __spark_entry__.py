@@ -318,6 +318,15 @@ def _q_sim_topk_cosine(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def _q_sim_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN: deterministic coarse quantizer -> inverted lists ->
+    nprobe-bounded exact search (the second scale path beside
+    hyperplane-LSH; full value oracle, no recall assumption)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return (similarity.ivf_topk(emb, SIM_QUERY_IDS, k=5)
+            .orderBy("query_id", "rank"))
+
+
 def _q_sim_lsh_topk(spark, sf_dir):
     emb = _tbl(spark, sf_dir, "embeddings")
     return (similarity.lsh_topk(emb, SIM_QUERY_IDS, k=5)
@@ -584,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "text_quality_filter": _q_text_quality_filter,
         "sim_topk_cosine": _q_sim_topk_cosine,
+        "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_lsh_topk": _q_sim_lsh_topk,
         "mm_media_stats": _q_mm_media_stats,
         "mm_features": _q_mm_features,
@@ -1112,6 +1122,57 @@ r AS (
          row_number() OVER (PARTITION BY qid
                             ORDER BY sim DESC, nid) AS rank
   FROM p
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
+    def duck_cos(a: str, b: str) -> str:
+        d = (f"list_reduce(list_transform(range(1, len({a}) + 1),"
+             f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),"
+             " (acc, v) -> acc + v)")
+        n1 = (f"sqrt(list_reduce(list_transform({a},"
+              " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+              " (acc, v) -> acc + v))")
+        n2 = (f"sqrt(list_reduce(list_transform({b},"
+              " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+              " (acc, v) -> acc + v))")
+        return f"(({d}) / greatest(({n1}) * ({n2}), 1e-12))"
+
+    # IVF oracle re-derives the deterministic centroid set (md5 order) and
+    # replays assignment / nprobe / in-list search with the same float64
+    # left-folds — approximate op, EXACT verification, like the LSH lanes.
+    oracles["sim_ivf_topk"] = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+),
+asg0 AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {duck_cos('e.embedding', 'c.c_emb')}
+                            DESC, c.centroid_id) AS rn
+  FROM embeddings e, cents c
+),
+asg AS (SELECT vec_id, embedding, centroid_id FROM asg0 WHERE rn = 1),
+qp0 AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qe, c.centroid_id,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {duck_cos('q.embedding', 'c.c_emb')}
+                            DESC, c.centroid_id) AS rn
+  FROM embeddings q, cents c WHERE q.vec_id IN ({ids})
+),
+qp AS (SELECT query_id, qe, centroid_id FROM qp0 WHERE rn <= 4),
+cand AS (
+  SELECT qp.query_id, a.vec_id AS neighbor_id,
+         round({duck_cos('qp.qe', 'a.embedding')}, 6) AS cos_sim
+  FROM asg a JOIN qp ON a.centroid_id = qp.centroid_id
+  WHERE a.vec_id <> qp.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM cand
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
 FROM r WHERE rank <= 5 ORDER BY query_id, rank"""

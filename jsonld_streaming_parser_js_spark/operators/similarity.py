@@ -193,3 +193,66 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int],
     return (pairs.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """Deterministic IVF coarse quantizer: the ``n_centroids`` corpus
+    vectors with the smallest ``md5(vec_id)`` are the centroids.
+
+    Seed-free and exactly SQL-reproducible (the DuckDB oracle re-derives
+    the same set), unlike k-means whose float-sum reduction order differs
+    across engines/partitionings. The quantizer trades a few points of
+    recall for cross-engine exactness; swapping in offline-trained
+    centroid literals (the production norm: train once, ship constants)
+    changes nothing downstream.
+    """
+    return (embeddings
+            .withColumn("_m", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("_m").limit(n_centroids)
+            .select(F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("c_emb")))
+
+
+def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` inverted lists (nearest-centroid assignment), probe
+    the ``nprobe`` nearest lists per query, exact cosine inside them.
+
+    100 TB shape: assignment is a narrow map x n_centroids against a
+    BROADCAST centroid table (one corpus scan, no shuffle); the
+    centroid_id join is an equi-join whose left side would be a bucketed
+    inverted-list table in production (write `assigned` partitioned by
+    centroid_id once, probe forever); per-query work touches only
+    nprobe/n_centroids of the corpus.
+    """
+    cents = ivf_centroids(embeddings, n_centroids)
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"),
+                                              F.asc("centroid_id"))
+    assigned = (embeddings.crossJoin(F.broadcast(cents))
+                .select("vec_id", "embedding", "centroid_id",
+                        _cosine("embedding", "c_emb").alias("sim"))
+                .withColumn("rn", F.row_number().over(wa))
+                .where(F.col("rn") == 1)
+                .select("vec_id", "embedding", "centroid_id"))
+    queries = (embeddings.where(F.col("vec_id").isin(query_ids))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb")))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                                F.asc("centroid_id"))
+    probes = (queries.crossJoin(F.broadcast(cents))
+              .select("query_id", "q_emb", "centroid_id",
+                      _cosine("q_emb", "c_emb").alias("sim"))
+              .withColumn("rn", F.row_number().over(wq))
+              .where(F.col("rn") <= nprobe)
+              .select("query_id", "q_emb", "centroid_id"))
+    cand = (assigned.join(probes, "centroid_id")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    F.round(_cosine("q_emb", "embedding"), 6)
+                    .alias("cos_sim")))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                                F.asc("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(wk))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_sim"))

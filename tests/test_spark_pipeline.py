@@ -435,3 +435,23 @@ def test_boilerplate_spans_flags_repeated_text(spark):
         assert out[i]["n_boilerplate"] >= 2, out[i]  # shared prefix grams
     for i in range(3):
         assert out[10 + i]["n_boilerplate"] <= 1, out[10 + i]
+
+
+def test_ivf_topk_recall_and_consistency(spark):
+    """IVF results must agree with brute force on every returned pair
+    (same cos_sim for the same neighbor) and recall the exact top-5 at a
+    sane rate for 16 lists / nprobe 4 (probing 1/4 of the corpus)."""
+    from jsonld_streaming_parser_js_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+             for r in similarity.brute_force_topk(emb, qids, k=5).collect()}
+    ivf = similarity.ivf_topk(emb, qids, k=5).collect()
+    # consistency: any overlapping (query, neighbor) has identical cos_sim
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert exact[key] == r["cos_sim"], key
+    hits = sum(1 for r in ivf if (r["query_id"], r["neighbor_id"]) in exact)
+    assert hits >= len(exact) * 0.3, f"recall {hits}/{len(exact)}"

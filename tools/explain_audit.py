@@ -71,6 +71,14 @@ def main() -> None:
           "BroadcastNestedLoopJoin" in p and "CartesianProduct" not in p,
           f"BNLJ x{p.count('BroadcastNestedLoopJoin')}")
 
+    p = plan_of(e._q_sim_ivf_topk(spark, sf))
+    check("ivf topk: broadcast centroid quantizer, equi-join lists",
+          "CartesianProduct" not in p
+          and p.count("BroadcastNestedLoopJoin") <= 3,
+          f"BNLJ x{p.count('BroadcastNestedLoopJoin')} (broadcast "
+          f"centroid cross joins), BHJ x{p.count('BroadcastHashJoin')}, "
+          f"cartesian x0")
+
     p = plan_of(e._q_dedup_embedding_lsh(spark, sf))
     check("embedding lsh: bucket equi-joins, never all-pairs",
           "CartesianProduct" not in p
