@@ -308,6 +308,12 @@ def _q_text_boilerplate(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_text_pii(spark, sf_dir):
+    """PII / contamination pre-filter counts (emails, phone-shaped,
+    IPv4-shaped, SSN-shaped) — training-data hygiene stage."""
+    return textstats.pii_scan(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def _q_text_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -587,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "text_boilerplate": _q_text_boilerplate,
+        "text_pii": _q_text_pii,
         "kg_graph_nodes": _q_kg_graph_nodes,
         "kg_graph_edges": _q_kg_graph_edges,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
@@ -974,6 +981,22 @@ SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
              / greatest(coalesce(p.n_grams, 0), 1), 6) AS ratio
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 ORDER BY d.doc_id"""
+
+    pii_cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+        f" AS {name}" for name, pat in textstats.PII_PATTERNS.items())
+    pii_flag = " OR ".join(f"{n} > 0" for n in textstats.PII_PATTERNS)
+    # one canonical regex per signal (textstats.PII_PATTERNS) consumed by
+    # BOTH engines: Spark via F.lit (no SQL escaping), DuckDB verbatim in
+    # a standard SQL string (no backslash processing)
+    oracles["text_pii"] = f"""
+WITH c AS (
+  SELECT doc_id, {pii_cols}
+  FROM documents
+)
+SELECT doc_id, n_emails, n_phones, n_ipv4, n_ssn_like,
+       ({pii_flag}) AS has_pii
+FROM c ORDER BY doc_id"""
 
     oracles["dedup_exact"] = """
 SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,

@@ -141,3 +141,37 @@ def boilerplate_spans(docs: DataFrame, k: int = 30, stride: int = 15,
                     F.round(F.coalesce("n_boilerplate", F.lit(0))
                             / F.greatest(F.coalesce("n_grams", F.lit(0)),
                                          F.lit(1)), 6).alias("ratio")))
+
+
+# shared between the Spark op and the DuckDB oracle: identical regexes
+# (RE2-compatible subset: no backrefs/lookaround, so both engines agree)
+PII_PATTERNS = {
+    "n_emails": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "n_phones": "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    "n_ipv4": "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
+    "n_ssn_like": "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+}
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """PII / contamination pre-filter signals: per-document counts of
+    email, phone-shaped, IPv4-shaped, and SSN-shaped substrings, plus a
+    flag. Standard training-data hygiene stage (scrub-or-drop decisions
+    happen downstream on these columns).
+
+    Pure JVM ``regexp_count`` — a narrow map over the scan, no shuffle,
+    no Python; linear at any corpus size. The patterns are intentionally
+    recall-leaning (cheap first pass); a precision pass (validation,
+    context windows) would run only on the flagged subset.
+    """
+    # F.lit(pattern) instead of SQL-literal embedding: Spark SQL string
+    # literals process backslash escapes, DuckDB's do not — passing the
+    # pattern as a value keeps ONE canonical regex for both engines
+    cols = [F.regexp_count("text", F.lit(pat)).cast("long").alias(name)
+            for name, pat in PII_PATTERNS.items()]
+    out = docs.select("doc_id", *cols)
+    flag = None
+    for name in PII_PATTERNS:
+        c = F.col(name) > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("has_pii", flag)

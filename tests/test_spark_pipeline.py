@@ -455,3 +455,18 @@ def test_ivf_topk_recall_and_consistency(spark):
             assert exact[key] == r["cos_sim"], key
     hits = sum(1 for r in ivf if (r["query_id"], r["neighbor_id"]) in exact)
     assert hits >= len(exact) * 0.3, f"recall {hits}/{len(exact)}"
+
+
+def test_pii_scan_signals(spark):
+    from jsonld_streaming_parser_js_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.org and x@y.io"),
+         (2, "call +1 (555) 123-4567 at 10.0.0.1; ssn 123-45-6789"),
+         (3, "plain text with v1.2.3 and a@b (not an email)")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.pii_scan(docs).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["has_pii"]
+    assert (out[2]["n_phones"], out[2]["n_ipv4"], out[2]["n_ssn_like"]) \
+        == (1, 1, 1)
+    assert not out[3]["has_pii"], dict(out[3].asDict())
