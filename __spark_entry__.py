@@ -983,8 +983,9 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 ORDER BY d.doc_id"""
 
     pii_cols = ",\n       ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
-        f" AS {name}" for name, pat in textstats.PII_PATTERNS.items())
+        f"CAST(len(regexp_extract_all(coalesce(text, ''), '{pat}'))"
+        f" AS BIGINT) AS {name}"
+        for name, pat in textstats.PII_PATTERNS.items())
     pii_flag = " OR ".join(f"{n} > 0" for n in textstats.PII_PATTERNS)
     # one canonical regex per signal (textstats.PII_PATTERNS) consumed by
     # BOTH engines: Spark via F.lit (no SQL escaping), DuckDB verbatim in

@@ -166,8 +166,12 @@ def pii_scan(docs: DataFrame) -> DataFrame:
     """
     # F.lit(pattern) instead of SQL-literal embedding: Spark SQL string
     # literals process backslash escapes, DuckDB's do not — passing the
-    # pattern as a value keeps ONE canonical regex for both engines
-    cols = [F.regexp_count("text", F.lit(pat)).cast("long").alias(name)
+    # pattern as a value keeps ONE canonical regex for both engines.
+    # NULL text coalesces to '' FIRST: NULL counts would make has_pii
+    # NULL, which slips BOTH `where(has_pii)` and `where(~has_pii)`
+    # (three-valued logic) — a scrub gate must never be indeterminate.
+    text = F.coalesce(F.col("text"), F.lit(""))
+    cols = [F.regexp_count(text, F.lit(pat)).cast("long").alias(name)
             for name, pat in PII_PATTERNS.items()]
     out = docs.select("doc_id", *cols)
     flag = None

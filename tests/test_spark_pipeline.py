@@ -463,9 +463,11 @@ def test_pii_scan_signals(spark):
     docs = spark.createDataFrame(
         [(1, "mail a.b+c@ex-ample.org and x@y.io"),
          (2, "call +1 (555) 123-4567 at 10.0.0.1; ssn 123-45-6789"),
-         (3, "plain text with v1.2.3 and a@b (not an email)")],
+         (3, "plain text with v1.2.3 and a@b (not an email)"),
+         (4, None)],  # NULL text must yield a DETERMINATE false flag
         "doc_id long, text string")
     out = {r["doc_id"]: r for r in textstats.pii_scan(docs).collect()}
+    assert out[4]["has_pii"] is False and out[4]["n_emails"] == 0
     assert out[1]["n_emails"] == 2 and out[1]["has_pii"]
     assert (out[2]["n_phones"], out[2]["n_ipv4"], out[2]["n_ssn_like"]) \
         == (1, 1, 1)
