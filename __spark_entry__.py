@@ -1119,37 +1119,13 @@ WHERE n_tokens >= 10 AND punct_ratio <= 0.2
 ORDER BY q.doc_id"""
 
     ids = ", ".join(str(i) for i in SIM_QUERY_IDS)
-    # list_reduce is a left fold like Spark's aggregate(...), and the CASTs
-    # force float64 like the Spark plan, so values agree bit-for-bit.
-    dot = ("list_reduce(list_transform(range(1, len(qe) + 1),"
-           " i -> CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),"
-           " (acc, v) -> acc + v)")
-    na = ("sqrt(list_reduce(list_transform(qe,"
-          " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-          " (acc, v) -> acc + v))")
-    nb = ("sqrt(list_reduce(list_transform(embedding,"
-          " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-          " (acc, v) -> acc + v))")
-    oracles["sim_topk_cosine"] = f"""
-WITH q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings
-  WHERE vec_id IN ({ids})
-),
-p AS (
-  SELECT q.qid, e.vec_id AS nid,
-         ({dot}) / greatest(({na}) * ({nb}), 1e-12) AS sim
-  FROM q, embeddings e WHERE e.vec_id <> q.qid
-),
-r AS (
-  SELECT qid AS query_id, nid AS neighbor_id,
-         round(sim, 6) AS cos_sim,
-         row_number() OVER (PARTITION BY qid
-                            ORDER BY sim DESC, nid) AS rank
-  FROM p
-)
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
-FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
 
+    # ONE cosine-SQL renderer for every similarity oracle: list_reduce is
+    # a left fold like Spark's aggregate(...), and the CASTs force float64
+    # like the Spark plan, so values agree bit-for-bit. Ranking everywhere
+    # uses the ROUNDED cos_sim + id tie-break — the exact ordering the
+    # Spark _topk_epilogue applies (ranking on the unrounded value would
+    # be a latent flake: two sims that round equal could rank either way).
     def duck_cos(a: str, b: str) -> str:
         d = (f"list_reduce(list_transform(range(1, len({a}) + 1),"
              f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),"
@@ -1161,6 +1137,25 @@ FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
               " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
               " (acc, v) -> acc + v))")
         return f"(({d}) / greatest(({n1}) * ({n2}), 1e-12))"
+
+    oracles["sim_topk_cosine"] = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id IN ({ids})
+),
+p AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round({duck_cos('q.qe', 'e.embedding')}, 6) AS cos_sim
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+),
+r AS (
+  SELECT qid AS query_id, nid AS neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, nid) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
 
     # IVF oracle re-derives the deterministic centroid set (md5 order) and
     # replays assignment / nprobe / in-list search with the same float64
@@ -1396,13 +1391,13 @@ q AS (
 ),
 p AS (
   SELECT q.qid, e.vec_id AS nid,
-         ({dot}) / greatest(({na}) * ({nb}), 1e-12) AS sim
+         round({duck_cos('q.qe', 'e.embedding')}, 6) AS cos_sim
   FROM q JOIN b e ON e.bucket = q.qb AND e.vec_id <> q.qid
 ),
 r AS (
-  SELECT qid AS query_id, nid AS neighbor_id, round(sim, 6) AS cos_sim,
+  SELECT qid AS query_id, nid AS neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY qid
-                            ORDER BY round(sim, 6) DESC, nid) AS rank
+                            ORDER BY cos_sim DESC, nid) AS rank
   FROM p
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim

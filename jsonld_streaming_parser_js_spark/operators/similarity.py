@@ -32,6 +32,24 @@ def _cosine(a: str, b: str):
     return dot / F.greatest(na * nb, F.lit(1e-12))
 
 
+def _query_side(embeddings: DataFrame, query_ids: list[int]) -> DataFrame:
+    return (embeddings
+            .where(F.col("vec_id").isin(query_ids))
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_emb")))
+
+
+def _topk_epilogue(pairs: DataFrame, k: int) -> DataFrame:
+    """Shared (query_id, neighbor_id, rank, cos_sim) top-k tail: rank on
+    the ROUNDED cos_sim with neighbor_id tie-break — the single ordering
+    every oracle mirrors (one copy, so the lanes cannot drift)."""
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("cos_sim"), F.asc("neighbor_id")))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
 def brute_force_topk(embeddings: DataFrame, query_ids: list[int],
                      k: int = 5) -> DataFrame:
     """(query_id, neighbor_id, rank, cos_sim) exact top-k by cosine.
@@ -39,22 +57,14 @@ def brute_force_topk(embeddings: DataFrame, query_ids: list[int],
     Query side is broadcast (tiny), corpus scanned once — the canonical
     small-dim x huge-fact join shape.
     """
-    queries = (embeddings
-               .where(F.col("vec_id").isin(query_ids))
-               .select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").alias("q_emb")))
     pairs = (embeddings.alias("c")
-             .join(F.broadcast(queries),
+             .join(F.broadcast(_query_side(embeddings, query_ids)),
                    F.col("vec_id") != F.col("query_id"))
              .select("query_id",
                      F.col("vec_id").alias("neighbor_id"),
                      F.round(_cosine("q_emb", "embedding"), 6)
                      .alias("cos_sim")))
-    w = (Window.partitionBy("query_id")
-         .orderBy(F.desc("cos_sim"), F.asc("neighbor_id")))
-    return (pairs.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "cos_sim"))
+    return _topk_epilogue(pairs, k)
 
 
 def embedding_near_pairs(embeddings: DataFrame,
@@ -188,11 +198,7 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int],
              .select("query_id", F.col("vec_id").alias("neighbor_id"),
                      F.round(_cosine("q_emb", "embedding"), 6)
                      .alias("cos_sim")))
-    w = (Window.partitionBy("query_id")
-         .orderBy(F.desc("cos_sim"), F.asc("neighbor_id")))
-    return (pairs.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "cos_sim"))
+    return _topk_epilogue(pairs, k)
 
 
 def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
@@ -213,46 +219,66 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
                     F.col("embedding").alias("c_emb")))
 
 
+def _cos_sql(col: str, arr_sql: str) -> str:
+    """Cosine between an array column and an inline DOUBLE array literal —
+    identical zip_with/fold shape to _cosine, so values match the DuckDB
+    oracle bit-for-bit."""
+    dot = (f"aggregate(zip_with({col}, {arr_sql},"
+           " (x, y) -> CAST(x AS DOUBLE) * y),"
+           " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    na = (f"sqrt(aggregate({col}, CAST(0.0 AS DOUBLE),"
+          " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    nb = (f"sqrt(aggregate({arr_sql}, CAST(0.0 AS DOUBLE),"
+          " (acc, v) -> acc + v * v))")
+    return f"(({dot}) / greatest(({na}) * ({nb}), 1e-12))"
+
+
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
              n_centroids: int = 16, nprobe: int = 4) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` inverted lists (nearest-centroid assignment), probe
     the ``nprobe`` nearest lists per query, exact cosine inside them.
 
-    100 TB shape: assignment is a narrow map x n_centroids against a
-    BROADCAST centroid table (one corpus scan, no shuffle); the
-    centroid_id join is an equi-join whose left side would be a bucketed
-    inverted-list table in production (write `assigned` partitioned by
-    centroid_id once, probe forever); per-query work touches only
-    nprobe/n_centroids of the corpus.
+    100 TB shape: the centroid vectors are COLLECTED once at plan-build
+    (16 rows) and inlined as literals, so assignment is a pure narrow map
+    — argmax over an inline struct array, zero shuffles, exactly the
+    hyperplane_bucket_sql pattern; the inverted-list join broadcasts the
+    tiny probe side (no corpus shuffle); in production `assigned` is
+    written once partitioned by centroid_id and probed forever. NULL
+    embeddings are corrupt rows and are dropped (hyperplane convention).
     """
-    cents = ivf_centroids(embeddings, n_centroids)
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"),
-                                              F.asc("centroid_id"))
-    assigned = (embeddings.crossJoin(F.broadcast(cents))
-                .select("vec_id", "embedding", "centroid_id",
-                        _cosine("embedding", "c_emb").alias("sim"))
-                .withColumn("rn", F.row_number().over(wa))
-                .where(F.col("rn") == 1)
-                .select("vec_id", "embedding", "centroid_id"))
-    queries = (embeddings.where(F.col("vec_id").isin(query_ids))
-               .select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").alias("q_emb")))
-    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"),
-                                                F.asc("centroid_id"))
-    probes = (queries.crossJoin(F.broadcast(cents))
-              .select("query_id", "q_emb", "centroid_id",
-                      _cosine("q_emb", "c_emb").alias("sim"))
-              .withColumn("rn", F.row_number().over(wq))
-              .where(F.col("rn") <= nprobe)
-              .select("query_id", "q_emb", "centroid_id"))
-    cand = (assigned.join(probes, "centroid_id")
+    emb = embeddings.where(F.col("embedding").isNotNull())
+    cents = [(r["centroid_id"], [float(v) for v in r["c_emb"]])
+             for r in ivf_centroids(emb, n_centroids).collect()]
+
+    def arr_lit(vec: list[float]) -> str:
+        return "array(" + ",".join(_f64_lit(v) for v in vec) + ")"
+
+    # argmax by max(struct(sim, -cid)): struct comparison is field-
+    # lexicographic, so equal sims fall to the LARGEST -cid == smallest
+    # centroid_id — identical to the oracle's ORDER BY sim DESC, cid ASC
+    sim_structs = "array(" + ",".join(
+        f"named_struct('sim', {_cos_sql('embedding', arr_lit(vec))},"
+        f" 'ncid', {-cid}L)" for cid, vec in cents) + ")"
+    assigned = emb.select(
+        "vec_id", "embedding",
+        (-F.expr(f"array_max({sim_structs}).ncid")).alias("centroid_id"))
+
+    # probe side: nprobe best centroids per query (sort the same struct
+    # array desc — sim DESC then -cid DESC == cid ASC, matching the
+    # oracle's window ordering)
+    q_structs = sim_structs.replace("aggregate(zip_with(embedding,",
+                                    "aggregate(zip_with(q_emb,")         .replace("aggregate(embedding,", "aggregate(q_emb,")
+    probes = (_query_side(emb, query_ids)
+              .select("query_id", "q_emb",
+                      F.explode(F.expr(
+                          f"slice(reverse(array_sort({q_structs})),"
+                          f" 1, {nprobe})")).alias("probe"))
+              .select("query_id", "q_emb",
+                      (-F.col("probe.ncid")).alias("centroid_id")))
+    cand = (assigned.join(F.broadcast(probes), "centroid_id")
             .where(F.col("vec_id") != F.col("query_id"))
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     F.round(_cosine("q_emb", "embedding"), 6)
                     .alias("cos_sim")))
-    wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
-                                                F.asc("neighbor_id"))
-    return (cand.withColumn("rank", F.row_number().over(wk))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "cos_sim"))
+    return _topk_epilogue(cand, k)

@@ -123,16 +123,18 @@ def boilerplate_spans(docs: DataFrame, k: int = 30, stride: int = 15,
                      )).alias("gram"))
              .where(F.length("gram") == k)
              .select("doc_id", F.md5("gram").alias("g")))
-    df_counts = (grams.groupBy("g")
-                 .agg(F.countDistinct("doc_id").alias("df")))
-    hot = df_counts.where(F.col("df") >= min_docs).select("g")
-    per_doc = (grams
-               .join(F.broadcast(hot.withColumn("hot", F.lit(1))),
-                     "g", "left")
-               .groupBy("doc_id")
-               .agg(F.count("*").alias("n_grams"),
-                    F.sum(F.coalesce("hot", F.lit(0)).cast("long"))
-                    .alias("n_boilerplate")))
+    # SINGLE-LINEAGE document-frequency: (doc, gram) occurrence counts,
+    # then df as a window count over g (per_dg is distinct per (doc, g),
+    # so rows-per-g == docs-per-g) — the gram scan+explode+md5 runs ONCE;
+    # a groupBy + self-join form evaluated it twice (review finding)
+    from pyspark.sql import Window
+    per_dg = grams.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+    flagged = per_dg.withColumn(
+        "df", F.count("*").over(Window.partitionBy("g")))
+    per_doc = (flagged.groupBy("doc_id")
+               .agg(F.sum("cnt").alias("n_grams"),
+                    F.sum((F.col("df") >= min_docs).cast("long")
+                          * F.col("cnt")).alias("n_boilerplate")))
     return (docs.select("doc_id").join(per_doc, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("n_grams", F.lit(0)).alias("n_grams"),

@@ -72,12 +72,15 @@ def main() -> None:
           f"BNLJ x{p.count('BroadcastNestedLoopJoin')}")
 
     p = plan_of(e._q_sim_ivf_topk(spark, sf))
-    check("ivf topk: broadcast centroid quantizer, equi-join lists",
+    check("ivf topk: map-side quantizer (no cross join), equi-join lists",
           "CartesianProduct" not in p
-          and p.count("BroadcastNestedLoopJoin") <= 3,
-          f"BNLJ x{p.count('BroadcastNestedLoopJoin')} (broadcast "
-          f"centroid cross joins), BHJ x{p.count('BroadcastHashJoin')}, "
-          f"cartesian x0")
+          and "BroadcastNestedLoopJoin" not in p
+          and ("BroadcastHashJoin" in p or "SortMergeJoin" in p
+               or "ShuffledHashJoin" in p),
+          f"BNLJ x{p.count('BroadcastNestedLoopJoin')}, "
+          f"BHJ x{p.count('BroadcastHashJoin')}, "
+          f"cartesian x{p.count('CartesianProduct')} "
+          f"(centroids inlined as literals: zero joins in assignment)")
 
     p = plan_of(e._q_dedup_embedding_lsh(spark, sf))
     check("embedding lsh: bucket equi-joins, never all-pairs",
