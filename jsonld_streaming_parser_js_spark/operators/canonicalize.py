@@ -234,9 +234,21 @@ def canonical_mapping_fuzzy(quads: DataFrame,
 
 
 def relabel_quads(quads: DataFrame, mapping: DataFrame) -> DataFrame:
-    """Rewrite subj/obj through the canonical mapping (left joins; the
-    mapping is usually tiny -> broadcast)."""
-    m = F.broadcast(mapping)
+    """Rewrite subj/obj through the canonical mapping (left equi-joins).
+
+    Deliberately NO broadcast hint: the mapping's row count scales with the
+    number of coreferent nodes — plausibly billions at web scale — and a
+    forced ``F.broadcast`` bypasses Spark's size threshold entirely
+    (driver/executor OOM instead of a graceful shuffle). Join strategy is
+    left to Catalyst + AQE: a small mapping is still broadcast at runtime
+    (AQE converts the post-shuffle join once the measured size is under
+    ``spark.sql.adaptive.autoBroadcastJoinThreshold``), while a huge
+    mapping shuffles on subj/obj with AQE skew-join splitting. Plan
+    evidence: tests/test_spark_pipeline.py::test_relabel_join_* (both the
+    broadcast-small and degrade-to-shuffle cases) and the EXPLAIN.md
+    invariant.
+    """
+    m = mapping
     q = (quads
          .join(m.withColumnRenamed("node", "subj")
                .withColumnRenamed("canonical", "subj_canon"),

@@ -160,6 +160,43 @@ def test_canonicalization_merges_site_authors(spark, pages):
     assert authors.count() == 50
 
 
+def _final_plan(df) -> str:
+    """Execute the DataFrame's own plan so AQE finalizes, then return the
+    executed-plan string (contains the runtime-chosen join strategies)."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_relabel_join_broadcasts_small_mapping(spark, pages):
+    """No forced broadcast hint in relabel_quads — but a SMALL mapping must
+    still end up broadcast at runtime (AQE converts the post-shuffle join
+    under spark.sql.adaptive.autoBroadcastJoinThreshold)."""
+    quads = pages_to_quads(pages, CONTEXTS)
+    plan = _final_plan(canon.relabel_quads(quads, canon.canonical_mapping(quads)))
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_relabel_join_degrades_to_shuffle_not_forced_broadcast(spark, pages):
+    """A mapping above the broadcast threshold must fall back to a shuffle
+    join (graceful at web scale), never a forced broadcast (driver OOM).
+    Simulated by disabling both static and adaptive thresholds — if any
+    F.broadcast hint crept back into relabel_quads, the hint would override
+    these configs and this test would see a BroadcastHashJoin."""
+    quads = pages_to_quads(pages, CONTEXTS)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _final_plan(
+            canon.relabel_quads(quads, canon.canonical_mapping(quads)))
+        assert "BroadcastHashJoin" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_graph_views(spark, pages):
     quads = pages_to_quads(pages, CONTEXTS)
     views = pipe.graph_views(quads)

@@ -119,6 +119,19 @@ def main() -> None:
           f"ExistingRDD scan={'Scan ExistingRDD' in p}, "
           f"joins in final plan x{p.count('Join')}")
 
+    # canonical relabel: the mapping join carries NO forced broadcast hint
+    # (unbounded at web scale -> OOM risk); the small-mapping case must
+    # still broadcast, chosen by AQE at runtime. Execute to finalize AQE.
+    q = e._q_kg_quads_canonical(spark, sf)
+    q.collect()
+    p = plan_of(q)
+    check("canonical relabel: AQE broadcasts small mapping (no forced hint)",
+          "isFinalPlan=true" in p and "BroadcastHashJoin" in p
+          and "SortMergeJoin" not in p,
+          f"final plan BHJ x{p.count('BroadcastHashJoin')}, SMJ x0; "
+          "degrade-to-shuffle proven in "
+          "test_relabel_join_degrades_to_shuffle_not_forced_broadcast")
+
     df = e._q_dedup_embedding_lsh_recall(spark, sf)
     # the recall audit's exact side is all-pairs BY DESIGN, but only on the
     # deterministic md5 1/4 sample. Assert STRUCTURALLY that every
