@@ -333,6 +333,31 @@ def _q_sim_ivf_topk(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def _q_sim_ivf_recall(spark, sf_dir):
+    """Measured recall@5 of the IVF-flat ANN lane against its exact twin
+    (`brute_force_topk` computes the ground truth): one row
+    (n_hits, n_exact, recall). An approximate index whose recall is never
+    measured is a silent quality hole — this lane closes it, mirroring
+    dedup_embedding_lsh_recall. Hit = (query_id, neighbor_id) appears in
+    BOTH top-5 lists; both lists rank on rounded cos_sim with neighbor_id
+    tie-break, so the intersection is deterministic cross-engine. The
+    query set is a bounded probe (|Q| queries, one corpus scan per side),
+    so the audit itself stays runnable at corpus scale."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    ivf = (similarity.ivf_topk(emb, SIM_QUERY_IDS, k=5)
+           .select("query_id", "neighbor_id"))
+    exact = (similarity.brute_force_topk(emb, SIM_QUERY_IDS, k=5)
+             .select("query_id", "neighbor_id"))
+    hits = (ivf.join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count("*").alias("n_hits")))
+    total = exact.agg(F.count("*").alias("n_exact"))
+    return (hits.crossJoin(total)
+            .select("n_hits", "n_exact",
+                    F.round(F.col("n_hits")
+                            / F.greatest(F.col("n_exact"), F.lit(1)), 6)
+                    .alias("recall")))
+
+
 def _q_sim_lsh_topk(spark, sf_dir):
     emb = _tbl(spark, sf_dir, "embeddings")
     return (similarity.lsh_topk(emb, SIM_QUERY_IDS, k=5)
@@ -601,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": _q_text_quality_filter,
         "sim_topk_cosine": _q_sim_topk_cosine,
         "sim_ivf_topk": _q_sim_ivf_topk,
+        "sim_ivf_recall": _q_sim_ivf_recall,
         "sim_lsh_topk": _q_sim_lsh_topk,
         "mm_media_stats": _q_mm_media_stats,
         "mm_features": _q_mm_features,
@@ -1160,8 +1186,8 @@ FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
     # IVF oracle re-derives the deterministic centroid set (md5 order) and
     # replays assignment / nprobe / in-list search with the same float64
     # left-folds — approximate op, EXACT verification, like the LSH lanes.
-    oracles["sim_ivf_topk"] = f"""
-WITH cents AS (
+    # CTE chain shared between sim_ivf_topk and the sim_ivf_recall audit.
+    ivf_ctes = f"""cents AS (
   SELECT vec_id AS centroid_id, embedding AS c_emb
   FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
 ),
@@ -1181,20 +1207,54 @@ qp0 AS (
   FROM embeddings q, cents c WHERE q.vec_id IN ({ids})
 ),
 qp AS (SELECT query_id, qe, centroid_id FROM qp0 WHERE rn <= 4),
-cand AS (
+icand AS (
   SELECT qp.query_id, a.vec_id AS neighbor_id,
          round({duck_cos('qp.qe', 'a.embedding')}, 6) AS cos_sim
   FROM asg a JOIN qp ON a.centroid_id = qp.centroid_id
   WHERE a.vec_id <> qp.query_id
 ),
-r AS (
+ir AS (
   SELECT query_id, neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cos_sim DESC, neighbor_id) AS rank
-  FROM cand
-)
+  FROM icand
+)"""
+    oracles["sim_ivf_topk"] = f"""
+WITH {ivf_ctes}
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
-FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+FROM ir WHERE rank <= 5 ORDER BY query_id, rank"""
+
+    # recall@5 of the IVF lane vs the exact brute-force twin: BOTH sides
+    # re-derived in SQL (the exact side is the sim_topk_cosine oracle),
+    # intersected on (query_id, neighbor_id). Same rounded-sim + id
+    # tie-break ordering everywhere, so the set compare is deterministic.
+    oracles["sim_ivf_recall"] = f"""
+WITH {ivf_ctes},
+ivf AS (SELECT query_id, neighbor_id FROM ir WHERE rank <= 5),
+eq AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id IN ({ids})
+),
+ep AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round({duck_cos('q.qe', 'e.embedding')}, 6) AS cos_sim
+  FROM eq q, embeddings e WHERE e.vec_id <> q.qid
+),
+er AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, nid) AS rank
+  FROM ep
+),
+exact AS (SELECT query_id, neighbor_id FROM er WHERE rank <= 5),
+h AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hits
+  FROM ivf JOIN exact USING (query_id, neighbor_id)
+),
+x AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact)
+SELECT n_hits, n_exact,
+       round(n_hits / greatest(n_exact, 1), 6) AS recall
+FROM h, x"""
 
     mm_kind = ("CASE WHEN doc_id % 3 = 0 THEN 'image'"
                " WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END")
