@@ -40,6 +40,7 @@ from jsonld_streaming_parser_js_spark.operators.parse import (
 from jsonld_streaming_parser_js_spark.operators import canonicalize as canon
 from jsonld_streaming_parser_js_spark.operators import dedup
 from jsonld_streaming_parser_js_spark.operators import similarity
+from jsonld_streaming_parser_js_spark.operators import skew
 from jsonld_streaming_parser_js_spark.operators import stats
 from jsonld_streaming_parser_js_spark.operators import textstats
 
@@ -364,6 +365,24 @@ def _q_sim_lsh_topk(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def _q_kg_skew_salted_join(spark, sf_dir):
+    """Hot-predicate join under EXPLICIT salting (north-star: 'salted
+    repartitioning plus AQE skew-join splitting'). The corpus puts ~50% of
+    fact rows on one predicate (the real Zipf head: rdf:type/name); the
+    dim join runs on (pred, salt) so the hot key spreads over 8 reducer
+    partitions instead of one straggler. Value-checked against a plain
+    (unsalted) SQL join — salting must not change inner-join semantics.
+    The AQE-skew-split twin (plan evidence, SortMergeJoin(skew=true)) is
+    machine-checked in tests/test_spark_pipeline.py + EXPLAIN.md."""
+    fact = skew.skewed_pred_corpus(_docs(spark, sf_dir))
+    dim = skew.pred_dim(fact)
+    joined = skew.salted_join(fact, dim, "pred", n_salts=8)
+    return (joined.groupBy("pred", "pred_tag")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.col("doc_id") + F.col("i")).alias("sum_key"))
+            .orderBy("pred"))
+
+
 def _q_kg_graph_nodes(spark, sf_dir):
     from jsonld_streaming_parser_js_spark.plans.pipeline import graph_views
     nodes = graph_views(_quads(spark, sf_dir))["nodes"]
@@ -619,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_boilerplate": _q_text_boilerplate,
         "text_pii": _q_text_pii,
+        "kg_skew_salted_join": _q_kg_skew_salted_join,
         "kg_graph_nodes": _q_kg_graph_nodes,
         "kg_graph_edges": _q_kg_graph_edges,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
@@ -1255,6 +1275,27 @@ x AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact)
 SELECT n_hits, n_exact,
        round(n_hits / greatest(n_exact, 1), 6) AS recall
 FROM h, x"""
+
+    # salted skew join: the oracle is the PLAIN (unsalted) join over the
+    # same deterministically rebuilt hot-predicate corpus — proving the
+    # salt split changes the physical plan, never the answer.
+    oracles["kg_skew_salted_join"] = """
+WITH f AS (
+  SELECT doc_id, i,
+         CASE WHEN (doc_id + i) % 2 = 0 THEN '<http://schema.org/name>'
+              ELSE '<http://ex.org/p'
+                   || CAST((doc_id * 40 + i) % 97 AS STRING) || '>'
+         END AS pred
+  FROM documents CROSS JOIN generate_series(0, 39) AS t(i)
+),
+dim AS (
+  SELECT DISTINCT pred, substr(md5(pred), 1, 8) AS pred_tag FROM f
+)
+SELECT f.pred, dim.pred_tag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id + i) AS BIGINT) AS sum_key
+FROM f JOIN dim ON f.pred = dim.pred
+GROUP BY f.pred, dim.pred_tag ORDER BY f.pred"""
 
     mm_kind = ("CASE WHEN doc_id % 3 = 0 THEN 'image'"
                " WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END")

@@ -19,6 +19,7 @@ from jsonld_streaming_parser_js_spark.operators.extract import (
 from jsonld_streaming_parser_js_spark.operators.parse import (
     extract_and_parse, pages_to_quads)
 from jsonld_streaming_parser_js_spark.operators import canonicalize as canon
+from jsonld_streaming_parser_js_spark.operators import skew
 from jsonld_streaming_parser_js_spark.plans import lineage as lin
 from jsonld_streaming_parser_js_spark.plans import pipeline as pipe
 from jsonld_streaming_parser_js_spark.sources.pages import (
@@ -195,6 +196,49 @@ def test_relabel_join_degrades_to_shuffle_not_forced_broadcast(spark, pages):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_salted_join_matches_plain_and_shuffles_on_salt(spark):
+    """salted_join must (a) return exactly the plain inner join's rows and
+    (b) actually shuffle on (key, salt) — the mechanism that spreads a hot
+    key over n_salts reducer partitions. Broadcast is disabled so the join
+    is forced to shuffle (at real scale the dim side is too big to
+    broadcast; that is the only case salting exists for)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fact = skew.skewed_pred_corpus(docs)
+    dim = skew.pred_dim(fact)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = skew.salted_join(fact, dim, "pred", n_salts=8)
+        plain = fact.join(dim, "pred")
+        cols = plain.columns
+        assert (salted.select(cols).exceptAll(plain).count() == 0
+                and plain.exceptAll(salted.select(cols)).count() == 0)
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        ex = [ln for ln in plan.splitlines()
+              if "Exchange hashpartitioning" in ln]
+        assert any("pred" in ln and skew.SALT_COL in ln for ln in ex), ex
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """The AQE path: a hot-key sort-merge join whose final adaptive plan
+    shows the optimizer split the skewed partition
+    (SortMergeJoin(skew=true) + 'AQEShuffleRead ... skewed')."""
+    joined, configs = skew.aqe_skew_demo(spark)
+    for k, v in configs.items():
+        spark.conf.set(k, v)
+    try:
+        [row] = joined.collect()
+        assert row["n"] == 400_000  # every fact row joined exactly once
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k in configs:
+            spark.conf.unset(k)
 
 
 def test_graph_views(spark, pages):

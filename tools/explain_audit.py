@@ -119,6 +119,39 @@ def main() -> None:
           f"ExistingRDD scan={'Scan ExistingRDD' in p}, "
           f"joins in final plan x{p.count('Join')}")
 
+    # skew handling (north-star: salted repartitioning + AQE skew-join
+    # splitting): (a) the salted join really shuffles on (pred, __salt);
+    # (b) AQE splits the hot partition of a plain skewed SMJ at runtime.
+    from jsonld_streaming_parser_js_spark.operators import skew
+    fact = skew.skewed_pred_corpus(
+        spark.read.parquet(f"{sf}/documents.parquet"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(skew.salted_join(fact, skew.pred_dim(fact), "pred",
+                                     n_salts=8))
+        ex = [ln.strip() for ln in p.splitlines()
+              if "Exchange hashpartitioning" in ln]
+        check("skew: salted join shuffles on (pred, __salt)",
+              any("pred" in ln and skew.SALT_COL in ln for ln in ex),
+              (next((ln for ln in ex if skew.SALT_COL in ln), "none"))[:160])
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    joined, configs = skew.aqe_skew_demo(spark)
+    for k, v in configs.items():
+        spark.conf.set(k, v)
+    try:
+        joined.collect()
+        p = plan_of(joined)
+        check("skew: AQE splits the hot partition (skew=true in final SMJ)",
+              "skew=true" in p,
+              next((ln.strip() for ln in p.splitlines()
+                    if "skew=true" in ln), "no skew marker")[:160])
+    finally:
+        for k in configs:
+            spark.conf.unset(k)
+
     # canonical relabel: the mapping join carries NO forced broadcast hint
     # (unbounded at web scale -> OOM risk); the small-mapping case must
     # still broadcast, chosen by AQE at runtime. Execute to finalize AQE.
