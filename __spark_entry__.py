@@ -410,6 +410,47 @@ def _q_dedup_embedding_lsh(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+# cleaning-chain corpus: base documents + four injected row classes, each
+# designed to be dropped by exactly one gate of the chain. The injected
+# texts are pure SQL string expressions — identical strings feed Spark
+# (via F.expr) and the DuckDB oracle, so the whole chain is value-checked.
+_NEAR_TEXT_SQL = "text || ' lorem ipsum dolor'"
+_PII_TEXT_SQL = ("'record ' || CAST(doc_id AS STRING)"
+                 " || ' please contact agent ' || CAST(doc_id AS STRING)"
+                 " || ' at agent' || CAST(doc_id AS STRING)"
+                 " || '@example.com for account review and removal today'")
+_TINY_TEXT_SQL = "'tiny ' || CAST(doc_id AS STRING)"
+
+
+def _chain_corpus(spark, sf_dir):
+    """documents + exact copies (%5, dropped by exact dedup) + near-dup
+    copies (%7, appended tokens, dropped by MinHash) + PII rows (%11,
+    email-bearing, dropped by the PII gate) + tiny rows (%13, 2 tokens,
+    dropped by the quality filter)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def inj(mod, offset, text_sql):
+        return (d.where(F.col("doc_id") % mod == 0)
+                .select((F.col("doc_id") + offset).alias("doc_id"),
+                        F.expr(text_sql).alias("text")))
+
+    return (d.unionByName(inj(5, 200000, "text"))
+            .unionByName(inj(7, 300000, _NEAR_TEXT_SQL))
+            .unionByName(inj(11, 400000, _PII_TEXT_SQL))
+            .unionByName(inj(13, 500000, _TINY_TEXT_SQL)))
+
+
+def _q_pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end training-data cleaning lane: quality filter -> exact
+    dedup -> MinHash near-dup drop -> PII gate, composed as ONE pipeline
+    over one corpus scan (operators/cleaning.py). Every injected corpus
+    class is dropped by its designated gate; the DuckDB oracle replays all
+    four stages (including the full MinHash signature recompute) in SQL."""
+    from jsonld_streaming_parser_js_spark.operators.cleaning import (
+        clean_corpus)
+    return clean_corpus(_chain_corpus(spark, sf_dir)).orderBy("doc_id")
+
+
 def _q_text_quality_filter(spark, sf_dir):
     """Composite training-data filter: quality thresholds + exact-dedup
     survivorship in one pipeline (the everyday corpus-cleaning query)."""
@@ -571,6 +612,39 @@ def _q_streaming_sessionize(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_streaming_kg_quads(spark, sf_dir):
+    """The STREAMING twin of kg_quads: pages land as 4 parquet files, a
+    real file-source Structured Streaming job (maxFilesPerTrigger=1 -> 4
+    micro-batches, exactly-once at file granularity via the checkpoint)
+    runs the same fused extract+parse stage, and the drained sink is
+    value-hashed against the SAME DuckDB oracle as batch kg_quads — the
+    deterministic skolemizer makes streaming and batch byte-identical.
+    The final collect materializes before the temp dirs are deleted
+    (bounded: 4k rows at sf0.01; streaming ORACLE lane, not the
+    production path — production keeps writeStream running)."""
+    import shutil
+    import tempfile
+    from jsonld_streaming_parser_js_spark.streaming.stream import (
+        read_pages_stream, start_quads_sink, stream_pages_to_quads)
+    work = tempfile.mkdtemp(prefix="stream-kg-")
+    try:
+        _pages(spark, sf_dir).repartition(4).write.parquet(f"{work}/pages")
+        stream = read_pages_stream(spark, f"{work}/pages",
+                                   max_files_per_trigger=1)
+        parsed = stream_pages_to_quads(stream, CONTEXTS)
+        sink = start_quads_sink(quads_only(parsed), f"{work}/out",
+                                f"{work}/ckpt")
+        sink.awaitTermination()
+        out = (spark.read.parquet(f"{work}/out")
+               .dropDuplicates(["url", "blk", "subj", "pred", "obj",
+                                "graph"])
+               .orderBy("url", "blk", "pred", "obj"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_dedup_embedding_lsh_recall(spark, sf_dir):
     """Honest recall audit of the LSH scale path against its exact twin,
     on a DETERMINISTIC ~1/4 id sample: one row (n_lsh, n_exact, recall).
@@ -644,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "text_quality_filter": _q_text_quality_filter,
+        "pipeline_clean_corpus": _q_pipeline_clean_corpus,
         "sim_topk_cosine": _q_sim_topk_cosine,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_ivf_recall": _q_sim_ivf_recall,
@@ -659,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
         "streaming_sessionize": _q_streaming_sessionize,
+        "streaming_kg_quads": _q_streaming_kg_quads,
         "dedup_embedding_lsh_recall": _q_dedup_embedding_lsh_recall,
     }
 
@@ -1395,10 +1471,15 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, hour"""
     params = dedup._hash_params(64)
     param_rows = ", ".join(f"({j}, {a}, {b})"
                            for j, (a, b) in enumerate(params))
-    oracles["dedup_minhash_lsh"] = f"""
-WITH w AS (
+
+    def minhash_ctes(src: str, threshold: float) -> str:
+        """The full MinHash-LSH recompute as a CTE chain ending in
+        ``mh(doc_a, doc_b, est_jaccard)`` — parameterized on the source
+        relation so the standalone lane and the cleaning chain replay the
+        IDENTICAL algorithm (64 hashes, 16 bands of 4)."""
+        return f"""w AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-  FROM documents
+  FROM {src}
 ),
 g AS (  -- distinct word 3-shingles; <3 words degrades to one short gram
   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1426,16 +1507,65 @@ cand AS (
   FROM bands x JOIN bands y
     ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
   GROUP BY 1, 2
-)
-SELECT c.doc_a, c.doc_b,
-       round(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0, 6)
-         AS est_jaccard
-FROM cand c
-JOIN sig sa ON sa.doc_id = c.doc_a
-JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
-GROUP BY 1, 2
-HAVING round(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0, 6) >= 0.5
-ORDER BY doc_a, doc_b"""
+),
+mh AS (
+  SELECT c.doc_a, c.doc_b,
+         round(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0, 6)
+           AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+  GROUP BY 1, 2
+  HAVING round(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0, 6)
+         >= {threshold}
+)"""
+
+    oracles["dedup_minhash_lsh"] = f"""
+WITH {minhash_ctes('documents', 0.5)}
+SELECT doc_a, doc_b, est_jaccard FROM mh ORDER BY doc_a, doc_b"""
+
+    # the cleaning chain: all four gates replayed in SQL over the same
+    # injected corpus (see _chain_corpus / _NEAR/_PII/_TINY_TEXT_SQL)
+    pii_any = " OR ".join(
+        f"len(regexp_extract_all(coalesce(text, ''), '{pat}')) > 0"
+        for pat in textstats.PII_PATTERNS.values())
+    oracles["pipeline_clean_corpus"] = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 300000, {_NEAR_TEXT_SQL} FROM documents
+  WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 400000, {_PII_TEXT_SQL} FROM documents
+  WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 500000, {_TINY_TEXT_SQL} FROM documents
+  WHERE doc_id % 13 = 0
+),
+qf AS (
+  SELECT doc_id, text,
+         CAST(length(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+         round(CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+               / greatest(length(text), 1), 6) AS punct_ratio
+  FROM corpus
+),
+s1 AS (SELECT * FROM qf WHERE n_tokens >= 10 AND punct_ratio <= 0.2),
+s2m AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM s1
+),
+s2 AS (
+  SELECT doc_id, text, n_tokens, punct_ratio FROM s2m WHERE doc_id = keep
+),
+{minhash_ctes('s2', 0.5)},
+drops AS (SELECT DISTINCT doc_b AS doc_id FROM mh)
+SELECT doc_id, n_tokens, punct_ratio
+FROM s2
+WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+  AND NOT ({pii_any})
+ORDER BY doc_id"""
 
     oracles["dedup_simhash"] = """
 WITH tok AS (
@@ -1549,6 +1679,8 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
 FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""
 
     oracles["streaming_sessionize"] = oracles["events_sessionize"]
+    # the streaming KG lane must produce byte-identical quads to batch
+    oracles["streaming_kg_quads"] = oracles["kg_quads"]
 
     # the recall audit runs on a deterministic ~1/4 md5(vec_id) sample
     # (mirrors similarity.deterministic_id_sample — same stratum math)

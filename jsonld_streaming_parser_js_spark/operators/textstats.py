@@ -37,13 +37,36 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_count_expr(text: str = "text"):
+    """Whitespace token count — ONE definition shared by quality_score and
+    the cleaning chain (drift here would silently skew every gate)."""
+    return F.regexp_count(text, F.lit(r"\S+"))
+
+
+def punct_ratio_expr(text: str = "text"):
+    """Punctuation ratio, rounded for cross-engine float determinism."""
+    return F.round(F.regexp_count(text, F.lit(r"[^\w\s]"))
+                   / F.greatest(F.length(text), F.lit(1)), 6)
+
+
+def pii_any_expr(text: str = "text"):
+    """Boolean: any PII pattern matches. NULL text coalesces to '' so the
+    flag is never indeterminate (three-valued logic would slip both
+    branches of a scrub gate). Shared by pii_scan and the cleaning chain."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    flag = None
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_count(t, F.lit(pat)) > 0
+        flag = c if flag is None else (flag | c)
+    return flag
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality features: length, punctuation ratio, stopword
     ratio, uppercase ratio, mean word length. Rounded so the DuckDB oracle
     hashes identically (float determinism)."""
     n_chars = F.length("text")
-    n_tokens = F.regexp_count("text", F.lit(r"\S+"))
-    n_punct = F.regexp_count("text", F.lit(r"[^\w\s]"))
+    n_tokens = token_count_expr()
     n_upper = F.regexp_count("text", F.lit(r"[A-Z]"))
     n_stop = F.regexp_count(F.lower("text"),
                             F.lit(_word_re(LANG_MARKERS["en"])))
@@ -51,8 +74,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         "doc_id",
         n_chars.alias("n_chars_computed"),
         n_tokens.alias("n_tokens"),
-        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
-        .alias("punct_ratio"),
+        punct_ratio_expr().alias("punct_ratio"),
         F.round(n_upper / F.greatest(n_chars, F.lit(1)), 6)
         .alias("upper_ratio"),
         F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)

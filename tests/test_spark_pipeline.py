@@ -198,6 +198,28 @@ def test_relabel_join_degrades_to_shuffle_not_forced_broadcast(spark, pages):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
+def test_clean_corpus_each_gate_drops_its_class(spark):
+    """One doc per failure class; each must be dropped by its designated
+    gate, clean docs survive."""
+    from jsonld_streaming_parser_js_spark.operators.cleaning import (
+        clean_corpus)
+    good = ("the quick brown fox jumps over the lazy dog while many "
+            "other animals watch the scene from afar in the woods today")
+    rows = [
+        (1, good),
+        (2, good),                           # exact dup -> exact-dedup gate
+        (3, good + " lorem ipsum dolor"),    # near dup -> MinHash gate
+        (4, "please contact our support agent at help@example.com "
+            "for account review and removal today thanks"),  # PII gate
+        (5, "tiny text"),                    # quality gate (2 tokens)
+        (6, "completely different content about distributed query "
+            "engines and the many joys of adaptive execution plans"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"] for r in clean_corpus(docs).collect()}
+    assert got == {1, 6}
+
+
 def test_salted_join_matches_plain_and_shuffles_on_salt(spark):
     """salted_join must (a) return exactly the plain inner join's rows and
     (b) actually shuffle on (key, salt) — the mechanism that spreads a hot

@@ -119,6 +119,39 @@ def main() -> None:
           f"ExistingRDD scan={'Scan ExistingRDD' in p}, "
           f"joins in final plan x{p.count('Join')}")
 
+    # cleaning chain: quality -> exact-dedup -> near-dup -> PII must NOT
+    # re-read the corpus per stage. With a direct parquet input, every
+    # FileScan in the final plan must sit beneath an InMemoryRelation
+    # (i.e. it only describes the one-time cache materialization); all
+    # stage consumers read InMemoryTableScan. Ancestor check via the
+    # plan-tree indentation stack walk.
+    from jsonld_streaming_parser_js_spark.operators.cleaning import (
+        clean_corpus)
+    p = plan_of(clean_corpus(
+        spark.read.parquet(f"{sf}/documents.parquet")))
+    lines = p.splitlines()
+
+    def _indent(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" +:-*("))
+
+    uncached_scans = 0
+    for i, line in enumerate(lines):
+        if "FileScan" not in line:
+            continue
+        ind, covered = _indent(line), False
+        for j in range(i - 1, -1, -1):
+            if lines[j].strip() and _indent(lines[j]) < ind:
+                if "InMemoryRelation" in lines[j]:
+                    covered = True
+                    break
+                ind = _indent(lines[j])
+        if not covered:
+            uncached_scans += 1
+    check("cleaning chain: one corpus scan (stages read the cache)",
+          uncached_scans == 0 and p.count("InMemoryTableScan") >= 2,
+          f"FileScans outside InMemoryRelation x{uncached_scans}, "
+          f"InMemoryTableScan x{p.count('InMemoryTableScan')}")
+
     # skew handling (north-star: salted repartitioning + AQE skew-join
     # splitting): (a) the salted join really shuffles on (pred, __salt);
     # (b) AQE splits the hot partition of a plain skewed SMJ at runtime.
