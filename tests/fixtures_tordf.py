@@ -833,9 +833,10 @@ _:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/0
     ("json_literal_scalars", {}, {
         "@context": {"j": {"@id": "http://e/j", "@type": "@json"}},
         "@id": "http://e/s",
-        "j": [True, None, 1.5e10],
+        # tjs01/02/05/17: boolean true, boolean false, integer, string
+        "j": [True, False, None, 42, "str", 1.5e10],
     }, '''
-<http://e/s> <http://e/j> "[true,null,15000000000]"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+<http://e/s> <http://e/j> "[true,false,null,42,\\"str\\",15000000000]"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
 '''),
 
     ("json_literal_keywords_not_special", {}, {
@@ -1793,16 +1794,21 @@ _:l0 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/0
 '''),
 
     ("unicode_iris_and_literals", {}, {
-        "@id": "http://e/sé", "http://e/pü": "v☃",
+        # incl. tnt02's UTF-8 boundary family: 2-byte (é, \u07ff),
+        # 3-byte (\u0800, ☃), 4-byte (\U0001F600) — all raw in N-Quads
+        "@id": "http://e/sé", "http://e/pü": "v☃\u07ff\u0800\U0001F600",
     }, '''
-<http://e/sé> <http://e/pü> "v☃" .
+<http://e/sé> <http://e/pü> "v☃\u07ff\u0800\U0001F600" .
 '''),
 
     ("literal_escape_forms", {}, {
+        # tnt09/tnt13/tnt15: REVERSE SOLIDUS mid and at END of literal,
+        # CARRIAGE RETURN (must be ECHAR-escaped: raw 0x0D is forbidden
+        # in STRING_LITERAL_QUOTE)
         "@id": "http://e/s",
-        "http://e/p": "line1\nline2\t\"quoted\"\\back",
+        "http://e/p": "line1\nline2\t\"quoted\"\\back\rcr\\",
     }, '''
-<http://e/s> <http://e/p> "line1\\nline2\\t\\"quoted\\"\\\\back" .
+<http://e/s> <http://e/p> "line1\\nline2\\t\\"quoted\\"\\\\back\\rcr\\\\" .
 '''),
 
     ("set_null_entries_removed", {}, {
@@ -2797,9 +2803,11 @@ _:b0 <http://example.com/vocab/json> "[\\"a\\",true]"^^<http://www.w3.org/1999/0
         # RFC 8785: lexicographic keys, ES6 shortest-number forms
         "@context": {"e": {"@id": "http://example.com/vocab/json",
                            "@type": "@json"}},
-        "e": {"zzz": "z", "b": 3, "a": True, "f": 2.5, "big": 1e21},
+        # tjs04: double-zero 0.0 canonicalizes to 0 (ES ToString)
+        "e": {"zzz": "z", "b": 3, "a": True, "f": 2.5, "big": 1e21,
+              "z0": 0.0},
     }, '''
-_:b0 <http://example.com/vocab/json> "{\\"a\\":true,\\"b\\":3,\\"big\\":1e+21,\\"f\\":2.5,\\"zzz\\":\\"z\\"}"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+_:b0 <http://example.com/vocab/json> "{\\"a\\":true,\\"b\\":3,\\"big\\":1e+21,\\"f\\":2.5,\\"z0\\":0,\\"zzz\\":\\"z\\"}"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
 '''),
 
     ("jsonG_null_value_kept", {}, {
@@ -4225,10 +4233,11 @@ _:y <http://e/t> "v" .
         # tnt03-tnt16: N-Triples handling of control characters and quote
         # forms: \t as ECHAR, raw \b/\f (STRING_LITERAL_QUOTE only
         # forbids 0x22 0x5C 0x0A 0x0D), escaped dquote, literal squotes
+        # tnt08: two consecutive dquotes ""u — each escaped separately
         "@id": "http://e/s",
-        "http://e/p": "x'y''z\"w\b\fq\tr",
+        "http://e/p": "x'y''z\"w\"\"u\b\fq\tr",
     }, '''
-<http://e/s> <http://e/p> "x'y''z\\"w\b\fq\\tr" .
+<http://e/s> <http://e/p> "x'y''z\\"w\\"\\"u\b\fq\\tr" .
 '''),
 
     ("w3c_tpi10_none", {}, {
@@ -4304,11 +4313,12 @@ _:n0 <http://e/q> "v" _:g0 .
 
     ("w3c_twf_invalid_terms", {}, {
         # twf02/03/04/07: ill-formed triples are rejected, well-formed
-        # siblings survive (invalid object IRI, invalid type IRI,
-        # invalid graph name)
+        # siblings survive (invalid predicate IRI, invalid object IRI,
+        # invalid type IRI, invalid graph name)
         "@graph": [
             {"@id": "http://e/s",
              "http://e/p": {"@id": "http://e/ sp"},
+             "http://e/ badpred": "droppedvalue",
              "@type": "http://e/ bad",
              "http://e/q": "keep"},
             {"@id": "http://e/ gname",
@@ -4513,4 +4523,195 @@ _:n0 <http://e/q> "v" _:g0 .
 '''),
 ]
 
-FIXTURES = FIXTURES + W3C_GAP_FIXTURES
+# Round-5 EARL-map fidelity audit (PARITY.md "audit round 2"): exact
+# fixtures for many-to-one map entries whose shared fixture did not show
+# the covered test's DISTINGUISHING behavior. Each authored from the
+# vendored EARL title/description + the W3C algorithm, then cross-checked
+# against the kernel (all agreed — no new kernel bugs this round).
+W3C_AUDIT_R5_FIXTURES = [
+    ("w3c_te084_098_gindex_graph_values", {}, {
+        # te084/te098: [@graph, @index] container — values that are
+        # ALREADY graph objects are not wrapped again (single + multiple
+        # contained nodes)
+        "@context": {"input": {"@id": "http://e/input",
+                               "@container": ["@graph", "@index"]}},
+        "@id": "http://e/s",
+        "input": {"g1": {"@graph": [{"@id": "http://e/n1",
+                                     "http://e/p": "v1"}]},
+                  "g2": {"@graph": [{"@id": "http://e/n2",
+                                     "http://e/p": "v2"},
+                                    {"@id": "http://e/n3",
+                                     "http://e/p": "v3"}]}},
+    }, '''
+<http://e/s> <http://e/input> _:gA .
+<http://e/s> <http://e/input> _:gB .
+<http://e/n1> <http://e/p> "v1" _:gA .
+<http://e/n2> <http://e/p> "v2" _:gB .
+<http://e/n3> <http://e/p> "v3" _:gB .
+'''),
+
+    ("w3c_te105_gindex_mixed_graph_and_object", {}, {
+        # te105: mixed map — graph-object value kept as-is, plain node
+        # value wrapped into a fresh graph
+        "@context": {"input": {"@id": "http://e/input",
+                               "@container": ["@graph", "@index"]}},
+        "@id": "http://e/s",
+        "input": {"g1": {"@graph": [{"@id": "http://e/n1",
+                                     "http://e/p": "v1"}]},
+                  "g2": {"@id": "http://e/n2", "http://e/p": "v2"}},
+    }, '''
+<http://e/s> <http://e/input> _:gA .
+<http://e/s> <http://e/input> _:gB .
+<http://e/n1> <http://e/p> "v1" _:gA .
+<http://e/n2> <http://e/p> "v2" _:gB .
+'''),
+
+    ("w3c_te087_101_gid_graph_values", {}, {
+        # te087/te101: [@graph, @id] container — map keys name the
+        # graphs; graph-object values are not re-wrapped
+        "@context": {"input": {"@id": "http://e/input",
+                               "@container": ["@graph", "@id"]}},
+        "@id": "http://e/s",
+        "input": {"http://e/gA": {"@graph": [{"@id": "http://e/n1",
+                                              "http://e/p": "v1"}]},
+                  "http://e/gB": {"@graph": [{"@id": "http://e/n2",
+                                              "http://e/p": "v2"},
+                                             {"@id": "http://e/n3",
+                                              "http://e/p": "v3"}]}},
+    }, '''
+<http://e/s> <http://e/input> <http://e/gA> .
+<http://e/s> <http://e/input> <http://e/gB> .
+<http://e/n1> <http://e/p> "v1" <http://e/gA> .
+<http://e/n2> <http://e/p> "v2" <http://e/gB> .
+<http://e/n3> <http://e/p> "v3" <http://e/gB> .
+'''),
+
+    ("w3c_te106_gid_mixed_graph_and_object", {}, {
+        # te106: [@graph, @id] mixed — existing graph object keeps the
+        # key as its name; plain object is wrapped under the key name
+        "@context": {"input": {"@id": "http://e/input",
+                               "@container": ["@graph", "@id"]}},
+        "@id": "http://e/s",
+        "input": {"http://e/gA": {"@graph": [{"@id": "http://e/n1",
+                                              "http://e/p": "v1"}]},
+                  "http://e/gB": {"@id": "http://e/n2",
+                                  "http://e/p": "v2"}},
+    }, '''
+<http://e/s> <http://e/input> <http://e/gA> .
+<http://e/s> <http://e/input> <http://e/gB> .
+<http://e/n1> <http://e/p> "v1" <http://e/gA> .
+<http://e/n2> <http://e/p> "v2" <http://e/gB> .
+'''),
+
+    ("w3c_te095_graph_container_multi", {}, {
+        # te095: simple @graph container whose value is already a graph
+        # with MULTIPLE nodes — one graph out, no double-expansion
+        "@context": {"g": {"@id": "http://e/g", "@container": "@graph"}},
+        "@id": "http://e/s",
+        "g": {"@graph": [{"@id": "http://e/n1", "http://e/p": "v1"},
+                         {"@id": "http://e/n2", "http://e/p": "v2"}]},
+    }, '''
+<http://e/s> <http://e/g> _:g0 .
+<http://e/n1> <http://e/p> "v1" _:g0 .
+<http://e/n2> <http://e/p> "v2" _:g0 .
+'''),
+
+    ("w3c_t0013_empty_list_is_nil", {}, {
+        # t0013: @list: [] is rdf:nil directly — no cons cell
+        "@id": "http://e/s", "http://e/p": {"@list": []},
+    }, f'''
+<http://e/s> <http://e/p> <{RDF}nil> .
+'''),
+
+    ("w3c_tli04_coerced_empty_inner_list", {}, {
+        # tli04: COERCED list (@container: @list) containing an empty
+        # list — 1.1 list-of-lists, inner [] becomes nil in a cons cell
+        "@context": {"p": {"@id": "http://e/p", "@container": "@list"}},
+        "@id": "http://e/s", "p": [[]],
+    }, f'''
+<http://e/s> <http://e/p> _:l0 .
+_:l0 <{RDF}first> <{RDF}nil> .
+_:l0 <{RDF}rest> <{RDF}nil> .
+'''),
+
+    ("w3c_tli08_coerced_deep_empty_arrays", {}, {
+        # tli08: coerced list with deeper empty-array nesting
+        "@context": {"p": {"@id": "http://e/p", "@container": "@list"}},
+        "@id": "http://e/s", "p": [[[]]],
+    }, f'''
+<http://e/s> <http://e/p> _:outer .
+_:outer <{RDF}first> _:inner .
+_:outer <{RDF}rest> <{RDF}nil> .
+_:inner <{RDF}first> <{RDF}nil> .
+_:inner <{RDF}rest> <{RDF}nil> .
+'''),
+
+    ("w3c_t0017_relative_id", {"base_iri": "http://b/dir/doc"}, {
+        # t0017: a relative node @id expands against the document location
+        "@id": "rel", "http://e/p": "v",
+    }, '''
+<http://b/dir/rel> <http://e/p> "v" .
+'''),
+
+    ("w3c_te089_empty_base_on_base_option", {"base_iri": "http://b/dir/doc"}, {
+        # te089: @base: "" resolves to the base option itself (RFC 3986:
+        # empty reference = base), so relative ids still resolve there
+        "@context": {"@base": ""}, "@id": "rel", "http://e/p": "v",
+    }, '''
+<http://b/dir/rel> <http://e/p> "v" .
+'''),
+
+    ("w3c_te070_compact_iri_self_redefinition", {}, {
+        # te070: redefining a compact IRI with itself is a no-op, not an
+        # error or a cycle
+        "@context": {"ex": "http://e/", "ex:foo": {"@id": "ex:foo"}},
+        "@id": "http://e/s", "ex:foo": "v",
+    }, '''
+<http://e/s> <http://e/foo> "v" .
+'''),
+
+    ("w3c_te091_relative_and_absolute_base", {"base_iri": "http://h.org/a/doc"}, {
+        # te091: absolute @base replaces the base option; a following
+        # relative @base resolves against THAT, not the document
+        "@context": [{"@base": "http://new.org/a/"},
+                     {"@base": "deeper/"}],
+        "@id": "rel", "http://e/p": "v",
+    }, '''
+<http://new.org/a/deeper/rel> <http://e/p> "v" .
+'''),
+
+    ("w3c_te110_112_pathological_vocab_relative_props", {}, {
+        # te110-te112: relative @vocab concatenates onto the previous
+        # vocab (twice chained here = te112's shape); relative property
+        # IRIs then CONCATENATE onto the vocab — no RFC 3986 dot-segment
+        # normalization for vocab-relative terms
+        "@context": [{"@vocab": "http://v/"}, {"@vocab": "sub/"},
+                     {"@vocab": "deep/"}],
+        "@id": "http://e/s",
+        "p": "v", "../up": "v2", "#frag": "v3", "./dot": "v4",
+    }, '''
+<http://e/s> <http://v/sub/deep/p> "v" .
+<http://e/s> <http://v/sub/deep/../up> "v2" .
+<http://e/s> <http://v/sub/deep/#frag> "v3" .
+<http://e/s> <http://v/sub/deep/./dot> "v4" .
+'''),
+
+    ("w3c_tpr25_identical_scoped_redefinition", {}, {
+        # tpr25: redefining a PROTECTED term whose definition carries a
+        # scoped context is allowed when the new definition is identical
+        "@context": [
+            {"@protected": True,
+             "t": {"@id": "http://e/t",
+                   "@context": {"x": "http://e/x"}}},
+            {"t": {"@id": "http://e/t",
+                   "@context": {"x": "http://e/x"}}},
+        ],
+        "@id": "http://e/s",
+        "t": {"@id": "http://e/o", "x": "v"},
+    }, '''
+<http://e/s> <http://e/t> <http://e/o> .
+<http://e/o> <http://e/x> "v" .
+'''),
+]
+
+FIXTURES = FIXTURES + W3C_GAP_FIXTURES + W3C_AUDIT_R5_FIXTURES
