@@ -346,13 +346,15 @@ def _q_sim_ivf_recall(spark, sf_dir):
     so the audit itself stays runnable at corpus scale."""
     emb = _tbl(spark, sf_dir, "embeddings")
     ivf = (similarity.ivf_topk(emb, SIM_QUERY_IDS, k=5)
-           .select("query_id", "neighbor_id"))
+           .select("query_id", "neighbor_id")
+           .withColumn("_hit", F.lit(1)))
     exact = (similarity.brute_force_topk(emb, SIM_QUERY_IDS, k=5)
              .select("query_id", "neighbor_id"))
-    hits = (ivf.join(exact, ["query_id", "neighbor_id"])
-            .agg(F.count("*").alias("n_hits")))
-    total = exact.agg(F.count("*").alias("n_exact"))
-    return (hits.crossJoin(total)
+    # single left join + one agg: the expensive exact corpus scan appears
+    # ONCE in the plan (a separate n_exact count would embed it twice)
+    return (exact.join(ivf, ["query_id", "neighbor_id"], "left")
+            .agg(F.count("_hit").alias("n_hits"),
+                 F.count(F.lit(1)).alias("n_exact"))
             .select("n_hits", "n_exact",
                     F.round(F.col("n_hits")
                             / F.greatest(F.col("n_exact"), F.lit(1)), 6)

@@ -429,12 +429,17 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
 
         if ("@graph" in container and "@id" not in container
                 and "@index" not in container):
-            # W3C 13.8 wrap step: a value that is ALREADY a graph object
-            # (only @graph/@id/@index keys) must not be wrapped again
-            # (toRdf te081/te084 family); node objects that merely CONTAIN
-            # @graph alongside other properties DO get wrapped
-            expanded_value = [v if _is_graph_object(v)
-                              else {"@graph": as_list(v)}
+            # W3C 13.8 wrap step: a SIMPLE @graph container wraps
+            # UNCONDITIONALLY — even a value that is already a graph
+            # object gets a fresh wrapping graph (toRdf te081/te095
+            # "Creates an @graph container if value is a graph";
+            # reference test 'with @id and graph map and @graph key':
+            # edge -> _:g1 while the inner triples land in _:g2). Only
+            # the [@graph, @id] / [@graph, @index] MAP path (13.7.4.2,
+            # in _expand_map) carries the already-a-graph-object
+            # exception (te084/te087/te098/te101/te105/te106; reference
+            # lib/Util.ts:914 skips only for @graph-@id/@graph-@index).
+            expanded_value = [{"@graph": as_list(v)}
                               for v in as_list(expanded_value)]
 
         if ktd is not None and ktd.reverse:

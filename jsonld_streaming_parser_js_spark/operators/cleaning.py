@@ -33,7 +33,15 @@ def clean_corpus(docs: DataFrame, min_tokens: int = 10,
     """(doc_id, n_tokens, punct_ratio) of the documents that survive all
     four gates. Near-dup survivorship: for every MinHash-verified pair the
     LARGER doc_id is dropped (the standard keep-the-canonical-min rule;
-    chains drop everything but the chain minimum's own survivors)."""
+    chains drop everything but the chain minimum's own survivors).
+
+    Cache lifecycle: the survivor set (and the signature table inside
+    minhash_lsh_pairs) stays cached for the session — Spark's
+    CacheManager keys by analyzed plan, so repeated calls over the SAME
+    input reuse one entry rather than accumulating; call
+    ``spark.catalog.clearCache()`` to reclaim. At production scale the
+    survivor snapshot is a persisted parquet table instead (write once,
+    read twice), so no executor memory is pinned."""
     feats = docs.select("doc_id", "text",
                         token_count_expr().alias("n_tokens"),
                         punct_ratio_expr().alias("punct_ratio"))

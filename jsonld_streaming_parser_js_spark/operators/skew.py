@@ -48,8 +48,19 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: str | list[str],
     exactly like ``fact.join(dim, on)``.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if SALT_COL in fact.columns or SALT_COL in dim.columns:
+        raise ValueError(
+            f"salted_join reserves column name {SALT_COL!r}; rename it "
+            "on the input first (it would be silently clobbered)")
+    # xxhash64 rejects MapType; hash every hashable column (row-level
+    # determinism needs only enough columns to distinguish rows — any
+    # residual collisions just co-locate those rows, never corrupt)
+    hashable = [c for c, t in fact.dtypes if not t.startswith("map<")]
+    if not hashable:
+        raise ValueError("salted_join: fact has no hashable columns "
+                         "(all MapType) to derive a deterministic salt")
     fact_salted = fact.withColumn(
-        SALT_COL, F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)))
+        SALT_COL, F.pmod(F.xxhash64(*hashable), F.lit(n_salts)))
     dim_salted = dim.withColumn(
         SALT_COL,
         F.explode(F.sequence(F.lit(0).cast("long"),

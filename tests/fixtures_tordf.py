@@ -4382,16 +4382,34 @@ _:b0 <http://e/p> <http://e/o> .
 _:b0 <http://e/x> "1" .
 '''),
 
-    ("w3c_te084_graph_value_not_rewrapped", {}, {
-        # te084/te087/te095/te098/te101/te105/te106: a value that is
-        # ALREADY a graph object must not be wrapped in a second @graph
-        # layer by @graph containers
+    ("w3c_te081_graph_container_wraps_graph_value", {}, {
+        # te081 "Creates an @graph container if value is a graph": a
+        # SIMPLE @graph container wraps UNCONDITIONALLY — the edge points
+        # at a fresh wrapper graph while the inner graph object keeps its
+        # own (disconnected) graph. Reference test 'with @id and graph
+        # map and @graph key' (JsonLdParser-test.ts:8785): myid->g1,
+        # value triple in g2. Only [@graph,@id]/[@graph,@index] maps
+        # carry the already-a-graph exception (te084 family).
         "@context": {"g": {"@id": "http://e/g", "@container": "@graph"}},
         "@id": "http://e/s",
         "g": {"@graph": [{"@id": "http://e/n", "http://e/p": "v"}]},
     }, '''
-<http://e/s> <http://e/g> _:g0 .
-<http://e/n> <http://e/p> "v" _:g0 .
+<http://e/s> <http://e/g> _:wrapper .
+<http://e/n> <http://e/p> "v" _:inner .
+'''),
+
+    ("w3c_te104_graph_container_mixed", {}, {
+        # te104: simple container, mixed graph-object and node values —
+        # both wrapped; the graph object's triples stay in its own graph
+        "@context": {"g": {"@id": "http://e/g", "@container": "@graph"}},
+        "@id": "http://e/s",
+        "g": [{"@graph": [{"@id": "http://e/n1", "http://e/p": "v1"}]},
+              {"@id": "http://e/n2", "http://e/p": "v2"}],
+    }, '''
+<http://e/s> <http://e/g> _:w1 .
+<http://e/s> <http://e/g> _:w2 .
+<http://e/n1> <http://e/p> "v1" _:inner .
+<http://e/n2> <http://e/p> "v2" _:w2 .
 '''),
 
     ("w3c_tm004_type_map_prepends", {}, {
@@ -4440,14 +4458,17 @@ _:b0 <http://e/x> "1" .
 '''),
 
     ("probeR4_graph_container_named_graph_obj", {}, {
-        # round-4 probe: graph object WITH @id under a @graph container —
-        # kept as the named graph, not re-wrapped
+        # NAMED graph object under a simple @graph container: the
+        # unconditional 13.8 wrap points the edge at a fresh wrapper
+        # graph; the named inner graph keeps its own name (r5 audit
+        # corrected this — the r4 no-rewrap behavior was wrong for the
+        # simple container; cf. reference JsonLdParser-test.ts:8785)
         "@context": {"g": {"@id": "http://e/g", "@container": "@graph"}},
         "@id": "http://e/s",
         "g": {"@id": "http://e/gname",
               "@graph": [{"@id": "http://e/n", "http://e/p": "v"}]},
     }, '''
-<http://e/s> <http://e/g> <http://e/gname> .
+<http://e/s> <http://e/g> _:wrapper .
 <http://e/n> <http://e/p> "v" <http://e/gname> .
 '''),
 
@@ -4604,16 +4625,18 @@ W3C_AUDIT_R5_FIXTURES = [
 '''),
 
     ("w3c_te095_graph_container_multi", {}, {
-        # te095: simple @graph container whose value is already a graph
-        # with MULTIPLE nodes — one graph out, no double-expansion
+        # te095 "Creates an @graph container if value is a graph
+        # (multiple objects)": the simple container wraps the
+        # already-a-graph value AGAIN — edge to the wrapper, inner
+        # triples in the inner graph (disconnected)
         "@context": {"g": {"@id": "http://e/g", "@container": "@graph"}},
         "@id": "http://e/s",
         "g": {"@graph": [{"@id": "http://e/n1", "http://e/p": "v1"},
                          {"@id": "http://e/n2", "http://e/p": "v2"}]},
     }, '''
-<http://e/s> <http://e/g> _:g0 .
-<http://e/n1> <http://e/p> "v1" _:g0 .
-<http://e/n2> <http://e/p> "v2" _:g0 .
+<http://e/s> <http://e/g> _:wrapper .
+<http://e/n1> <http://e/p> "v1" _:inner .
+<http://e/n2> <http://e/p> "v2" _:inner .
 '''),
 
     ("w3c_t0013_empty_list_is_nil", {}, {
