@@ -367,6 +367,18 @@ def _q_sim_lsh_topk(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def _q_kg_nquads(spark, sf_dir):
+    """N-Quads serialization sink: the full KG rendered as W3C N-Quads
+    statements (pure JVM concat over the lexical quad columns — the
+    interchange twin of the parquet sink). The oracle rebuilds identical
+    lines from the expected-quads CTE, so terms AND the default-graph /
+    named-graph grammar are value-checked end to end."""
+    from jsonld_streaming_parser_js_spark.operators.serialize import (
+        to_nquads)
+    return (to_nquads(_quads(spark, sf_dir))
+            .orderBy("url", "blk", "line"))
+
+
 def _q_kg_skew_salted_join(spark, sf_dir):
     """Hot-predicate join under EXPLICIT salting (north-star: 'salted
     repartitioning plus AQE skew-join splitting'). The corpus puts ~50% of
@@ -714,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_boilerplate": _q_text_boilerplate,
         "text_pii": _q_text_pii,
+        "kg_nquads": _q_kg_nquads,
         "kg_skew_salted_join": _q_kg_skew_salted_join,
         "kg_graph_nodes": _q_kg_graph_nodes,
         "kg_graph_edges": _q_kg_graph_edges,
@@ -822,6 +835,13 @@ def oracle_sql() -> dict[str, str]:
     oracles["kg_quads"] = _with_quads(
         "SELECT url, blk, subj, pred, obj, graph FROM q"
         " ORDER BY url, blk, pred, obj")
+
+    oracles["kg_nquads"] = _with_quads(
+        "SELECT url, blk,"
+        " subj || ' ' || pred || ' ' || obj ||"
+        " CASE WHEN graph <> '' THEN ' ' || graph ELSE '' END"
+        " || ' .' AS line"
+        " FROM q ORDER BY url, blk, line")
 
     oracles["kg_extract_blocks"] = f"""
 WITH {_D_CTE}
