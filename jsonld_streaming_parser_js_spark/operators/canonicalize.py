@@ -159,15 +159,22 @@ def connected_components(edges: DataFrame,
     canonicalization. localCheckpoint every iteration truncates lineage so
     plans stay flat at depth n.
     """
-    sym = (edges.select("src", "dst")
+    # Checkpoint the EDGE LIST first: everything below (sym's two union
+    # branches, the initial labels) derives from it, so the expensive
+    # candidate pipeline feeding `edges` (LSH signatures -> banding ->
+    # verify) materializes exactly ONCE. The previous shape checkpointed
+    # sym and labels separately, each re-evaluating the edge pipeline
+    # (sym's union even evaluated it twice in one job) — 3-4 full
+    # recomputations of the most expensive subtree per CC call.
+    edges = edges.select("src", "dst").localCheckpoint()
+    sym = (edges
            .union(edges.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst"))))
     labels = (sym.select("src").union(sym.select("dst"))
               .distinct()
               .select(F.col("src").alias("node"),
-                      F.col("src").alias("component")))
-    sym = sym.localCheckpoint()
-    labels = labels.localCheckpoint()
+                      F.col("src").alias("component"))
+              .localCheckpoint())
 
     for _ in range(max_iter):
         # each node adopts min(own label, neighbors' labels). The change
