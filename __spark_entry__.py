@@ -659,6 +659,25 @@ def _q_streaming_kg_quads(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_streaming_quad_rates(spark, sf_dir):
+    """Watermarked event-time windowed aggregation over the quad stream
+    (the late-data-tolerant metrics feed): crawl-time-ordered micro-
+    batches -> fused extract+parse -> stream-static ts join ->
+    1-minute windows with a 2-minute watermark in APPEND mode (only
+    watermark-finalized windows reach the sink). Value-hashed against a
+    batch SQL twin grouping the expected quads by crawl-minute."""
+    import shutil
+    import tempfile
+    from jsonld_streaming_parser_js_spark.streaming.stream import (
+        streaming_quad_rates)
+    work = tempfile.mkdtemp(prefix="stream-rates-")
+    try:
+        return streaming_quad_rates(spark, _pages(spark, sf_dir), work,
+                                    CONTEXTS)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_dedup_embedding_lsh_recall(spark, sf_dir):
     """Honest recall audit of the LSH scale path against its exact twin,
     on a DETERMINISTIC ~1/4 id sample: one row (n_lsh, n_exact, recall).
@@ -750,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_kg_quads": _q_streaming_kg_quads,
+        "streaming_quad_rates": _q_streaming_quad_rates,
         "dedup_embedding_lsh_recall": _q_dedup_embedding_lsh_recall,
     }
 
@@ -1703,6 +1723,20 @@ FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""
     oracles["streaming_sessionize"] = oracles["events_sessionize"]
     # the streaming KG lane must produce byte-identical quads to batch
     oracles["streaming_kg_quads"] = oracles["kg_quads"]
+
+    # watermarked windowed rates: batch twin groups the expected quads by
+    # crawl minute (warc_ts = 2025-01-01 + doc_id%86400 seconds, the
+    # sources/pages.py definition)
+    oracles["streaming_quad_rates"] = _with_quads("""
+SELECT strftime(time_bucket(INTERVAL 1 minute, ts.wts),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(sum(per_url.nq) AS BIGINT) AS n_quads
+FROM (SELECT url, CAST(count(*) AS BIGINT) AS nq FROM q GROUP BY url)
+     per_url
+JOIN (SELECT url, TIMESTAMP '2025-01-01 00:00:00'
+             + (doc_id % 86400) * INTERVAL '1 second' AS wts FROM d) ts
+  USING (url)
+GROUP BY 1 ORDER BY 1""")
 
     # the recall audit runs on a deterministic ~1/4 md5(vec_id) sample
     # (mirrors similarity.deterministic_id_sample — same stratum math)

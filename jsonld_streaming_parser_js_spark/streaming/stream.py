@@ -63,6 +63,81 @@ def start_quads_sink(quads_stream: DataFrame, out_dir: str,
     return writer.start()
 
 
+def streaming_quad_rates(spark: SparkSession, pages: DataFrame,
+                         work_dir: str, ctx_cache: dict | None = None,
+                         window: str = "1 minute",
+                         watermark: str = "2 minutes",
+                         n_slices: int = 4) -> DataFrame:
+    """Bounded file-source run of the WATERMARKED windowed aggregation:
+    pages sliced into ``n_slices`` crawl-time-ordered files (mtime-ordered
+    micro-batches, like streaming_sessionize), parsed by the same fused
+    extract+parse stage, quads joined stream-static to the url->warc_ts
+    map, then ``windowed_quad_rates`` in APPEND mode — a window only
+    reaches the sink once the watermark passes it, so emitted rows are
+    FINAL (late data within the watermark would still be merged). A
+    sentinel page far past the last crawl timestamp advances the
+    watermark over every real window; the sentinel's own window stays
+    open and is never emitted. Returns the materialized (window_start,
+    n_quads) table."""
+    import os
+
+    from ..operators.parse import extract_and_parse
+
+    base = pages.orderBy("warc_ts")
+    lo, hi = base.agg(F.min("warc_ts"), F.max("warc_ts")).first()
+    in_dir = os.path.join(work_dir, "input")
+    os.makedirs(in_dir, exist_ok=True)
+    span = (hi - lo).total_seconds() + 1
+    step = max(int(span // n_slices) + 1, 1)
+    mtime = 1_000_000_000
+    for i in range(n_slices):
+        sel = (F.unix_timestamp("warc_ts") - F.unix_timestamp(F.lit(lo)))
+        part = base.where((sel >= i * step) & (sel < (i + 1) * step))
+        tmp = os.path.join(work_dir, f"slice_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(in_dir, f"{i:03d}.parquet")
+        os.replace(os.path.join(tmp, src), dst)
+        os.utime(dst, (mtime + i, mtime + i))
+    sentinel_html = (b'<script type="application/ld+json">'
+                     b'{"@id": "http://sentinel.invalid/s",'
+                     b' "http://sentinel.invalid/p": "flush"}</script>')
+    sentinel = spark.createDataFrame(
+        [("stream://sentinel", None, bytearray(sentinel_html),
+          "", "en")], PAGES_SCHEMA).select(
+        "url",
+        (F.lit(hi) + F.expr("INTERVAL 7 DAYS")).alias("warc_ts"),
+        "html", "text", "lang")
+    tmp = os.path.join(work_dir, "slice_sentinel")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    dst = os.path.join(in_dir, f"{n_slices:03d}_sentinel.parquet")
+    os.replace(os.path.join(tmp, src), dst)
+    os.utime(dst, (mtime + n_slices, mtime + n_slices))
+
+    ts_map = (base.unionByName(sentinel)
+              .select("url", "warc_ts").distinct())
+    stream = read_pages_stream(spark, in_dir, max_files_per_trigger=1)
+    quads = (extract_and_parse(stream, ctx_cache)
+             .where(F.col("error").isNull())
+             .join(F.broadcast(ts_map), "url"))
+    rates = windowed_quad_rates(quads, window, watermark)
+    out = (rates.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"), "n_quads"))
+    out_dir = os.path.join(work_dir, "out")
+    q = (out.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    res = spark.read.parquet(out_dir).orderBy("window_start")
+    rows = res.collect()
+    return spark.createDataFrame(rows, res.schema)
+
+
 def windowed_quad_rates(quads_with_ts: DataFrame,
                         window: str = "1 hour",
                         watermark: str = "2 hours") -> DataFrame:
