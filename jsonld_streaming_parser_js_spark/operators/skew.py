@@ -52,13 +52,19 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: str | list[str],
         raise ValueError(
             f"salted_join reserves column name {SALT_COL!r}; rename it "
             "on the input first (it would be silently clobbered)")
-    # xxhash64 rejects MapType; hash every hashable column (row-level
-    # determinism needs only enough columns to distinguish rows — any
-    # residual collisions just co-locate those rows, never corrupt)
-    hashable = [c for c, t in fact.dtypes if not t.startswith("map<")]
-    if not hashable:
-        raise ValueError("salted_join: fact has no hashable columns "
-                         "(all MapType) to derive a deterministic salt")
+    # xxhash64 rejects MapType anywhere in the column type (including
+    # nested array<map<...>>/struct fields); hash every hashable column
+    # (row-level determinism needs only enough columns to distinguish
+    # rows — residual collisions just co-locate rows, never corrupt).
+    # At least one NON-KEY column must be hashable: salting on the join
+    # key alone yields one salt per key value, i.e. the hot key still
+    # lands in a single reducer while paying the dim explosion.
+    hashable = [c for c, t in fact.dtypes if "map<" not in t]
+    if not [c for c in hashable if c not in keys]:
+        raise ValueError(
+            "salted_join: fact needs at least one non-key column without "
+            "MapType to derive a row-level salt (a key-only salt is "
+            "constant per key and defeats the split)")
     fact_salted = fact.withColumn(
         SALT_COL, F.pmod(F.xxhash64(*hashable), F.lit(n_salts)))
     dim_salted = dim.withColumn(

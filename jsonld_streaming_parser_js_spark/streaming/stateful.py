@@ -146,19 +146,10 @@ def streaming_sessionize(spark, events_path: str, work_dir: str,
     lo, hi = base.agg(F.min("epoch"), F.max("epoch")).first()
     if lo is None:
         return spark.createDataFrame([], SESSION_SCHEMA)
+    from .filesource import write_ordered_slices
+
     step = max((hi - lo) // n_slices + 1, 1)
     in_dir = os.path.join(work_dir, "input")
-    os.makedirs(in_dir, exist_ok=True)
-    mtime = 1_000_000_000
-    for i in range(n_slices):
-        part = base.where((F.col("epoch") >= lo + i * step)
-                          & (F.col("epoch") < lo + (i + 1) * step))
-        path = os.path.join(work_dir, f"slice_{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(path)
-        src = [f for f in os.listdir(path) if f.endswith(".parquet")][0]
-        dst = os.path.join(in_dir, f"{i:03d}.parquet")
-        os.replace(os.path.join(path, src), dst)
-        os.utime(dst, (mtime + i, mtime + i))
     sentinels = (base.select("user_id").distinct()
                  .select("user_id",
                          F.lit(_SENTINEL_EVENT).cast("long")
@@ -167,12 +158,11 @@ def streaming_sessionize(spark, events_path: str, work_dir: str,
                          .alias("epoch"),
                          F.lit("").alias("start_str"),
                          F.lit(0.0).alias("value")))
-    path = os.path.join(work_dir, "slice_sentinel")
-    sentinels.coalesce(1).write.mode("overwrite").parquet(path)
-    src = [f for f in os.listdir(path) if f.endswith(".parquet")][0]
-    dst = os.path.join(in_dir, f"{n_slices:03d}_sentinel.parquet")
-    os.replace(os.path.join(path, src), dst)
-    os.utime(dst, (mtime + n_slices, mtime + n_slices))
+    write_ordered_slices(
+        [base.where((F.col("epoch") >= lo + i * step)
+                    & (F.col("epoch") < lo + (i + 1) * step))
+         for i in range(n_slices)] + [sentinels],
+        work_dir, in_dir)
 
     stream = (spark.readStream.schema(base.schema)
               .option("maxFilesPerTrigger", 1)

@@ -82,23 +82,18 @@ def streaming_quad_rates(spark: SparkSession, pages: DataFrame,
     import os
 
     from ..operators.parse import extract_and_parse
+    from .filesource import write_ordered_slices
 
-    base = pages.orderBy("warc_ts")
+    out_schema = "window_start string, n_quads long"
+    # cache: the (generated, never-materialized) pages lineage is
+    # otherwise re-evaluated per slice write, per agg, and — via the
+    # stream-static ts_map — once per micro-batch
+    base = pages.cache()
     lo, hi = base.agg(F.min("warc_ts"), F.max("warc_ts")).first()
-    in_dir = os.path.join(work_dir, "input")
-    os.makedirs(in_dir, exist_ok=True)
-    span = (hi - lo).total_seconds() + 1
-    step = max(int(span // n_slices) + 1, 1)
-    mtime = 1_000_000_000
-    for i in range(n_slices):
-        sel = (F.unix_timestamp("warc_ts") - F.unix_timestamp(F.lit(lo)))
-        part = base.where((sel >= i * step) & (sel < (i + 1) * step))
-        tmp = os.path.join(work_dir, f"slice_{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        dst = os.path.join(in_dir, f"{i:03d}.parquet")
-        os.replace(os.path.join(tmp, src), dst)
-        os.utime(dst, (mtime + i, mtime + i))
+    if lo is None:
+        return spark.createDataFrame([], out_schema)
+    step = max(int(((hi - lo).total_seconds() + 1) // n_slices) + 1, 1)
+    sel = (F.unix_timestamp("warc_ts") - F.unix_timestamp(F.lit(lo)))
     sentinel_html = (b'<script type="application/ld+json">'
                      b'{"@id": "http://sentinel.invalid/s",'
                      b' "http://sentinel.invalid/p": "flush"}</script>')
@@ -108,15 +103,14 @@ def streaming_quad_rates(spark: SparkSession, pages: DataFrame,
         "url",
         (F.lit(hi) + F.expr("INTERVAL 7 DAYS")).alias("warc_ts"),
         "html", "text", "lang")
-    tmp = os.path.join(work_dir, "slice_sentinel")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
-    src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-    dst = os.path.join(in_dir, f"{n_slices:03d}_sentinel.parquet")
-    os.replace(os.path.join(tmp, src), dst)
-    os.utime(dst, (mtime + n_slices, mtime + n_slices))
+    write_ordered_slices(
+        [base.where((sel >= i * step) & (sel < (i + 1) * step))
+         for i in range(n_slices)] + [sentinel],
+        work_dir, os.path.join(work_dir, "input"))
 
     ts_map = (base.unionByName(sentinel)
               .select("url", "warc_ts").distinct())
+    in_dir = os.path.join(work_dir, "input")
     stream = read_pages_stream(spark, in_dir, max_files_per_trigger=1)
     quads = (extract_and_parse(stream, ctx_cache)
              .where(F.col("error").isNull())
@@ -135,6 +129,7 @@ def streaming_quad_rates(spark: SparkSession, pages: DataFrame,
     q.awaitTermination()
     res = spark.read.parquet(out_dir).orderBy("window_start")
     rows = res.collect()
+    base.unpersist()
     return spark.createDataFrame(rows, res.schema)
 
 
