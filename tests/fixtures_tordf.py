@@ -4735,6 +4735,45 @@ _:inner <{RDF}rest> <{RDF}nil> .
 <http://e/s> <http://e/t> <http://e/o> .
 <http://e/o> <http://e/x> "v" .
 '''),
+    ("probeR5_gindex_graph_key_same_graph", {}, {
+        # reference JsonLdParser-test.ts:8857 — [@graph,@index] with an
+        # explicit @graph-key value: the MAP-path exception applies, edge
+        # and triples share ONE graph (contrast the simple container)
+        "@context": {"p": {"@id": "http://e/p",
+                           "@container": ["@graph", "@index"]}},
+        "@id": "http://e/s",
+        "p": {"i0": {"@graph": {"@id": "http://e/n",
+                                "http://e/v": "1539"}}},
+    }, '''
+<http://e/s> <http://e/p> _:g1 .
+<http://e/n> <http://e/v> "1539" _:g1 .
+'''),
+
+    ("probeR5_graph_set_graph_value_double_wrap", {}, {
+        # [@graph,@set] behaves like the SIMPLE container for wrapping:
+        # an already-graph value still gets a fresh wrapper graph
+        "@context": {"p": {"@id": "http://e/p",
+                           "@container": ["@graph", "@set"]}},
+        "@id": "http://e/s",
+        "p": {"@graph": {"@id": "http://e/n", "http://e/v": "1539"}},
+    }, '''
+<http://e/s> <http://e/p> _:wrapper .
+<http://e/n> <http://e/v> "1539" _:inner .
+'''),
+
+    ("probeR5_graph_container_nested_array_fanout", {}, {
+        # reference JsonLdParser-test.ts:8583 — nested arrays flatten,
+        # then EACH node wraps into its own graph
+        "@context": {"p": {"@id": "http://e/p", "@container": "@graph"}},
+        "@id": "http://e/s",
+        "p": [[{"@id": "http://e/n1", "http://e/v": "123"},
+               {"@id": "http://e/n2", "http://e/v": "234"}]],
+    }, '''
+<http://e/s> <http://e/p> _:g1 .
+<http://e/s> <http://e/p> _:g2 .
+<http://e/n1> <http://e/v> "123" _:g1 .
+<http://e/n2> <http://e/v> "234" _:g2 .
+'''),
 ]
 
 FIXTURES = FIXTURES + W3C_GAP_FIXTURES + W3C_AUDIT_R5_FIXTURES
