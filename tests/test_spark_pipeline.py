@@ -246,6 +246,37 @@ def test_salted_join_matches_plain_and_shuffles_on_salt(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
+def test_bucketed_tables_join_without_shuffle(spark, pages):
+    """Two tables bucketed on subj (same bucket count) must join with
+    ZERO Exchange: the SMJ reads bucket i of each side directly. This is
+    the pay-the-shuffle-once-at-write-time layout for entity-centric
+    joins at corpus scale."""
+    from jsonld_streaming_parser_js_spark.plans import lineage as lin
+    quads = pages_to_quads(pages, CONTEXTS)
+    degrees = quads.groupBy("subj").agg(F.count("*").alias("degree"))
+    lin.write_bucketed_table(quads, "bt_quads", buckets=8)
+    lin.write_bucketed_table(degrees, "bt_degrees", buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("bt_quads")
+             .join(spark.table("bt_degrees"), "subj"))
+        j.write.format("noop").mode("overwrite").save()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1500]
+        assert plan.count("Bucketed: true") == 2
+        assert "SortMergeJoin" in plan
+        # values match the plain (shuffled) join
+        plain = quads.join(degrees, "subj")
+        assert j.exceptAll(plain).count() == 0
+        assert plain.exceptAll(j).count() == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_quads")
+        spark.sql("DROP TABLE IF EXISTS bt_degrees")
+
+
 def test_aqe_skew_join_split_fires(spark):
     """The AQE path: a hot-key sort-merge join whose final adaptive plan
     shows the optimizer split the skewed partition

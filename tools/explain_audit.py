@@ -185,6 +185,33 @@ def main() -> None:
         for k in configs:
             spark.conf.unset(k)
 
+    # bucketed-table co-located join: both sides bucketBy(subj) -> the
+    # SMJ reads bucket i of each side directly, zero Exchange (the
+    # pay-the-shuffle-once-at-write-time layout for entity joins)
+    from pyspark.sql import functions as F
+    from jsonld_streaming_parser_js_spark.plans import lineage as lin
+    q = pages_to_quads(pages_from_documents(spark, sf), CONTEXTS)
+    deg = q.groupBy("subj").agg(F.count("*").alias("degree"))
+    lin.write_bucketed_table(q, "audit_bt_quads", buckets=8)
+    lin.write_bucketed_table(deg, "audit_bt_deg", buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("audit_bt_quads")
+             .join(spark.table("audit_bt_deg"), "subj"))
+        p = plan_of(j)
+        check("bucketed tables: co-located join, zero Exchange",
+              "Exchange" not in p and p.count("Bucketed: true") == 2
+              and "SortMergeJoin" in p,
+              f"Exchange x{p.count('Exchange')}, bucketed scans "
+              f"x{p.count('Bucketed: true')}, SMJ x"
+              f"{p.count('SortMergeJoin')}")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS audit_bt_quads")
+        spark.sql("DROP TABLE IF EXISTS audit_bt_deg")
+
     # canonical relabel: the mapping join carries NO forced broadcast hint
     # (unbounded at web scale -> OOM risk); the small-mapping case must
     # still broadcast, chosen by AQE at runtime. Execute to finalize AQE.
