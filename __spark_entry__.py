@@ -367,6 +367,20 @@ def _q_sim_lsh_topk(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def _q_kg_host_stats(spark, sf_dir):
+    """Per-domain KG rollup (the crawl-governance view every web
+    pipeline needs): host extracted from the page URL, quad volume and
+    distinct-entity count per host. Pure JVM regexp + algebraic aggs —
+    map-side partials, skew-free (hosts are the natural partition unit
+    of a crawl)."""
+    q = _quads(spark, sf_dir)
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    return (q.groupBy(host.alias("host"))
+            .agg(F.count("*").alias("n_quads"),
+                 F.countDistinct("subj").alias("n_subjects"))
+            .orderBy("host"))
+
+
 def _q_kg_nquads(spark, sf_dir):
     """N-Quads serialization sink: the full KG rendered as W3C N-Quads
     statements (pure JVM concat over the lexical quad columns — the
@@ -745,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_boilerplate": _q_text_boilerplate,
         "text_pii": _q_text_pii,
+        "kg_host_stats": _q_kg_host_stats,
         "kg_nquads": _q_kg_nquads,
         "kg_skew_salted_join": _q_kg_skew_salted_join,
         "kg_graph_nodes": _q_kg_graph_nodes,
@@ -855,6 +870,12 @@ def oracle_sql() -> dict[str, str]:
     oracles["kg_quads"] = _with_quads(
         "SELECT url, blk, subj, pred, obj, graph FROM q"
         " ORDER BY url, blk, pred, obj")
+
+    oracles["kg_host_stats"] = _with_quads(
+        "SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,"
+        " CAST(count(*) AS BIGINT) AS n_quads,"
+        " CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects"
+        " FROM q GROUP BY 1 ORDER BY host")
 
     oracles["kg_nquads"] = _with_quads(
         "SELECT url, blk,"
