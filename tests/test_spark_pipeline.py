@@ -251,7 +251,6 @@ def test_bucketed_tables_join_without_shuffle(spark, pages):
     ZERO Exchange: the SMJ reads bucket i of each side directly. This is
     the pay-the-shuffle-once-at-write-time layout for entity-centric
     joins at corpus scale."""
-    from jsonld_streaming_parser_js_spark.plans import lineage as lin
     quads = pages_to_quads(pages, CONTEXTS)
     degrees = quads.groupBy("subj").agg(F.count("*").alias("degree"))
     lin.write_bucketed_table(quads, "bt_quads", buckets=8)
@@ -261,7 +260,8 @@ def test_bucketed_tables_join_without_shuffle(spark, pages):
     try:
         j = (spark.table("bt_quads")
              .join(spark.table("bt_degrees"), "subj"))
-        j.write.format("noop").mode("overwrite").save()
+        # static plan suffices: bucketed scans remove the Exchange at
+        # planning time, no AQE finalization needed
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan[:1500]
         assert plan.count("Bucketed: true") == 2

@@ -190,7 +190,9 @@ def main() -> None:
     # pay-the-shuffle-once-at-write-time layout for entity joins)
     from pyspark.sql import functions as F
     from jsonld_streaming_parser_js_spark.plans import lineage as lin
-    q = pages_to_quads(pages_from_documents(spark, sf), CONTEXTS)
+    # cache: both table writes read q — without it the extract+parse
+    # stage (the heaviest in the repo) would run twice
+    q = pages_to_quads(pages_from_documents(spark, sf), CONTEXTS).cache()
     deg = q.groupBy("subj").agg(F.count("*").alias("degree"))
     lin.write_bucketed_table(q, "audit_bt_quads", buckets=8)
     lin.write_bucketed_table(deg, "audit_bt_deg", buckets=8)
