@@ -578,6 +578,36 @@ def _q_tpch_q3(spark, sf_dir):
             .limit(10))
 
 
+def _q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): the 5-way join chain. Fact
+    table (lineitem) never shuffles for the dims — customer/supplier/
+    nation/region are broadcast (EXPLAIN: BHJ chain, zero SMJ); only the
+    final groupBy aggregates, map-side partials first."""
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    l = _tbl(spark, sf_dir, "lineitem")
+    s = _tbl(spark, sf_dir, "supplier")
+    n = _tbl(spark, sf_dir, "nation")
+    r = _tbl(spark, sf_dir, "region")
+    j = (l.join(F.broadcast(o.where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01"))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(s),
+               (F.col("l_suppkey") == F.col("s_suppkey"))
+               & (F.col("c_nationkey") == F.col("s_nationkey")))
+         .join(F.broadcast(n),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+               F.col("n_regionkey") == F.col("r_regionkey")))
+    return (j.groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), "n_name"))
+
+
 def _q_window_top_orders(spark, sf_dir):
     from pyspark.sql import Window
     orders = _tbl(spark, sf_dir, "orders")
@@ -779,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_png": _q_mm_decode_png,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
         "window_top_orders": _q_window_top_orders,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
@@ -1509,6 +1540,18 @@ JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1995-03-15'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+    oracles["tpch_q5"] = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+       AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name"""
 
     oracles["window_top_orders"] = """
 SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (

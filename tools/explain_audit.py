@@ -60,6 +60,11 @@ def main() -> None:
           p.count("BroadcastHashJoin") == 2 and "SortMergeJoin" not in p,
           f"BHJ x{p.count('BroadcastHashJoin')}")
 
+    p = plan_of(e._q_tpch_q5(spark, sf))
+    check("tpch_q5: 5-dim broadcast chain, fact never shuffled for joins",
+          p.count("BroadcastHashJoin") == 5 and "SortMergeJoin" not in p,
+          f"BHJ x{p.count('BroadcastHashJoin')}, SMJ x0")
+
     p = plan_of(e._q_text_quality(spark, sf))
     scan = next((ln for ln in p.splitlines() if "FileScan" in ln), "")
     check("text_quality: column pruning (doc_id,text only)",
