@@ -4735,6 +4735,16 @@ _:inner <{RDF}rest> <{RDF}nil> .
 <http://e/s> <http://e/t> <http://e/o> .
 <http://e/o> <http://e/x> "v" .
 '''),
+    ("w3c_tjs22_expanded_form_json_null", {}, {
+        # tjs22: a DOCUMENT-level expanded value object with @type @json
+        # and @value null keeps null as the JSON literal (no value-object
+        # null drop; contrast jsonG_null_value_kept's term-typed twin)
+        "@id": "http://e/s",
+        "http://e/j": {"@value": None, "@type": "@json"},
+    }, '''
+<http://e/s> <http://e/j> "null"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .
+'''),
+
     ("probeR5_gindex_graph_key_same_graph", {}, {
         # reference JsonLdParser-test.ts:8857 — [@graph,@index] with an
         # explicit @graph-key value: the MAP-path exception applies, edge
