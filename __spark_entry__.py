@@ -367,6 +367,28 @@ def _q_sim_lsh_topk(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def _q_kg_predicate_profile(spark, sf_dir):
+    """Per-predicate object-kind profile (KG quality-assurance view):
+    how many IRI / literal / bnode objects, language-tagged and typed
+    literals each predicate carries. One algebraic groupBy over the
+    lexical term prefixes — the schema-drift detector a production KG
+    pipeline runs after every crawl wave."""
+    q = _quads(spark, sf_dir)
+    is_iri = F.col("obj").startswith("<").cast("long")
+    is_bnode = F.col("obj").startswith("_:").cast("long")
+    is_lit = F.col("obj").startswith('"').cast("long")
+    is_lang = F.col("obj").rlike('"@[A-Za-z]').cast("long")
+    is_typed = F.col("obj").contains('"^^<').cast("long")
+    return (q.groupBy("pred")
+            .agg(F.count("*").alias("n_objs"),
+                 F.sum(is_iri).alias("n_iri"),
+                 F.sum(is_lit).alias("n_literal"),
+                 F.sum(is_bnode).alias("n_bnode"),
+                 F.sum(is_lang).alias("n_lang_tagged"),
+                 F.sum(is_typed).alias("n_typed"))
+            .orderBy("pred"))
+
+
 def _q_kg_host_stats(spark, sf_dir):
     """Per-domain KG rollup (the crawl-governance view every web
     pipeline needs): host extracted from the page URL, quad volume and
@@ -789,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_boilerplate": _q_text_boilerplate,
         "text_pii": _q_text_pii,
+        "kg_predicate_profile": _q_kg_predicate_profile,
         "kg_host_stats": _q_kg_host_stats,
         "kg_nquads": _q_kg_nquads,
         "kg_skew_salted_join": _q_kg_skew_salted_join,
@@ -901,6 +924,24 @@ def oracle_sql() -> dict[str, str]:
     oracles["kg_quads"] = _with_quads(
         "SELECT url, blk, subj, pred, obj, graph FROM q"
         " ORDER BY url, blk, pred, obj")
+
+    # prefix tests are safe on N-Triples lexical terms: content dquotes
+    # are always escaped, so '"@' / '"^^<' can only follow the CLOSING
+    # literal delimiter
+    oracles["kg_predicate_profile"] = _with_quads("""
+SELECT pred,
+ CAST(count(*) AS BIGINT) AS n_objs,
+ CAST(sum(CASE WHEN substr(obj, 1, 1) = '<' THEN 1 ELSE 0 END)
+   AS BIGINT) AS n_iri,
+ CAST(sum(CASE WHEN substr(obj, 1, 1) = '"' THEN 1 ELSE 0 END)
+   AS BIGINT) AS n_literal,
+ CAST(sum(CASE WHEN substr(obj, 1, 2) = '_:' THEN 1 ELSE 0 END)
+   AS BIGINT) AS n_bnode,
+ CAST(sum(CASE WHEN regexp_matches(obj, '"@[A-Za-z]') THEN 1 ELSE 0 END)
+   AS BIGINT) AS n_lang_tagged,
+ CAST(sum(CASE WHEN position('"^^<' IN obj) > 0 THEN 1 ELSE 0 END)
+   AS BIGINT) AS n_typed
+FROM q GROUP BY pred ORDER BY pred""")
 
     oracles["kg_host_stats"] = _with_quads(
         "SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,"
