@@ -372,13 +372,24 @@ def _q_kg_predicate_profile(spark, sf_dir):
     how many IRI / literal / bnode objects, language-tagged and typed
     literals each predicate carries. One algebraic groupBy over the
     lexical term prefixes — the schema-drift detector a production KG
-    pipeline runs after every crawl wave."""
-    q = _quads(spark, sf_dir)
+    pipeline runs after every crawl wave.
+
+    The corpus is the standard pages table UNION an adversarial block set
+    whose literal CONTENT contains escaped-quote sequences (``\\"@en``,
+    ``\\"^^<iri>``) — real web text does this, and a substring test
+    misclassifies it. Lang/datatype markers can only appear after the
+    literal's CLOSING quote, i.e. at the very END of the lexical term
+    (content quotes are serialized escaped as ``\\"``, so an escaped quote
+    never ends the term) — hence the END-ANCHORED tests below."""
+    from jsonld_streaming_parser_js_spark.sources.pages import (
+        adv_literal_blocks)
+    adv = quads_only(parse_blocks(adv_literal_blocks(spark, sf_dir), {}))
+    q = _quads(spark, sf_dir).unionByName(adv)
     is_iri = F.col("obj").startswith("<").cast("long")
     is_bnode = F.col("obj").startswith("_:").cast("long")
     is_lit = F.col("obj").startswith('"').cast("long")
-    is_lang = F.col("obj").rlike('"@[A-Za-z]').cast("long")
-    is_typed = F.col("obj").contains('"^^<').cast("long")
+    is_lang = F.col("obj").rlike('"@[A-Za-z][A-Za-z0-9-]*$').cast("long")
+    is_typed = F.col("obj").rlike('"\\^\\^<[^>]*>$').cast("long")
     return (q.groupBy("pred")
             .agg(F.count("*").alias("n_objs"),
                  F.sum(is_iri).alias("n_iri"),
@@ -925,10 +936,29 @@ def oracle_sql() -> dict[str, str]:
         "SELECT url, blk, subj, pred, obj, graph FROM q"
         " ORDER BY url, blk, pred, obj")
 
-    # prefix tests are safe on N-Triples lexical terms: content dquotes
-    # are always escaped, so '"@' / '"^^<' can only follow the CLOSING
-    # literal delimiter
-    oracles["kg_predicate_profile"] = _with_quads("""
+    # literal-kind tests are END-ANCHORED: a lexical term can only end
+    # with '"', '"@lang' or '"^^<iri>' — content dquotes are serialized
+    # escaped ('\"'), so an escaped quote never ENDS the term, and
+    # substring shapes like '\"@en' inside content cannot match. The
+    # adversarial advq corpus (escaped-quote content) enforces this.
+    bs = " || chr(92) || "
+    adv_rows = " UNION ALL ".join([
+        f"SELECT '<{_SCHEMA}comment>' AS pred,"
+        f" '\"say '{bs}'\"@en'{bs}'\" now ' || did || '\"' AS obj"
+        " FROM advd",
+        f"SELECT '<{_SCHEMA}description>',"
+        f" '\"num 7'{bs}'\"^^<http://x> end ' || did || '\"' FROM advd",
+        f"SELECT '<{_SCHEMA}name>',"
+        f" '\"real '{bs}'\"quoted'{bs}'\" tag ' || did || '\"@en'"
+        " FROM advd",
+        f"SELECT '<{_SCHEMA}weight>',"
+        f" '\"12'{bs}'\"^^<fake> ' || did || '\"^^<http://ex.org/dt>'"
+        " FROM advd",
+    ])
+    oracles["kg_predicate_profile"] = _with_quads(f"""
+, advd AS (SELECT CAST(doc_id AS STRING) AS did FROM documents
+           WHERE doc_id % 25 = 0)
+, allq AS (SELECT pred, obj FROM q UNION ALL {adv_rows})
 SELECT pred,
  CAST(count(*) AS BIGINT) AS n_objs,
  CAST(sum(CASE WHEN substr(obj, 1, 1) = '<' THEN 1 ELSE 0 END)
@@ -937,11 +967,11 @@ SELECT pred,
    AS BIGINT) AS n_literal,
  CAST(sum(CASE WHEN substr(obj, 1, 2) = '_:' THEN 1 ELSE 0 END)
    AS BIGINT) AS n_bnode,
- CAST(sum(CASE WHEN regexp_matches(obj, '"@[A-Za-z]') THEN 1 ELSE 0 END)
-   AS BIGINT) AS n_lang_tagged,
- CAST(sum(CASE WHEN position('"^^<' IN obj) > 0 THEN 1 ELSE 0 END)
-   AS BIGINT) AS n_typed
-FROM q GROUP BY pred ORDER BY pred""")
+ CAST(sum(CASE WHEN regexp_matches(obj, '"@[A-Za-z][A-Za-z0-9-]*$')
+   THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_tagged,
+ CAST(sum(CASE WHEN regexp_matches(obj, '"\\^\\^<[^>]*>$')
+   THEN 1 ELSE 0 END) AS BIGINT) AS n_typed
+FROM allq GROUP BY pred ORDER BY pred""")
 
     oracles["kg_host_stats"] = _with_quads(
         "SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,"
@@ -1490,14 +1520,16 @@ FROM h, x"""
     # salted skew join: the oracle is the PLAIN (unsalted) join over the
     # same deterministically rebuilt hot-predicate corpus — proving the
     # salt split changes the physical plan, never the answer.
-    oracles["kg_skew_salted_join"] = """
+    oracles["kg_skew_salted_join"] = f"""
 WITH f AS (
   SELECT doc_id, i,
          CASE WHEN (doc_id + i) % 2 = 0 THEN '<http://schema.org/name>'
               ELSE '<http://ex.org/p'
-                   || CAST((doc_id * 40 + i) % 97 AS STRING) || '>'
+                   || CAST((doc_id * {skew.ROWS_PER_DOC} + i)
+                           % {skew.SPREAD} AS STRING) || '>'
          END AS pred
-  FROM documents CROSS JOIN generate_series(0, 39) AS t(i)
+  FROM documents
+  CROSS JOIN generate_series(0, {skew.ROWS_PER_DOC - 1}) AS t(i)
 ),
 dim AS (
   SELECT DISTINCT pred, substr(md5(pred), 1, 8) AS pred_tag FROM f

@@ -75,8 +75,15 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: str | list[str],
             .drop(SALT_COL))
 
 
-def skewed_pred_corpus(docs: DataFrame, rows_per_doc: int = 40,
-                       spread: int = 97) -> DataFrame:
+# Single source of truth for the skew-corpus shape: the DuckDB oracle in
+# __spark_entry__ f-strings these SAME constants, so changing them can
+# never desynchronize the lane from its oracle.
+ROWS_PER_DOC = 40
+SPREAD = 97
+
+
+def skewed_pred_corpus(docs: DataFrame, rows_per_doc: int = ROWS_PER_DOC,
+                       spread: int = SPREAD) -> DataFrame:
     """Deterministic hot-predicate fact table derived from ``documents``:
     each doc explodes into ``rows_per_doc`` rows; half of all rows carry
     the single hot predicate (schema.org/name — the rdf:type/label-style

@@ -95,6 +95,54 @@ def block_d_sql(url: str = "url") -> str:
     )
 
 
+def adv_literal_block_sql(url: str = "url") -> str:
+    """Adversarial literal-content block: every string value contains
+    ESCAPED double quotes followed by ``@lang`` / ``^^<iri>`` byte
+    sequences (``\\"@en``, ``\\"^^<...>``) — the shapes that fool any
+    substring-based literal-kind classifier. After JSON unescape the
+    content holds real ``"`` chars, which the N-Triples serializer
+    re-escapes to ``\\"`` (reference: literal construction in
+    /root/reference/lib/Util.ts), so the emitted terms contain the
+    adversarial sequences *inside* literal content while the term still
+    ends with the true delimiter.
+
+    Backslashes are spelled ``chr(92)`` so the SAME expression string is
+    escape-processing-proof in both Spark SQL and DuckDB (Spark string
+    literals interpret backslashes; DuckDB's don't).
+    """
+    bs = " || chr(92) || "
+    return (
+        "'{\"@context\":{\"@vocab\":\"http://schema.org/\"},"
+        "\"@id\":\"' || " + url + " || '#e\","
+        # plain literal whose content contains \"@en  (NOT lang-tagged)
+        "\"comment\":\"say '" + bs + "'\"@en'" + bs + "'\" now ' || "
+        "CAST(doc_id AS STRING) || '\","
+        # plain literal whose content contains \"^^<iri>  (NOT typed)
+        "\"description\":\"num 7'" + bs + "'\"^^<http://x> end ' || "
+        "CAST(doc_id AS STRING) || '\","
+        # REALLY lang-tagged literal with escaped quotes in content
+        "\"name\":{\"@value\":\"real '" + bs + "'\"quoted'" + bs
+        + "'\" tag ' || CAST(doc_id AS STRING) || '\","
+        "\"@language\":\"en\"},"
+        # REALLY typed literal whose content fakes a datatype suffix
+        "\"weight\":{\"@value\":\"12'" + bs + "'\"^^<fake> ' || "
+        "CAST(doc_id AS STRING) || '\","
+        "\"@type\":\"http://ex.org/dt\"}}'"
+    )
+
+
+def adv_literal_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, blk, block) adversarial-literal fixture blocks, one per
+    ``doc_id % 25 == 0`` document — SQL-expressible so the DuckDB oracle
+    reconstructs the exact expected N-Triples terms (escapes included)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    adv_url = ("'https://adv.example.org/page/' || CAST(doc_id AS STRING)")
+    return (docs.where(F.expr("doc_id % 25 = 0"))
+            .select(F.expr(adv_url).alias("url"),
+                    F.lit(0).alias("blk"),
+                    F.expr(adv_literal_block_sql(adv_url)).alias("block")))
+
+
 def i18n_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(url, blk, block) frame of i18n fixture blocks — one per document,
     SQL-expressible so the driver oracle can reconstruct expected quads."""

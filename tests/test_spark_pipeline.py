@@ -295,7 +295,7 @@ def test_aqe_skew_join_split_fires(spark):
 
 
 def test_graph_views(spark, pages):
-    quads = pages_to_quads(pages, CONTEXTS)
+    quads = pages_to_quads(pages, CONTEXTS).cache()
     views = pipe.graph_views(quads)
     nodes = views["nodes"]
     kinds = {r["kind"] for r in nodes.select("kind").distinct().collect()}
@@ -306,6 +306,45 @@ def test_graph_views(spark, pages):
     missing = (edges.select(F.col("src").alias("term")).distinct()
                .join(nodes, "term", "left_anti"))
     assert missing.count() == 0
+    # degree values: the single-shuffle flag aggregation must equal the
+    # naive per-position counts (out = rows as subj, in = rows as obj)
+    got = {r["term"]: (r["out_degree"], r["in_degree"])
+           for r in nodes.collect()}
+    out_c = {r["subj"]: r["n"] for r in
+             quads.groupBy("subj").agg(F.count("*").alias("n")).collect()}
+    in_c = {r["obj"]: r["n"] for r in
+            quads.groupBy("obj").agg(F.count("*").alias("n")).collect()}
+    assert set(got) == set(out_c) | set(in_c)
+    for term, (o, i) in got.items():
+        assert o == out_c.get(term, 0) and i == in_c.get(term, 0)
+    # plan shape: exactly ONE shuffle over the term universe, no Union
+    # (a union would re-run the upstream parse subtree per branch)
+    p = (nodes._jdf.queryExecution().executedPlan().toString()
+         .split("== Initial Plan ==")[0])  # AQE repeats the pre-exec plan
+    term_ex = [ln for ln in p.splitlines()
+               if "Exchange hashpartitioning(term" in ln]
+    assert len(term_ex) == 1 and "Union" not in p, p[:2000]
+    quads.unpersist()
+
+
+def test_predicate_profile_anchored_literal_kinds(spark):
+    """Adversarial escaped-quote content (``\\"@en``, ``\\"^^<iri>``
+    inside literal content) must NOT count as lang-tagged / typed, while
+    genuinely tagged/typed literals with the same content still do."""
+    import __spark_entry__ as e
+    prof = {r["pred"]: r for r in
+            e._q_kg_predicate_profile(spark, SF).collect()}
+    s = "http://schema.org/"
+    n_adv = 20  # doc_id % 25 == 0 over 500 docs
+    c = prof[f"<{s}comment>"]       # content contains \"@en  -> plain
+    assert (c["n_lang_tagged"], c["n_typed"]) == (0, 0)
+    assert c["n_literal"] == n_adv
+    d = prof[f"<{s}description>"]   # content contains \"^^<iri> -> plain
+    assert (d["n_lang_tagged"], d["n_typed"]) == (0, 0)
+    w = prof[f"<{s}weight>"]        # really typed, content fakes a suffix
+    assert (w["n_typed"], w["n_lang_tagged"]) == (n_adv, 0)
+    nm = prof[f"<{s}name>"]         # really lang-tagged adv names merge in
+    assert nm["n_lang_tagged"] >= n_adv and nm["n_typed"] == 0
 
 
 def test_fuzzy_canonicalization_minhash(spark):

@@ -99,6 +99,22 @@ def main() -> None:
           p.count("HashAggregate") >= 2,
           f"HashAggregate x{p.count('HashAggregate')}")
 
+    # graph nodes view: both degree counts from ONE shuffle over the term
+    # universe (explode + single groupBy; was distinct + 2 groupBys +
+    # 2 joins = 3 term Exchanges), and a single lineage (no union that
+    # would run the parse subtree twice).
+    from jsonld_streaming_parser_js_spark.plans.pipeline import graph_views
+    p = plan_of(graph_views(pages_to_quads(
+        pages_from_documents(spark, sf), CONTEXTS))["nodes"])
+    term_ex = [ln.strip() for ln in p.splitlines()
+               if "Exchange hashpartitioning(term" in ln]
+    check("graph nodes: ONE term shuffle, single lineage",
+          len(term_ex) == 1 and p.count("Exchange") == 2
+          and "Union" not in p,
+          f"term Exchange x{len(term_ex)}, total Exchange "
+          f"x{p.count('Exchange')} (1 quads-dedup + 1 degree agg), "
+          f"Union x{p.count('Union')}")
+
     # fuzzy canonicalization: the MinHash banding must reach the candidate
     # join as an EQUI-join on (band, bucket) — never all-pairs — and the
     # CC loop's per-iteration localCheckpoint must keep the FINAL mapping
