@@ -95,6 +95,32 @@ def block_d_sql(url: str = "url") -> str:
     )
 
 
+def shared_org_block_sql() -> str:
+    """Site-template block: content keyed ONLY by the site (doc_id % 7),
+    so every page of a site carries a byte-identical block — the
+    real-crawl duplication shape the distinct-block parse memo
+    (operators/memo.py) exploits. Includes an anonymous node so the
+    memo's skolem-prefix rewrite is exercised across urls/blks."""
+    k = "CAST(doc_id % 7 AS STRING)"
+    return (
+        "'{\"@context\":{\"@vocab\":\"http://schema.org/\"},"
+        "\"@id\":\"https://ex' || " + k + " || '.example.org/#org\","
+        "\"@type\":\"Organization\",\"name\":\"Site ' || " + k
+        + " || '\",\"member\":{\"name\":\"Bot ' || " + k + " || '\"}}'"
+    )
+
+
+def shared_org_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, blk, block): one site-template block per document; only 7
+    distinct block strings across the whole corpus. ``blk = doc_id % 2``
+    so the memo rewrite must handle non-zero block indexes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.expr(page_url_sql()).alias("url"),
+        F.expr("CAST(doc_id % 2 AS INT)").alias("blk"),
+        F.expr(shared_org_block_sql()).alias("block"))
+
+
 def adv_literal_block_sql(url: str = "url") -> str:
     """Adversarial literal-content block: every string value contains
     ESCAPED double quotes followed by ``@lang`` / ``^^<iri>`` byte

@@ -67,7 +67,8 @@ def streaming_quad_rates(spark: SparkSession, pages: DataFrame,
                          work_dir: str, ctx_cache: dict | None = None,
                          window: str = "1 minute",
                          watermark: str = "2 minutes",
-                         n_slices: int = 4) -> DataFrame:
+                         n_slices: int = 4,
+                         late_every: int | None = None) -> DataFrame:
     """Bounded file-source run of the WATERMARKED windowed aggregation:
     pages sliced into ``n_slices`` crawl-time-ordered files (mtime-ordered
     micro-batches, like streaming_sessionize), parsed by the same fused
@@ -78,7 +79,17 @@ def streaming_quad_rates(spark: SparkSession, pages: DataFrame,
     sentinel page far past the last crawl timestamp advances the
     watermark over every real window; the sentinel's own window stays
     open and is never emitted. Returns the materialized (window_start,
-    n_quads) table."""
+    n_quads) table.
+
+    ``late_every``: when set, a deterministic 1/late_every url subset of
+    each time range is DELAYED one micro-batch — those pages' event times
+    fall in windows already populated by earlier batches, but are still
+    within the watermark, so the stateful aggregation must MERGE them
+    before the window finalizes (the late-data path of the watermark
+    contract; callers should widen ``watermark`` past one slice width +
+    one window so no late row is droppable). The value-hash oracle is the
+    order-independent batch aggregation over ALL pages, so any dropped
+    late row fails the lane."""
     import os
 
     from ..operators.parse import extract_and_parse
@@ -103,10 +114,22 @@ def streaming_quad_rates(spark: SparkSession, pages: DataFrame,
         "url",
         (F.lit(hi) + F.expr("INTERVAL 7 DAYS")).alias("warc_ts"),
         "html", "text", "lang")
-    write_ordered_slices(
-        [base.where((sel >= i * step) & (sel < (i + 1) * step))
-         for i in range(n_slices)] + [sentinel],
-        work_dir, os.path.join(work_dir, "input"))
+    def in_range(i):
+        return (sel >= i * step) & (sel < (i + 1) * step)
+
+    if late_every is None:
+        slices = [base.where(in_range(i)) for i in range(n_slices)]
+    else:
+        is_late = F.pmod(F.xxhash64("url"), F.lit(late_every)) == 0
+        # slice i = on-time rows of range i + the DELAYED rows of range
+        # i-1; the last range's delayed rows get their own extra slice
+        # (still before the sentinel that closes all real windows)
+        slices = [base.where((in_range(i) & ~is_late)
+                             | (in_range(i - 1) & is_late))
+                  for i in range(n_slices)]
+        slices.append(base.where(in_range(n_slices - 1) & is_late))
+    write_ordered_slices(slices + [sentinel],
+                         work_dir, os.path.join(work_dir, "input"))
 
     ts_map = (base.unionByName(sentinel)
               .select("url", "warc_ts").distinct())

@@ -73,6 +73,35 @@ def test_streaming_windowed_rates(spark):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def test_streaming_rates_merge_late_rows_within_watermark(spark):
+    """Late-data path of the watermark contract: a deterministic 1/5 url
+    subset arrives one micro-batch late — in windows earlier batches
+    already populated, within the watermark — and the finalized windows
+    must still equal the order-independent batch aggregation."""
+    workdir = tempfile.mkdtemp(prefix="kg_rate_late_")
+    try:
+        pages = pages_from_documents(spark, SF).cache()
+        n_late = pages.where(
+            F.pmod(F.xxhash64("url"), F.lit(5)) == 0).count()
+        assert n_late > 0  # the late subset is non-empty (test has teeth)
+        got = strm.streaming_quad_rates(
+            spark, pages, workdir, CONTEXTS,
+            watermark="6 minutes", late_every=5)
+        want = (pages_to_quads(pages, CONTEXTS)
+                .groupBy("url").agg(F.count("*").alias("nq"))
+                .join(pages.select("url", "warc_ts"), "url")
+                .groupBy(F.date_format(
+                    F.window("warc_ts", "1 minute").start,
+                    "yyyy-MM-dd HH:mm:ss").alias("window_start"))
+                .agg(F.sum("nq").alias("n_quads")))
+        g = {(r["window_start"], r["n_quads"]) for r in got.collect()}
+        w = {(r["window_start"], r["n_quads"]) for r in want.collect()}
+        assert g == w and len(g) > 2
+        pages.unpersist()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def test_multimodal_features(spark):
     media = mm.synth_media(spark, 48)
     feats = mm.extract_features(media)
