@@ -176,7 +176,7 @@ def connected_components(edges: DataFrame,
                       F.col("src").alias("component"))
               .localCheckpoint())
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # each node adopts min(own label, neighbors' labels). The change
         # flag is computed IN the same select (hash-min labels only ever
         # decrease, so changed == some neighbor label beat the old one) and
@@ -206,10 +206,99 @@ def connected_components(edges: DataFrame,
         changed = joined.where(F.col("_changed")).count()
         labels = joined.drop("_changed")
         if changed == 0:
+            connected_components.last_iterations = it + 1
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations "
         f"(component diameter exceeds max_iter; raise max_iter)")
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star step: every node u connects its strictly-larger
+    neighbors to min(N(u) + {u})."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    mins = (sym.groupBy("src")
+            .agg(F.least(F.min("dst"), F.first("src")).alias("m")))
+    return (sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star step: orient each edge to its larger endpoint, then
+    connect that node and all its (smaller) neighbors to the minimum."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("u"),
+        F.least("src", "dst").alias("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    leaves = (oriented.join(mins, "u")
+              .where(F.col("v") != F.col("m"))
+              .select(F.col("v").alias("src"), F.col("m").alias("dst")))
+    centers = mins.select(F.col("u").alias("src"),
+                          F.col("m").alias("dst"))
+    return (leaves.union(centers)
+            .where(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def connected_components_two_phase(edges: DataFrame,
+                                   max_iter: int = 30) -> DataFrame:
+    """Alternating large-star / small-star connected components —
+    O(log n) rounds regardless of component DIAMETER (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14; PAPERS.md).
+
+    Same contract as :func:`connected_components` (node -> component =
+    min member, string order), but convergence does not depend on the
+    graph's shape: hash-min propagates the min label one hop per round
+    (O(diameter)), while star operations reattach whole subtrees, halving
+    tree heights each round. The trade is more shuffles per round (two
+    groupBys + two joins vs one of each), so hash-min stays preferable
+    for the tiny-diameter components that blocking produces; this is the
+    scale path for unknown/long chain topologies.
+
+    Convergence test: the (count, bit_xor(xxhash64)) signature of the
+    edge set is unchanged by a full round — at the fixpoint the edge set
+    is exactly the star forest {(v, min(C)) | v != min(C)}, which both
+    steps map to itself. (Signature equality standing in for set equality
+    has a ~2^-64 collision bound; the count component is exact.)
+    Iteration count is exposed as ``last_iterations`` for tests.
+    """
+    base = edges.select("src", "dst").localCheckpoint()
+    e = base.where(F.col("src") != F.col("dst")).distinct()
+    # node universe from the UNFILTERED input so self-loop-only nodes
+    # still label themselves (contract parity with hash-min)
+    all_nodes = (base.select(F.col("src").alias("node"))
+                 .union(base.select(F.col("dst").alias("node")))
+                 .distinct())
+
+    def signature(df: DataFrame):
+        return tuple(df.agg(
+            F.count("*"),
+            F.bit_xor(F.xxhash64(F.concat_ws("|", "src", "dst")))
+        ).first())
+
+    prev = signature(e)
+    for rounds in range(1, max_iter + 1):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        sig = signature(e)  # materializes the lazy checkpoint
+        if sig == prev:
+            connected_components_two_phase.last_iterations = rounds
+            labels = e.select(F.col("src").alias("node"),
+                              F.col("dst").alias("component"))
+            # roots (and any node isolated by self-edge pruning) label
+            # themselves
+            return (all_nodes.join(labels, "node", "left")
+                    .select("node",
+                            F.coalesce("component", "node")
+                            .alias("component")))
+        prev = sig
+    raise RuntimeError(
+        f"connected_components_two_phase did not converge in {max_iter} "
+        f"rounds (expected O(log n); this indicates a bug or adversarial "
+        f"float in the edge set)")
 
 
 def canonical_mapping(quads: DataFrame) -> DataFrame:
@@ -228,13 +317,23 @@ def canonical_mapping(quads: DataFrame) -> DataFrame:
 def canonical_mapping_fuzzy(quads: DataFrame,
                             min_jaccard: float = 0.5,
                             num_hashes: int = 32,
-                            bands: int = 8) -> DataFrame:
+                            bands: int = 8,
+                            cc_algorithm: str = "hash_min") -> DataFrame:
     """Fuzzy variant: MinHash-LSH candidates can chain A~B~C across
-    blocks, so real connected components are required."""
+    blocks, so real connected components are required.
+
+    ``cc_algorithm``: 'hash_min' (default — O(diameter) rounds, cheapest
+    per round; entity-coref candidate graphs have tiny measured diameters
+    because LSH blocking only links near-duplicates, see
+    tests/test_spark_pipeline.py::test_fuzzy_cc_diameter_bound) or
+    'two_phase' (large-star/small-star, O(log n) rounds — the scale path
+    when component topology is unknown or chains are possible)."""
     features = node_features(quads)
     edges = candidate_edges_minhash(features, num_hashes=num_hashes,
                                     bands=bands, min_jaccard=min_jaccard)
-    comps = connected_components(edges)
+    cc = (connected_components_two_phase if cc_algorithm == "two_phase"
+          else connected_components)
+    comps = cc(edges)
     return (comps
             .where(F.col("node") != F.col("component"))
             .select("node", F.col("component").alias("canonical")))

