@@ -784,10 +784,11 @@ def _q_streaming_quad_rates(spark, sf_dir):
 def _q_streaming_quad_rates_late(spark, sf_dir):
     """Late-data twin of streaming_quad_rates: a deterministic 1/5 url
     subset of every time range arrives one micro-batch LATE — inside
-    windows already populated by earlier batches but within the (widened,
-    6-minute) watermark — so the stateful aggregation must merge them
-    before finalization. The oracle is the order-independent batch
-    windowing over ALL pages: a dropped late row value-hash-fails."""
+    windows already populated by earlier batches but within the
+    watermark (derived from the corpus' slice width so the no-drop bound
+    holds at every scale factor) — so the stateful aggregation must
+    merge them before finalization. The oracle is the order-independent
+    batch windowing over ALL pages: a dropped late row value-hash-fails."""
     import shutil
     import tempfile
     from jsonld_streaming_parser_js_spark.streaming.stream import (
@@ -795,7 +796,7 @@ def _q_streaming_quad_rates_late(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="stream-rates-late-")
     try:
         return streaming_quad_rates(spark, _pages(spark, sf_dir), work,
-                                    CONTEXTS, watermark="6 minutes",
+                                    CONTEXTS, watermark=None,
                                     late_every=5)
     finally:
         shutil.rmtree(work, ignore_errors=True)

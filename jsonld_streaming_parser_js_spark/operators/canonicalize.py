@@ -275,9 +275,12 @@ def connected_components_two_phase(edges: DataFrame,
                  .distinct())
 
     def signature(df: DataFrame):
+        # multi-column xxhash64 (NOT a concat with a separator: node
+        # terms may contain any byte, so ('a|b','c') and ('a','b|c')
+        # would collide deterministically under a joined string)
         return tuple(df.agg(
             F.count("*"),
-            F.bit_xor(F.xxhash64(F.concat_ws("|", "src", "dst")))
+            F.bit_xor(F.xxhash64(F.col("src"), F.col("dst")))
         ).first())
 
     prev = signature(e)

@@ -160,8 +160,12 @@ def parse_blocks_memo(blocks: DataFrame, ctx_cache: dict | None = None,
     DISTINCT block instead of per occurrence."""
     keyed = blocks.withColumn("bkey", F.md5("block"))
     distinct = keyed.select("bkey", "block").dropDuplicates(["bkey"])
+    # localCheckpoint (eager): BOTH consumers below (hits join + fallback
+    # keys) read the materialized result — without it each branch would
+    # re-run the distinct kernel parse, doubling the dominant cost and
+    # voiding the one-kernel-call-per-distinct-block contract
     memo = parse_distinct_blocks(distinct, ctx_cache, rdf_direction,
-                                 parser_options)
+                                 parser_options).localCheckpoint()
 
     hits = (keyed.select("url", "blk", "bkey")
             .join(memo.where(F.col("memoizable")), "bkey")
@@ -173,7 +177,10 @@ def parse_blocks_memo(blocks: DataFrame, ctx_cache: dict | None = None,
                     F.lit(None).cast("string").alias("error")))
 
     fb_keys = memo.where(~F.col("memoizable")).select("bkey")
+    # NULL blocks (md5=NULL, matched by neither join) go down the plain
+    # path too, so out-of-contract input fails as loudly as parse_blocks
     fb_blocks = (keyed.join(fb_keys, "bkey", "left_semi")
+                 .unionByName(keyed.where(F.col("bkey").isNull()))
                  .select("url", "blk", "block"))
     fallback = parse_blocks(fb_blocks, ctx_cache, rdf_direction,
                             parser_options)

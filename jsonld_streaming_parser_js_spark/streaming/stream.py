@@ -66,7 +66,7 @@ def start_quads_sink(quads_stream: DataFrame, out_dir: str,
 def streaming_quad_rates(spark: SparkSession, pages: DataFrame,
                          work_dir: str, ctx_cache: dict | None = None,
                          window: str = "1 minute",
-                         watermark: str = "2 minutes",
+                         watermark: str | None = "2 minutes",
                          n_slices: int = 4,
                          late_every: int | None = None) -> DataFrame:
     """Bounded file-source run of the WATERMARKED windowed aggregation:
@@ -86,8 +86,11 @@ def streaming_quad_rates(spark: SparkSession, pages: DataFrame,
     fall in windows already populated by earlier batches, but are still
     within the watermark, so the stateful aggregation must MERGE them
     before the window finalizes (the late-data path of the watermark
-    contract; callers should widen ``watermark`` past one slice width +
-    one window so no late row is droppable). The value-hash oracle is the
+    contract). Pass ``watermark=None`` to derive it from the corpus'
+    actual slice width (slice + window + slack) — the no-drop
+    precondition depends on the time span, which scales with document
+    count, so a fixed watermark would silently start dropping late rows
+    at larger scale factors. The value-hash oracle is the
     order-independent batch aggregation over ALL pages, so any dropped
     late row fails the lane."""
     import os
@@ -104,6 +107,11 @@ def streaming_quad_rates(spark: SparkSession, pages: DataFrame,
     if lo is None:
         return spark.createDataFrame([], out_schema)
     step = max(int(((hi - lo).total_seconds() + 1) // n_slices) + 1, 1)
+    if watermark is None:
+        # no-drop bound for one-batch lateness: a delayed row's window
+        # can lag the seen max event time by up to one slice width plus
+        # one window; +60 s slack for window-boundary truncation
+        watermark = f"{step + 120} seconds"
     sel = (F.unix_timestamp("warc_ts") - F.unix_timestamp(F.lit(lo)))
     sentinel_html = (b'<script type="application/ld+json">'
                      b'{"@id": "http://sentinel.invalid/s",'

@@ -86,7 +86,7 @@ def test_streaming_rates_merge_late_rows_within_watermark(spark):
         assert n_late > 0  # the late subset is non-empty (test has teeth)
         got = strm.streaming_quad_rates(
             spark, pages, workdir, CONTEXTS,
-            watermark="6 minutes", late_every=5)
+            watermark=None, late_every=5)  # derived no-drop watermark
         want = (pages_to_quads(pages, CONTEXTS)
                 .groupBy("url").agg(F.count("*").alias("nq"))
                 .join(pages.select("url", "warc_ts"), "url")
