@@ -248,6 +248,25 @@ def main() -> None:
           "degrade-to-shuffle proven in "
           "test_relabel_join_degrades_to_shuffle_not_forced_broadcast")
 
+    # distinct-block memo: all joins are equi-joins on the uniform md5
+    # bkey (never all-pairs), and at runtime AQE broadcasts the small
+    # distinct-parse side of the hit join (executed final plan).
+    from jsonld_streaming_parser_js_spark.operators.memo import (
+        parse_blocks_memo)
+    from jsonld_streaming_parser_js_spark.operators.extract import (
+        extract_blocks)
+    mdf = parse_blocks_memo(
+        extract_blocks(pages_from_documents(spark, sf)), CONTEXTS)
+    mdf.collect()
+    p = plan_of(mdf).split("== Initial Plan ==")[0]
+    check("memo parse: bkey equi-joins, AQE broadcasts distinct side",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and "BroadcastHashJoin" in p,
+          f"BHJ x{p.count('BroadcastHashJoin')}, "
+          f"SMJ x{p.count('SortMergeJoin')}, cartesian x0 "
+          "(hit join + fallback semi-join, both on md5(block))")
+
     df = e._q_dedup_embedding_lsh_recall(spark, sf)
     # the recall audit's exact side is all-pairs BY DESIGN, but only on the
     # deterministic md5 1/4 sample. Assert STRUCTURALLY that every
