@@ -426,6 +426,19 @@ def _q_kg_predicate_profile(spark, sf_dir):
             .orderBy("pred"))
 
 
+def _q_approx_distinct_hll(spark, sf_dir):
+    """Approximate-aggregate lane: deterministic md5-HyperLogLog distinct
+    count of KG subjects (operators/sketch.py) AUDITED against the exact
+    count in the same row. Unlike engine-native HLLs (hash functions
+    differ), the md5-derived sketch is value-identical in DuckDB, so
+    even the approximate operator gets an exact oracle. At 100 TB this
+    is the distinct-count tool: registers merge across any partitioning
+    with a <=m-row shuffle instead of re-shuffling the key universe."""
+    from jsonld_streaming_parser_js_spark.operators.sketch import (
+        hll_distinct)
+    return hll_distinct(_quads(spark, sf_dir), "subj", b=8)
+
+
 def _q_kg_host_stats(spark, sf_dir):
     """Per-domain KG rollup (the crawl-governance view every web
     pipeline needs): host extracted from the page URL, quad volume and
@@ -857,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_clusters": _q_kg_canonical_clusters,
         "kg_quads_canonical": _q_kg_quads_canonical,
         "kg_canonical_fuzzy": _q_kg_canonical_fuzzy,
+        "approx_distinct_hll": _q_approx_distinct_hll,
         # -- unwitnessed in r05 (verdict ask #1) --
         "tpch_q5": _q_tpch_q5,
         "window_top_orders": _q_window_top_orders,
@@ -1000,6 +1014,11 @@ def oracle_sql() -> dict[str, str]:
 
     # memoized parse must be indistinguishable from the plain parse
     oracles["kg_quads_memo"] = oracles["kg_quads"]
+
+    from jsonld_streaming_parser_js_spark.operators.sketch import (
+        hll_distinct_sql)
+    oracles["approx_distinct_hll"] = hll_distinct_sql(
+        _with_quads("SELECT subj FROM q"), "subj", b=8)
 
     _org = "'<https://ex' || k || '.example.org/#org>'"
     _orgb = "'_:s' || substr(md5(url), 1, 16) || 'x' || blk || 'xb0'"
