@@ -426,6 +426,24 @@ def _q_kg_predicate_profile(spark, sf_dir):
             .orderBy("pred"))
 
 
+def _q_kg_upsert_wave(spark, sf_dir):
+    """MERGE-style re-crawl upsert (plans/lineage.upsert_quads): a wave
+    re-crawls every doc_id%3==0 page with changed content (Article name
+    gains ' v2'); the store must show the wave's quads for those urls
+    and the original quads for the rest — delete-then-insert at document
+    granularity. The physical twin (upsert_wave) rewrites only affected
+    bucket partitions; tests assert untouched bucket files are not
+    rewritten."""
+    from jsonld_streaming_parser_js_spark.plans.lineage import (
+        upsert_quads)
+    base = _quads(spark, sf_dir)
+    wave = pages_to_quads(
+        pages_from_documents(spark, sf_dir, doc_filter="doc_id % 3 = 0",
+                             name_suffix=" v2"),
+        CONTEXTS)
+    return upsert_quads(base, wave).orderBy("url", "blk", "pred", "obj")
+
+
 def _q_approx_distinct_hll(spark, sf_dir):
     """Approximate-aggregate lane: deterministic md5-HyperLogLog distinct
     count of KG subjects (operators/sketch.py) AUDITED against the exact
@@ -871,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_quads_canonical": _q_kg_quads_canonical,
         "kg_canonical_fuzzy": _q_kg_canonical_fuzzy,
         "approx_distinct_hll": _q_approx_distinct_hll,
+        "kg_upsert_wave": _q_kg_upsert_wave,
         # -- unwitnessed in r05 (verdict ask #1) --
         "tpch_q5": _q_tpch_q5,
         "window_top_orders": _q_window_top_orders,
@@ -882,7 +901,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quad_rates": _q_streaming_quad_rates,
         "streaming_quad_rates_late": _q_streaming_quad_rates_late,
         # -- carried lanes --
-        "kg_extract_blocks": _q_kg_extract_blocks,
         "kg_errors": _q_kg_errors,
         "kg_strict_errors": _q_kg_strict_errors,
         "kg_quads_by_predicate": _q_kg_quads_by_predicate,
@@ -911,11 +929,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_ivf_recall": _q_sim_ivf_recall,
         "sim_lsh_topk": _q_sim_lsh_topk,
-        "mm_media_stats": _q_mm_media_stats,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         # -- tail: unchanged + green in r04/r05; may fall past a 50-lane
         #    driver window without losing audit coverage --
+        "kg_extract_blocks": _q_kg_extract_blocks,
+        "mm_media_stats": _q_mm_media_stats,
         "kg_type_counts": _q_kg_type_counts,
         "kg_distinct_objects": _q_kg_distinct_objects,
         "kg_author_labels": _q_kg_author_labels,
@@ -952,8 +971,13 @@ d AS (
 _SCHEMA = "http://schema.org/"
 
 
-def _expected_quads_cte() -> str:
-    """CTE reconstructing the exact quad set the pipeline must emit."""
+def _expected_quads_cte(name: str = "q", src: str = "d",
+                        name_sfx: str = "") -> str:
+    """CTE reconstructing the exact quad set the pipeline must emit.
+
+    ``src``/``name_sfx`` parameterize the RE-CRAWL WAVE variant (same
+    urls, changed Article name) for the upsert lane — the oracle builds
+    both the base corpus and the wave from one definition."""
     s = "'<' || url || '#article>'"
     nav = "'<' || url || '#nav>'"
     ent = "'<' || url || '#entity>'"
@@ -961,36 +985,37 @@ def _expected_quads_cte() -> str:
     l0 = "'_:s' || substr(md5(url), 1, 16) || 'x1xl0'"
     l1 = "'_:s' || substr(md5(url), 1, 16) || 'x1xl1'"
     c_blk = "1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END"
+    d = src
     rows = [
         f"SELECT url, 0 AS blk, {s} AS subj, '<{RDF_NS}type>' AS pred,"
-        f" '<{_SCHEMA}Article>' AS obj, '' AS graph FROM d",
+        f" '<{_SCHEMA}Article>' AS obj, '' AS graph FROM {d}",
         f"SELECT url, 0, {s}, '<{_SCHEMA}name>',"
-        " '\"Doc ' || did || '\"', '' FROM d",
+        f" '\"Doc ' || did || '{name_sfx}\"', '' FROM {d}",
         f"SELECT url, 0, {s}, '<{_SCHEMA}wordCount>', '\"' || nch ||"
-        " '\"^^<http://www.w3.org/2001/XMLSchema#integer>', '' FROM d",
+        f" '\"^^<http://www.w3.org/2001/XMLSchema#integer>', '' FROM {d}",
         f"SELECT url, 0, {s}, '<{_SCHEMA}inLanguage>',"
-        " '\"' || lang || '\"', '' FROM d",
-        f"SELECT url, 0, {s}, '<{_SCHEMA}author>', author, '' FROM d",
+        f" '\"' || lang || '\"', '' FROM {d}",
+        f"SELECT url, 0, {s}, '<{_SCHEMA}author>', author, '' FROM {d}",
         f"SELECT url, 0, author, '<{_SCHEMA}name>',"
-        " '\"Author ' || k || '\"', '' FROM d",
+        f" '\"Author ' || k || '\"', '' FROM {d}",
         f"SELECT url, 1, {nav}, '<{_SCHEMA}crumbs>', {l0}, ''"
-        " FROM d WHERE doc_id % 3 = 0",
+        f" FROM {d} WHERE doc_id % 3 = 0",
         f"SELECT url, 1, {l0}, '<{RDF_NS}first>', '\"Home\"', ''"
-        " FROM d WHERE doc_id % 3 = 0",
+        f" FROM {d} WHERE doc_id % 3 = 0",
         f"SELECT url, 1, {l0}, '<{RDF_NS}rest>', {l1}, ''"
-        " FROM d WHERE doc_id % 3 = 0",
+        f" FROM {d} WHERE doc_id % 3 = 0",
         f"SELECT url, 1, {l1}, '<{RDF_NS}first>',"
-        " '\"Doc ' || did || '\"', '' FROM d WHERE doc_id % 3 = 0",
+        f" '\"Doc ' || did || '\"', '' FROM {d} WHERE doc_id % 3 = 0",
         f"SELECT url, 1, {l1}, '<{RDF_NS}rest>', '<{RDF_NS}nil>', ''"
-        " FROM d WHERE doc_id % 3 = 0",
+        f" FROM {d} WHERE doc_id % 3 = 0",
         f"SELECT url, {c_blk}, {ent}, '<{_SCHEMA}name>',"
-        " '\"Doc ' || did || '\"@en', " + g +
-        " FROM d WHERE doc_id % 5 = 0",
+        f" '\"Doc ' || did || '\"@en', " + g +
+        f" FROM {d} WHERE doc_id % 5 = 0",
         f"SELECT url, {c_blk}, {ent}, '<{_SCHEMA}name>',"
-        " '\"Dok ' || did || '\"@de', " + g +
-        " FROM d WHERE doc_id % 5 = 0",
+        f" '\"Dok ' || did || '\"@de', " + g +
+        f" FROM {d} WHERE doc_id % 5 = 0",
     ]
-    return "q AS (\n" + "\nUNION ALL\n".join(rows) + "\n)"
+    return f"{name} AS (\n" + "\nUNION ALL\n".join(rows) + "\n)"
 
 
 def _with_quads(select: str) -> str:
@@ -1019,6 +1044,16 @@ def oracle_sql() -> dict[str, str]:
         hll_distinct_sql)
     oracles["approx_distinct_hll"] = hll_distinct_sql(
         _with_quads("SELECT subj FROM q"), "subj", b=8)
+
+    # upsert: wave quads (changed names) replace their urls' quads wholesale
+    oracles["kg_upsert_wave"] = (
+        f"WITH {_D_CTE}, {_expected_quads_cte()},\n"
+        "dw AS (SELECT * FROM d WHERE doc_id % 3 = 0),\n"
+        + _expected_quads_cte(name="qw", src="dw", name_sfx=" v2")
+        + "\nSELECT url, blk, subj, pred, obj, graph FROM ("
+          " SELECT * FROM q WHERE url NOT IN (SELECT url FROM dw)"
+          " UNION ALL SELECT * FROM qw)"
+          " ORDER BY url, blk, pred, obj")
 
     _org = "'<https://ex' || k || '.example.org/#org>'"
     _orgb = "'_:s' || substr(md5(url), 1, 16) || 'x' || blk || 'xb0'"

@@ -151,6 +151,50 @@ def write_bucketed(parsed_with_bucket: DataFrame, out_dir: str,
         cached.unpersist()
 
 
+def upsert_quads(base: DataFrame, wave: DataFrame,
+                 key: str = "url") -> DataFrame:
+    """Declarative MERGE at document granularity: a re-crawl wave
+    REPLACES every quad of the urls it contains (delete-then-insert —
+    the semantics of `MERGE ... WHEN MATCHED DELETE+INSERT` keyed by
+    url). left_anti + union keeps the whole expression oracle-checkable;
+    the physical twin below rewrites only affected bucket partitions."""
+    return (base.join(wave.select(key).distinct(), key, "left_anti")
+            .unionByName(wave))
+
+
+def upsert_wave(spark: SparkSession, out_dir: str,
+                wave_parsed: DataFrame, buckets: int,
+                snapshot_id: str = "", quad_sink=None) -> None:
+    """Physical MERGE into the bucketed quad store: only the url-buckets
+    the wave touches are recomputed and dynamically overwritten —
+    untouched bucket partitions are NOT rewritten (asserted by file
+    mtimes in tests). At 100 TB a crawl wave touches a small fraction of
+    buckets, so the rewrite cost is O(wave), not O(store). New bucket
+    content = (stored bucket minus wave urls) + wave rows; lineage rows
+    for the affected buckets are appended after the data lands (same
+    crash-safety ordering as write_bucketed)."""
+    wave_b = with_bucket(wave_parsed, buckets).persist()
+    try:
+        affected = wave_b.select("bucket").distinct()
+        cols = ["url", "blk", "subj", "pred", "obj", "graph", "error",
+                "bucket"]
+        stored = (spark.read.parquet(f"{out_dir}/quads")
+                  .withColumn("bucket", F.col("bucket").cast("long"))
+                  .select(*cols))
+        keep = (stored
+                .join(F.broadcast(affected), "bucket", "left_semi")
+                .join(wave_b.select("url").distinct(), "url", "left_anti"))
+        merged = keep.unionByName(wave_b.select(*cols)).persist()
+        sorted_quads = merged.sortWithinPartitions("bucket", "pred",
+                                                   "subj")
+        (quad_sink or parquet_quad_sink)(sorted_quads, out_dir)
+        (bucket_lineage(merged, snapshot_id).write.mode("append")
+         .parquet(f"{out_dir}/lineage"))
+        merged.unpersist()
+    finally:
+        wave_b.unpersist()
+
+
 def check_snapshot(spark: SparkSession, out_dir: str,
                    snapshot_id: str) -> None:
     """Refuse to write alongside lineage from a different input snapshot.

@@ -42,12 +42,14 @@ def page_url_sql(doc_id: str = "doc_id") -> str:
             f" || '.example.org/page/' || CAST({doc_id} AS STRING)")
 
 
-def block_a_sql(url: str = "url") -> str:
+def block_a_sql(url: str = "url", name_suffix: str = "") -> str:
+    """``name_suffix`` (a literal, e.g. ' v2') models a re-crawl wave
+    where the page content changed — used by the upsert lane."""
     return (
         "'{\"@context\":\"" + CTX_IRI + "\",\"@id\":\"' || " + url
         + " || '#article\",\"@type\":\"Article\",\"name\":\"Doc ' || "
-        "CAST(doc_id AS STRING) || '\",\"wordCount\":' || "
-        "CAST(n_chars AS STRING) || ',\"inLanguage\":\"' || lang || "
+        "CAST(doc_id AS STRING) || '" + name_suffix + "\",\"wordCount\":'"
+        " || CAST(n_chars AS STRING) || ',\"inLanguage\":\"' || lang || "
         "'\",\"author\":{\"@id\":\"https://ex' || "
         "CAST(doc_id % 7 AS STRING) || '.example.org/author/' || "
         "CAST(doc_id % 50 AS STRING) || '\",\"name\":\"Author ' || "
@@ -181,8 +183,9 @@ def i18n_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # SQL that evaluates to the newline-joined block payloads == the ``text``
 # column (byte-identical-extraction invariant target).
-def text_sql() -> str:
-    a, b, c = block_a_sql("_url"), block_b_sql("_url"), block_c_sql("_url")
+def text_sql(name_suffix: str = "") -> str:
+    a, b, c = (block_a_sql("_url", name_suffix), block_b_sql("_url"),
+               block_c_sql("_url"))
     return (
         f"({a}) || "
         f"(CASE WHEN doc_id % 3 = 0 THEN chr(10) || ({b}) ELSE '' END) || "
@@ -197,8 +200,9 @@ def _script(body_sql: str) -> str:
             + ") || '</script>'")
 
 
-def html_sql() -> str:
-    a, b, c = block_a_sql("_url"), block_b_sql("_url"), block_c_sql("_url")
+def html_sql(name_suffix: str = "") -> str:
+    a, b, c = (block_a_sql("_url", name_suffix), block_b_sql("_url"),
+               block_c_sql("_url"))
     return (
         "'<html><head><title>Doc ' || CAST(doc_id AS STRING) || "
         "'</title><script src=\"/app.js\"></script>' || "
@@ -286,9 +290,17 @@ def amplified_documents(spark: SparkSession, sf_dir: str, amplify: int,
 
 def pages_from_documents(spark: SparkSession, sf_dir: str,
                          repartition: int | None = None,
-                         amplify: int = 1) -> DataFrame:
-    """documents parquet -> deterministic pages DataFrame."""
+                         amplify: int = 1,
+                         doc_filter: str | None = None,
+                         name_suffix: str = "") -> DataFrame:
+    """documents parquet -> deterministic pages DataFrame.
+
+    ``doc_filter`` (SQL predicate over doc_id) + ``name_suffix`` model a
+    RE-CRAWL WAVE: the same urls regenerated with changed content (the
+    upsert lane's input)."""
     docs = amplified_documents(spark, sf_dir, amplify, repartition)
+    if doc_filter:
+        docs = docs.where(F.expr(doc_filter))
     return docs.select(
         F.expr(page_url_sql()).alias("_url"),
         "doc_id", "n_chars", "lang", "text",
@@ -298,8 +310,8 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
             F.expr("timestamp '2025-01-01 00:00:00' "
                    "+ make_interval(0, 0, 0, 0, 0, 0, doc_id % 86400)")
         ).alias("warc_ts"),
-        F.encode(F.expr(html_sql()), "UTF-8").alias("html"),
-        F.expr(text_sql()).alias("text"),
+        F.encode(F.expr(html_sql(name_suffix)), "UTF-8").alias("html"),
+        F.expr(text_sql(name_suffix)).alias("text"),
         F.col("lang"),
     )
 

@@ -88,6 +88,52 @@ def test_checkpoint_resume(spark, pages):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_upsert_wave_rewrites_only_affected_buckets(spark, pages):
+    """Physical MERGE: a re-crawl wave touching a subset of urls must
+    (a) produce exactly the declarative upsert result and (b) leave
+    every untouched bucket partition's files physically unrewritten."""
+    import glob
+    out = tempfile.mkdtemp(prefix="kg_upsert_")
+    try:
+        buckets = 16
+        parsed = extract_and_parse(pages, CONTEXTS)
+        lin.write_bucketed(lin.with_bucket(parsed, buckets), out)
+
+        # wave: re-crawl of doc_id%31==0 pages with changed names
+        from jsonld_streaming_parser_js_spark.sources.pages import (
+            pages_from_documents)
+        wave_pages = pages_from_documents(
+            spark, SF, doc_filter="doc_id % 31 = 0", name_suffix=" v2")
+        wave_parsed = extract_and_parse(wave_pages, CONTEXTS)
+        affected = {r["bucket"] for r in
+                    lin.with_bucket(wave_parsed, buckets)
+                    .select("bucket").distinct().collect()}
+        assert 0 < len(affected) < buckets  # test has teeth both ways
+
+        def file_states(bs):
+            return {f: os.stat(f).st_mtime_ns
+                    for b in bs
+                    for f in glob.glob(f"{out}/quads/bucket={b}/*.parquet")}
+
+        untouched = set(range(buckets)) - affected
+        before = file_states(untouched)
+        lin.upsert_wave(spark, out, wave_parsed, buckets)
+        assert file_states(untouched) == before  # no rewrite outside wave
+
+        got = set(map(tuple, (spark.read.parquet(f"{out}/quads")
+                              .where(F.col("error").isNull())
+                              .select("url", "blk", "subj", "pred",
+                                      "obj", "graph").collect())))
+        want = set(map(tuple, lin.upsert_quads(
+            pages_to_quads(pages, CONTEXTS),
+            pages_to_quads(wave_pages, CONTEXTS)).collect()))
+        assert got == want
+        # the changed names really changed (upsert replaced, not ignored)
+        assert any(t[4].endswith(' v2"') for t in got)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_quad_sink_swap_is_config_only(spark, pages):
     """Iceberg abstraction contract: the sink is the ONLY format-specific
     step. A recording sink slotted where iceberg_quad_sink would go must
