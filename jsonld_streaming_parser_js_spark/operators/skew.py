@@ -143,3 +143,47 @@ def aqe_skew_demo(spark: SparkSession, n_rows: int = 400_000,
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
     }
     return joined, configs
+
+
+def bloom_join_demo(spark: SparkSession, work_dir: str,
+                    n_fact: int = 200_000, n_keys: int = 50_000):
+    """Runtime Bloom-filter join pruning: a SELECTIVE dim predicate
+    (tag == 3, ~1/7 of keys survive) makes Catalyst inject a
+    ``bloom_filter_agg`` over the filtered dim keys and a
+    ``might_contain`` filter on the FACT SCAN — ~6/7 of fact rows are
+    dropped before the shuffle ever materializes them. At 100 TB this is
+    the lever for fact-to-filtered-dim joins too large to broadcast:
+    the shuffle shrinks by the dim predicate's selectivity at the cost
+    of one tiny bloom build. Deterministic derivation from ``range`` so
+    the expected join result is closed-form (tests value-check it and
+    compare against the bloom-disabled twin).
+
+    Returns (joined_df, configs); the caller sets the configs (broadcast
+    off so a shuffle join is planned; creation/application thresholds
+    opened so the local-scale tables qualify), executes, and checks the
+    final plan for ``might_contain``. Tables are written to
+    ``work_dir`` parquet first: the application side must be a file
+    scan for the sizing check.
+    """
+    (spark.range(n_fact)
+     .select(F.pmod("id", F.lit(n_keys)).alias("k"),
+             F.col("id").alias("v"))
+     .write.mode("overwrite").parquet(f"{work_dir}/fact"))
+    (spark.range(n_keys)
+     .select(F.col("id").alias("k"), F.pmod("id", F.lit(7)).alias("tag"))
+     .write.mode("overwrite").parquet(f"{work_dir}/dim"))
+    fact = spark.read.parquet(f"{work_dir}/fact")
+    dim = spark.read.parquet(f"{work_dir}/dim").where(F.col("tag") == 3)
+    joined = (fact.join(dim, "k")
+              .groupBy().agg(F.count("*").alias("n_rows"),
+                             F.sum("v").alias("sum_v")))
+    configs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    return joined, configs

@@ -340,6 +340,43 @@ def test_aqe_skew_join_split_fires(spark):
             spark.conf.unset(k)
 
 
+def test_bloom_filter_join_pruning_fires_and_preserves_values(spark):
+    """Runtime Bloom-filter injection: the selective dim filter must
+    reach the fact scan as might_contain, and must not change the join
+    result (closed-form expectation + bloom-disabled twin)."""
+    work = tempfile.mkdtemp(prefix="kg_bloom_")
+    try:
+        joined, configs = skew.bloom_join_demo(spark, work)
+        for k, v in configs.items():
+            spark.conf.set(k, v)
+        try:
+            row = joined.collect()[0]
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "might_contain" in plan and "bloom_filter_agg" in plan
+        finally:
+            for k in configs:
+                spark.conf.unset(k)
+        # closed form: keys k in 0..49999 with k%7==3; fact has 4 rows
+        # per key (200k/50k)
+        keys = [k for k in range(50_000) if k % 7 == 3]
+        assert row["n_rows"] == 4 * len(keys)
+        exp_sum = sum(k + j * 50_000 for k in keys for j in range(4))
+        assert row["sum_v"] == exp_sum
+        # bloom OFF twin: identical values (pruning is plan-only)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        try:
+            joined2, _ = skew.bloom_join_demo(spark, work)
+            row2 = joined2.collect()[0]
+            assert (row2["n_rows"], row2["sum_v"]) == (row["n_rows"],
+                                                       row["sum_v"])
+        finally:
+            spark.conf.unset(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_graph_views(spark, pages):
     quads = pages_to_quads(pages, CONTEXTS).cache()
     views = pipe.graph_views(quads)

@@ -192,6 +192,26 @@ def main() -> None:
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    # runtime Bloom-filter pruning: a selective dim predicate reaches
+    # the fact scan as might_contain before the shuffle materializes
+    import tempfile as _tf
+    import shutil as _sh
+    _bw = _tf.mkdtemp(prefix="audit_bloom_")
+    bj, bcfg = skew.bloom_join_demo(spark, _bw)
+    for k, v in bcfg.items():
+        spark.conf.set(k, v)
+    try:
+        bj.collect()
+        p = plan_of(bj)
+        check("bloom runtime filter: selective dim prunes fact scan",
+              "might_contain" in p and "bloom_filter_agg" in p,
+              next((ln.strip()[:160] for ln in p.splitlines()
+                    if "might_contain" in ln), "no might_contain"))
+    finally:
+        for k in bcfg:
+            spark.conf.unset(k)
+        _sh.rmtree(_bw, ignore_errors=True)
+
     joined, configs = skew.aqe_skew_demo(spark)
     for k, v in configs.items():
         spark.conf.set(k, v)
