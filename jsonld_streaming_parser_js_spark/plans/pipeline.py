@@ -29,6 +29,7 @@ class PipelineConfig:
     rdf_direction: str | None = None
     ctx_cache: dict = field(default_factory=dict)
     snapshot_id: str = ""  # input table version tag recorded in lineage
+    memo: bool = False  # distinct-block parse memo (operators/memo.py)
 
 
 def build_kg(spark: SparkSession, pages: DataFrame,
@@ -37,7 +38,8 @@ def build_kg(spark: SparkSession, pages: DataFrame,
     stats = lin.run_with_resume(spark, pages, cfg.out_dir, cfg.ctx_cache,
                                 cfg.buckets,
                                 rdf_direction=cfg.rdf_direction,
-                                snapshot_id=cfg.snapshot_id)
+                                snapshot_id=cfg.snapshot_id,
+                                memo=cfg.memo)
     if cfg.canonicalize:
         quads = quads_table(spark, cfg.out_dir)
         mapping = canon.canonical_mapping(quads)

@@ -92,6 +92,26 @@ def test_memo_shared_corpus_parses_each_block_once(spark):
     blocks.unpersist()
 
 
+def test_run_with_resume_memo_twin(spark, tmp_path):
+    """The lineage-committed store built with memo=True is quad-for-quad
+    identical to the plain-parse store (incl. error rows in lineage)."""
+    from jsonld_streaming_parser_js_spark.plans import lineage as lin
+    from jsonld_streaming_parser_js_spark.sources.pages import (
+        pages_from_documents)
+    pages = pages_from_documents(spark, SF)
+    outs = {}
+    for mode in (False, True):
+        out = str(tmp_path / f"memo_{mode}")
+        stats = lin.run_with_resume(spark, pages, out, CONTEXTS,
+                                    buckets=8, memo=mode)
+        rows = set(map(tuple, spark.read.parquet(f"{out}/quads")
+                       .select("url", "blk", "subj", "pred", "obj",
+                               "graph", "error").collect()))
+        outs[mode] = (stats["n_quads"], stats["n_errors"], rows)
+    assert outs[False] == outs[True]
+    assert outs[True][1] > 0  # error channel present through the memo
+
+
 def test_memo_pages_twin_matches_plain(spark):
     from jsonld_streaming_parser_js_spark.operators.parse import (
         pages_to_quads)
