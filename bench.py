@@ -253,12 +253,14 @@ def main() -> None:
         # steady state, and a leg is re-measured (keeping the better
         # observation) when the first pair lands under target — a slow
         # background window on one leg otherwise dominates the ratio
-        bench_t0 = time.time()
         # settle: the 32-thread headline/query stages ended moments ago;
         # their JVM shutdown, GC and page-cache churn bleed into a
         # 2-core pinned leg started immediately after (observed: lo leg
         # -8% with load_avg 26 at leg start). 15s is cheap insurance.
+        # bench_t0 starts AFTER the sleep so the settle doesn't eat the
+        # redo budget / p32 gate headroom.
         time.sleep(15)
+        bench_t0 = time.time()
         load_before = {"lo": round(os.getloadavg()[0], 2)}
         lo = _subprocess_parse(2, scale_amp, pin=True)
         load_before["hi"] = round(os.getloadavg()[0], 2)
@@ -276,9 +278,13 @@ def main() -> None:
             # at 400s below) even when the redo budget is fully used
             if eff >= 0.8 or time.time() - bench_t0 > 360:
                 break
+            # sample quietness BEFORE launching the redo: right after an
+            # 8-core leg exits, the 1-min load average is dominated by
+            # the benchmark's own just-finished run, not by neighbors
+            quiet_before = os.getloadavg()[0] < 8.0
             redo_hi = _subprocess_parse(8, scale_amp, pin=True)
             if (redo_hi["quads_per_sec"] <= hi4["quads_per_sec"]
-                    and os.getloadavg()[0] < 8.0):
+                    and quiet_before):
                 # two non-improving observations on a QUIET box = the leg
                 # is genuinely at steady state. On a loaded box (noisy
                 # neighbor window) keep burning the redo budget — best-of

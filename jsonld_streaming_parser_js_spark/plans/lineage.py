@@ -170,9 +170,12 @@ def upsert_wave(spark: SparkSession, out_dir: str,
     untouched bucket partitions are NOT rewritten (asserted by file
     mtimes in tests). At 100 TB a crawl wave touches a small fraction of
     buckets, so the rewrite cost is O(wave), not O(store). New bucket
-    content = (stored bucket minus wave urls) + wave rows; lineage rows
-    for the affected buckets are appended after the data lands (same
-    crash-safety ordering as write_bucketed)."""
+    content = (stored bucket minus wave urls) + wave rows; the affected
+    buckets' lineage rows are REPLACED (compacted), not appended — this
+    is the one writer that re-commits a committed bucket, and duplicate
+    per-bucket rows would break verify_lineage and double-count resume
+    stats."""
+    check_snapshot(spark, out_dir, snapshot_id)
     wave_b = with_bucket(wave_parsed, buckets).persist()
     try:
         affected = wave_b.select("bucket").distinct()
@@ -184,13 +187,26 @@ def upsert_wave(spark: SparkSession, out_dir: str,
         keep = (stored
                 .join(F.broadcast(affected), "bucket", "left_semi")
                 .join(wave_b.select("url").distinct(), "url", "left_anti"))
-        merged = keep.unionByName(wave_b.select(*cols)).persist()
+        # localCheckpoint (eager), NOT persist: the sink below OVERWRITES
+        # the very parquet path `keep` reads from, so the plan must be
+        # cut to a materialized RDD first — a mere cache can be evicted /
+        # lost and the recompute would scan deleted files (and Spark's
+        # self-overwrite detection would otherwise refuse the write).
+        merged = keep.unionByName(wave_b.select(*cols)).localCheckpoint()
+        # lineage compaction: old rows for unaffected buckets + fresh
+        # rows for the wave's buckets. Tiny (<= total buckets rows);
+        # checkpointed before the overwrite of its own source dir. A
+        # crash between the two writes leaves quads newer than lineage —
+        # the same idempotent-bucket re-run contract as write_bucketed.
+        old_lineage = (spark.read.parquet(f"{out_dir}/lineage")
+                       .join(F.broadcast(affected), "bucket", "left_anti"))
+        compacted = (old_lineage
+                     .unionByName(bucket_lineage(merged, snapshot_id))
+                     .localCheckpoint())
         sorted_quads = merged.sortWithinPartitions("bucket", "pred",
                                                    "subj")
         (quad_sink or parquet_quad_sink)(sorted_quads, out_dir)
-        (bucket_lineage(merged, snapshot_id).write.mode("append")
-         .parquet(f"{out_dir}/lineage"))
-        merged.unpersist()
+        compacted.write.mode("overwrite").parquet(f"{out_dir}/lineage")
     finally:
         wave_b.unpersist()
 

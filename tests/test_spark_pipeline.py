@@ -97,7 +97,8 @@ def test_upsert_wave_rewrites_only_affected_buckets(spark, pages):
     try:
         buckets = 16
         parsed = extract_and_parse(pages, CONTEXTS)
-        lin.write_bucketed(lin.with_bucket(parsed, buckets), out)
+        lin.write_bucketed(lin.with_bucket(parsed, buckets), out,
+                           snapshot_id="snap-A")
 
         # wave: re-crawl of doc_id%31==0 pages with changed names
         from jsonld_streaming_parser_js_spark.sources.pages import (
@@ -117,7 +118,8 @@ def test_upsert_wave_rewrites_only_affected_buckets(spark, pages):
 
         untouched = set(range(buckets)) - affected
         before = file_states(untouched)
-        lin.upsert_wave(spark, out, wave_parsed, buckets)
+        lin.upsert_wave(spark, out, wave_parsed, buckets,
+                        snapshot_id="snap-A")
         assert file_states(untouched) == before  # no rewrite outside wave
 
         got = set(map(tuple, (spark.read.parquet(f"{out}/quads")
@@ -130,6 +132,22 @@ def test_upsert_wave_rewrites_only_affected_buckets(spark, pages):
         assert got == want
         # the changed names really changed (upsert replaced, not ignored)
         assert any(t[4].endswith(' v2"') for t in got)
+        # lineage invariants: compaction leaves exactly ONE row per
+        # bucket (re-commit must replace, not append), recorded
+        # checksums match a recompute, and a follow-up resume sees all
+        # buckets committed without double-counted stats
+        lineage = spark.read.parquet(f"{out}/lineage")
+        per_bucket = (lineage.groupBy("bucket").count()
+                      .where(F.col("count") > 1).count())
+        assert per_bucket == 0
+        assert lin.verify_lineage(spark, out).count() == 0
+        s = lin.run_with_resume(spark, pages, out, CONTEXTS, buckets=16)
+        assert s["buckets_previously_done"] == 16
+        assert s["n_quads"] == len(got)
+        # snapshot guard: a wave from the wrong input snapshot refuses
+        with pytest.raises(ValueError, match="snapshot"):
+            lin.upsert_wave(spark, out, wave_parsed, buckets,
+                            snapshot_id="other-snapshot")
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
