@@ -102,6 +102,78 @@ def test_streaming_rates_merge_late_rows_within_watermark(spark):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def test_streaming_rates_update_mode_reemits_growing_windows(spark):
+    """UPDATE-mode twin of the append-mode rates lane: a window whose
+    rows straddle micro-batches must be emitted MORE THAN ONCE with
+    non-decreasing counts, and the last emission per window must equal
+    the batch aggregation. (Append emits only finalized windows; update
+    emits every refinement — both ends of the watermark contract.)"""
+    import os
+    from jsonld_streaming_parser_js_spark.streaming.filesource import (
+        write_ordered_slices)
+    workdir = tempfile.mkdtemp(prefix="kg_rate_upd_")
+    try:
+        pages = pages_from_documents(spark, SF).cache()
+        # deterministic 1/5 subset delayed one slice -> straddling rows
+        sel = F.unix_timestamp("warc_ts")
+        lo = pages.agg(F.min(sel).alias("m")).first()["m"]
+        rel = sel - F.lit(lo)
+        step = 130
+        is_late = F.pmod(F.xxhash64("url"), F.lit(5)) == 0
+        slices = [pages.where(((rel >= i * step) & (rel < (i + 1) * step)
+                               & ~is_late)
+                              | ((rel >= (i - 1) * step)
+                                 & (rel < i * step) & is_late))
+                  for i in range(5)]
+        write_ordered_slices(slices, workdir,
+                             os.path.join(workdir, "input"))
+        stream = strm.read_pages_stream(
+            spark, os.path.join(workdir, "input"), max_files_per_trigger=1)
+        quads = (strm.stream_pages_to_quads(stream, CONTEXTS)
+                 .where(F.col("error").isNull())
+                 .join(F.broadcast(pages.select("url", "warc_ts")
+                                   .distinct()), "url"))
+        rates = strm.windowed_quad_rates(quads, "1 minute", "10 minutes")
+        batches = []
+
+        def capture(df, epoch_id):
+            batches.append(
+                (epoch_id, [(r["w"], r["n_quads"]) for r in df.collect()]))
+
+        q = (rates.select(F.date_format("window_start",
+                                        "yyyy-MM-dd HH:mm:ss")
+                          .alias("w"), "n_quads")
+             .writeStream.foreachBatch(capture)
+             .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        emitted = [row for _eid, rows in sorted(batches)
+                   for row in rows]
+        want = {r["w"]: r["n"] for r in
+                (pages_to_quads(pages, CONTEXTS)
+                 .groupBy("url").agg(F.count("*").alias("nq"))
+                 .join(pages.select("url", "warc_ts"), "url")
+                 .groupBy(F.date_format(F.window("warc_ts", "1 minute")
+                                        .start, "yyyy-MM-dd HH:mm:ss")
+                          .alias("w"))
+                 .agg(F.sum("nq").alias("n")).collect())}
+        from collections import defaultdict
+        seen = defaultdict(list)
+        for w, n in emitted:
+            seen[w].append(n)
+        # every window's final emission equals the batch truth
+        assert {w: ns[-1] for w, ns in seen.items()} == want
+        # at least one straddling window was re-emitted with growth
+        multi = [ns for ns in seen.values() if len(ns) > 1]
+        assert multi and any(ns[-1] > ns[0] for ns in multi)
+        # update emissions never shrink a window
+        for ns in seen.values():
+            assert ns == sorted(ns)
+        pages.unpersist()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def test_multimodal_features(spark):
     media = mm.synth_media(spark, 48)
     feats = mm.extract_features(media)
