@@ -426,6 +426,30 @@ def _q_kg_predicate_profile(spark, sf_dir):
             .orderBy("pred"))
 
 
+def _q_kg_block_templates(spark, sf_dir):
+    """Per-site template mining (the crawl-diagnostics view that decides
+    whether the distinct-block memo pays off): group blocks by
+    (host, md5(block)) and keep templates appearing on >= 10 pages. The
+    corpus is the standard pages' blocks UNION the site-template org
+    blocks, so real repeated templates surface while one-off blocks are
+    filtered. Algebraic aggs on a hash key — map-side partials,
+    skew-free at any corpus size."""
+    from jsonld_streaming_parser_js_spark.sources.pages import (
+        shared_org_blocks)
+    blocks = (extract_blocks(_pages(spark, sf_dir))
+              .select("url", "block")
+              .unionByName(shared_org_blocks(spark, sf_dir)
+                           .select("url", "block")))
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    return (blocks
+            .groupBy(host.alias("host"),
+                     F.md5("block").alias("template_md5"))
+            .agg(F.count("*").alias("n_occurrences"),
+                 F.countDistinct("url").alias("n_pages"))
+            .where(F.col("n_occurrences") >= 10)
+            .orderBy("host", "template_md5"))
+
+
 def _q_kg_upsert_wave(spark, sf_dir):
     """MERGE-style re-crawl upsert (plans/lineage.upsert_quads): a wave
     re-crawls every doc_id%3==0 page with changed content (Article name
@@ -890,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_fuzzy": _q_kg_canonical_fuzzy,
         "approx_distinct_hll": _q_approx_distinct_hll,
         "kg_upsert_wave": _q_kg_upsert_wave,
+        "kg_block_templates": _q_kg_block_templates,
         # -- unwitnessed in r05 (verdict ask #1) --
         "tpch_q5": _q_tpch_q5,
         "window_top_orders": _q_window_top_orders,
@@ -904,14 +929,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_errors": _q_kg_errors,
         "kg_strict_errors": _q_kg_strict_errors,
         "kg_quads_by_predicate": _q_kg_quads_by_predicate,
-        "kg_entity_degree": _q_kg_entity_degree,
         "kg_lineage": _q_kg_lineage,
         "kg_quads_i18n_datatype": _q_kg_quads_i18n_datatype,
         "kg_quads_i18n_compound": _q_kg_quads_i18n_compound,
         "kg_http_quads": _q_kg_http_quads,
         "kg_http_errors": _q_kg_http_errors,
         "kg_ndjson_quads": _q_kg_ndjson_quads,
-        "kg_host_stats": _q_kg_host_stats,
         "kg_nquads": _q_kg_nquads,
         "kg_graph_edges": _q_kg_graph_edges,
         "dedup_exact": _q_dedup_exact,
@@ -935,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    driver window without losing audit coverage --
         "kg_extract_blocks": _q_kg_extract_blocks,
         "mm_media_stats": _q_mm_media_stats,
+        "kg_entity_degree": _q_kg_entity_degree,
+        "kg_host_stats": _q_kg_host_stats,
         "kg_type_counts": _q_kg_type_counts,
         "kg_distinct_objects": _q_kg_distinct_objects,
         "kg_author_labels": _q_kg_author_labels,
@@ -1044,6 +1069,26 @@ def oracle_sql() -> dict[str, str]:
         hll_distinct_sql)
     oracles["approx_distinct_hll"] = hll_distinct_sql(
         _with_quads("SELECT subj FROM q"), "subj", b=8)
+
+    from jsonld_streaming_parser_js_spark.sources.pages import (
+        MALFORMED_BLOCK, block_b_sql, block_c_sql, shared_org_block_sql)
+    _org_url = ("'https://ex' || CAST(doc_id % 7 AS STRING)"
+                " || '.example.org/page/' || did")
+    oracles["kg_block_templates"] = f"""
+WITH {_D_CTE},
+blk_rows AS (
+  SELECT url, {block_a_sql("url")} AS block FROM d
+  UNION ALL SELECT url, {block_b_sql("url")} FROM d WHERE doc_id % 3 = 0
+  UNION ALL SELECT url, {block_c_sql("url")} FROM d WHERE doc_id % 5 = 0
+  UNION ALL SELECT url, '{MALFORMED_BLOCK}' FROM d WHERE doc_id % 17 = 0
+  UNION ALL SELECT {_org_url}, {shared_org_block_sql()} FROM d
+)
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       md5(block) AS template_md5,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_pages
+FROM blk_rows GROUP BY 1, 2 HAVING count(*) >= 10
+ORDER BY host, template_md5"""
 
     # upsert: wave quads (changed names) replace their urls' quads wholesale
     oracles["kg_upsert_wave"] = (
