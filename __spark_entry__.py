@@ -426,6 +426,23 @@ def _q_kg_predicate_profile(spark, sf_dir):
             .orderBy("pred"))
 
 
+def _q_kg_pagerank(spark, sf_dir):
+    """PageRank over the KG's entity edges (5 fixed iterations,
+    operators/graphalgo.py): the authority ranking a downstream
+    entity-importance pipeline runs on the constructed graph. Fixed
+    iteration count makes the computation deterministic, so the oracle
+    replays it exactly (chained CTEs); round(6) absorbs the ~1e-13
+    aggregation-order float divergence."""
+    from jsonld_streaming_parser_js_spark.operators import graphalgo
+    q = _quads(spark, sf_dir)
+    edges = (q.where(~F.col("obj").startswith('"'))
+             .select(F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    pr = graphalgo.pagerank(edges, iterations=5)
+    return (pr.select("node", F.round("rank", 6).alias("rank"))
+            .orderBy("node"))
+
+
 def _q_kg_block_templates(spark, sf_dir):
     """Per-site template mining (the crawl-diagnostics view that decides
     whether the distinct-block memo pays off): group blocks by
@@ -915,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_hll": _q_approx_distinct_hll,
         "kg_upsert_wave": _q_kg_upsert_wave,
         "kg_block_templates": _q_kg_block_templates,
+        "kg_pagerank": _q_kg_pagerank,
         # -- unwitnessed in r05 (verdict ask #1) --
         "tpch_q5": _q_tpch_q5,
         "window_top_orders": _q_window_top_orders,
@@ -1089,6 +1107,12 @@ SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
        CAST(count(DISTINCT url) AS BIGINT) AS n_pages
 FROM blk_rows GROUP BY 1, 2 HAVING count(*) >= 10
 ORDER BY host, template_md5"""
+
+    from jsonld_streaming_parser_js_spark.operators.graphalgo import (
+        pagerank_oracle_sql)
+    oracles["kg_pagerank"] = pagerank_oracle_sql(
+        _with_quads("SELECT subj AS src, obj AS dst FROM q"
+                    " WHERE substr(obj, 1, 1) <> '\"'"), iterations=5)
 
     # upsert: wave quads (changed names) replace their urls' quads wholesale
     oracles["kg_upsert_wave"] = (

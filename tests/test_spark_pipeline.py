@@ -565,6 +565,27 @@ def test_fuzzy_cc_diameter_bound(spark, pages):
     assert canon.connected_components.last_iterations <= 5
 
 
+def test_pagerank_mass_and_authority_ordering(spark):
+    """PageRank sanity on a known topology: a hub pointed at by many
+    nodes outranks its pointers; total rank mass stays in (0, 1] (no
+    dangling redistribution, documented convention); a chain's sink
+    accumulates more than its head."""
+    from jsonld_streaming_parser_js_spark.operators.graphalgo import (
+        pagerank)
+    e = ([(f"u{i}", "hub") for i in range(10)]
+         + [("a", "b"), ("b", "c")])
+    edges = spark.createDataFrame(e, "src string, dst string")
+    r = {row["node"]: row["rank"]
+         for row in pagerank(edges, iterations=5).collect()}
+    assert all(r["hub"] > r[f"u{i}"] for i in range(10))
+    assert r["c"] > r["a"]
+    assert 0 < sum(r.values()) <= 1.0 + 1e-9
+    # parallel-edge dedup convention: duplicated pairs change nothing
+    r2 = {row["node"]: row["rank"] for row in
+          pagerank(edges.union(edges), iterations=5).collect()}
+    assert r2 == r
+
+
 def test_minhash_estimator_tracks_true_jaccard(spark):
     """Guards the 2^31-1 modulus choice: with a near-monotone hash family
     (the old 2^61-1 modulus over 31-bit hashes) signature agreement no
