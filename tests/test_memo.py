@@ -112,6 +112,44 @@ def test_run_with_resume_memo_twin(spark, tmp_path):
     assert outs[True][1] > 0  # error channel present through the memo
 
 
+def test_streaming_memo_sink_matches_batch(spark, tmp_path):
+    """The memo parse composed into Structured Streaming (foreachBatch
+    per micro-batch) must produce exactly the batch memo/plain result
+    across micro-batch boundaries."""
+    import os
+    from jsonld_streaming_parser_js_spark.sources.pages import (
+        pages_from_documents)
+    from jsonld_streaming_parser_js_spark.streaming.filesource import (
+        write_ordered_slices)
+    from jsonld_streaming_parser_js_spark.streaming.stream import (
+        read_pages_stream, start_memo_quads_sink)
+    pages = pages_from_documents(spark, SF).cache()
+    work = str(tmp_path)
+    # 3 mtime-ordered micro-batches split by url hash
+    part = F.pmod(F.xxhash64("url"), F.lit(3))
+    write_ordered_slices([pages.where(part == i) for i in range(3)],
+                         work, os.path.join(work, "input"))
+    stream = read_pages_stream(spark, os.path.join(work, "input"),
+                               max_files_per_trigger=1)
+    q = start_memo_quads_sink(stream, os.path.join(work, "out"),
+                              os.path.join(work, "ckpt"), CONTEXTS)
+    q.awaitTermination(180)
+    got = set(map(tuple, spark.read.parquet(os.path.join(work, "out"))
+                  .select("url", "blk", "subj", "pred", "obj", "graph",
+                          "error").collect()))
+    want = set(map(tuple,
+                   memo.parse_blocks_memo(
+                       _std_blocks(spark, pages), CONTEXTS).collect()))
+    assert got == want and len(got) > 3000
+    pages.unpersist()
+
+
+def _std_blocks(spark, pages):
+    from jsonld_streaming_parser_js_spark.operators.extract import (
+        extract_blocks)
+    return extract_blocks(pages)
+
+
 def test_memo_pages_twin_matches_plain(spark):
     from jsonld_streaming_parser_js_spark.operators.parse import (
         pages_to_quads)
