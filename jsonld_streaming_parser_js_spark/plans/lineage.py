@@ -78,10 +78,16 @@ def parquet_quad_sink(sorted_quads: DataFrame, out_dir: str) -> None:
     """Default sink: parquet + dynamic partition overwrite (idempotent
     per-bucket re-runs). Stands in for Iceberg in this container — the
     spark-iceberg runtime jar is absent and cannot be vendored offline
-    (PERMANENT constraint, documented in README/PARITY.md)."""
+    (PERMANENT constraint, documented in README/PARITY.md).
+
+    Codec: zstd (default level 3) — measured 7.5x vs uncompressed on the
+    (pred, subj)-clustered quads layout where snappy gets 4.6x, with
+    equal-or-faster scans (tools/compression_sweep.py; BENCH.md). At
+    100 TB that codec choice is ~40% of the stored bytes."""
     spark = sorted_quads.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (sorted_quads.write.mode("overwrite")
+     .option("compression", "zstd")
      .partitionBy("bucket")
      .parquet(f"{out_dir}/quads"))
 
