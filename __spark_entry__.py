@@ -463,7 +463,8 @@ def _q_kg_block_templates(spark, sf_dir):
                      F.md5("block").alias("template_md5"))
             .agg(F.count("*").alias("n_occurrences"),
                  F.countDistinct("url").alias("n_pages"))
-            .where(F.col("n_occurrences") >= 10)
+            .where(F.col("n_pages") >= 10)  # pages, not occurrences: a
+            # block repeated k times on ONE page is not a site template
             .orderBy("host", "template_md5"))
 
 
@@ -1105,7 +1106,7 @@ SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
        md5(block) AS template_md5,
        CAST(count(*) AS BIGINT) AS n_occurrences,
        CAST(count(DISTINCT url) AS BIGINT) AS n_pages
-FROM blk_rows GROUP BY 1, 2 HAVING count(*) >= 10
+FROM blk_rows GROUP BY 1, 2 HAVING count(DISTINCT url) >= 10
 ORDER BY host, template_md5"""
 
     from jsonld_streaming_parser_js_spark.operators.graphalgo import (

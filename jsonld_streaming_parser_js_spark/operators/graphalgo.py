@@ -39,12 +39,19 @@ def pagerank(edges: DataFrame, iterations: int = 5) -> DataFrame:
     predicates between the same nodes count once — the convention the
     oracle replays). Returns the UNROUNDED rank; callers round for
     cross-engine comparison."""
-    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    # checkpoint the DEDUPED EDGE LIST first: every iteration joins it
+    # (and out_deg derives from it), so without materialization the full
+    # upstream pipeline (pages -> parse -> dedup) would re-run ~2x per
+    # iteration — the same shared-base lesson as connected_components.
+    e = (edges.select("src", "dst").dropDuplicates(["src", "dst"])
+         .localCheckpoint())
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .distinct()
              .localCheckpoint())
     n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("src").agg(F.count("*").alias("odeg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
@@ -66,6 +73,9 @@ def pagerank_oracle_sql(edges_sql: str, iterations: int = 5) -> str:
     """DuckDB replay of :func:`pagerank` over ``edges_sql`` (a query
     producing src, dst): one chained CTE per iteration, same teleport /
     damping literals, same left-join inflow shape."""
+    if iterations < 1:
+        raise ValueError(f"iterations={iterations}: need >= 1 (the CTE"
+                         " chain has no zero-iteration form)")
     it_ctes = []
     prev = "r0"
     for i in range(1, iterations + 1):

@@ -69,7 +69,9 @@ def start_memo_quads_sink(pages_stream: DataFrame, out_dir: str,
 
     def process(batch_df: DataFrame, _epoch_id: int) -> None:
         parsed = parse_blocks_memo(extract_blocks(batch_df), ctx_cache)
-        parsed.write.mode("append").parquet(out_dir)
+        (parsed.write.mode("append")
+         .option("compression", "zstd")  # same codec decision as the
+         .parquet(out_dir))              # batch quad sink (BENCH.md)
 
     writer = (pages_stream.writeStream.foreachBatch(process)
               .option("checkpointLocation", checkpoint_dir))
@@ -86,6 +88,7 @@ def start_quads_sink(quads_stream: DataFrame, out_dir: str,
     writer = (quads_stream.writeStream
               .format("parquet")
               .option("path", out_dir)
+              .option("compression", "zstd")  # match the batch sink
               .option("checkpointLocation", checkpoint_dir)
               .outputMode("append"))
     if available_now:

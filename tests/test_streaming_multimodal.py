@@ -116,15 +116,21 @@ def test_streaming_rates_update_mode_reemits_growing_windows(spark):
         pages = pages_from_documents(spark, SF).cache()
         # deterministic 1/5 subset delayed one slice -> straddling rows
         sel = F.unix_timestamp("warc_ts")
-        lo = pages.agg(F.min(sel).alias("m")).first()["m"]
+        lo, hi = pages.agg(F.min(sel), F.max(sel)).first()
         rel = sel - F.lit(lo)
         step = 130
+        # slice count derived from the corpus SPAN (+1 slice so the last
+        # range's delayed rows land somewhere) — a fixed count would
+        # silently drop rows at larger scale factors
+        n_slices = int((hi - lo) // step) + 2
         is_late = F.pmod(F.xxhash64("url"), F.lit(5)) == 0
         slices = [pages.where(((rel >= i * step) & (rel < (i + 1) * step)
                                & ~is_late)
                               | ((rel >= (i - 1) * step)
                                  & (rel < i * step) & is_late))
-                  for i in range(5)]
+                  for i in range(n_slices)]
+        # exact-cover guard: every page is fed to exactly one slice
+        assert sum(s.count() for s in slices) == pages.count()
         write_ordered_slices(slices, workdir,
                              os.path.join(workdir, "input"))
         stream = strm.read_pages_stream(

@@ -39,13 +39,24 @@ def main() -> None:
         CONTEXTS, pages_from_documents)
     from jsonld_streaming_parser_js_spark.sources.session import get_spark
 
+    from jsonld_streaming_parser_js_spark.plans.lineage import (
+        with_bucket)
+
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     amplify = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     spark = get_spark(app="codec-sweep", cores=16)
     spark.sparkContext.setLogLevel("ERROR")
-    quads = (pages_to_quads(
-        pages_from_documents(spark, sf, amplify=amplify), CONTEXTS)
-        .sortWithinPartitions("pred", "subj")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # EXACT production layout (parquet_quad_sink): url-bucket partition
+    # dirs with (bucket, pred, subj) sortWithinPartitions — bucket
+    # partitioning splits files, which changes dictionary/RLE run
+    # lengths, so measuring an unpartitioned layout would misstate the
+    # ratios the sink actually achieves
+    quads = (with_bucket(
+        pages_to_quads(pages_from_documents(spark, sf, amplify=amplify),
+                       CONTEXTS), buckets)
+        .sortWithinPartitions("bucket", "pred", "subj")
         .persist())
     n = quads.count()
 
@@ -54,7 +65,8 @@ def main() -> None:
     try:
         # warm-up write+scan: JIT/committer warmth must not be billed to
         # the first codec in the list
-        quads.write.mode("overwrite").parquet(os.path.join(work, "warm"))
+        (quads.write.mode("overwrite").partitionBy("bucket")
+         .parquet(os.path.join(work, "warm")))
         spark.read.parquet(os.path.join(work, "warm")).count()
         for codec, level in [("snappy", None), ("zstd", 3), ("zstd", 9),
                              ("gzip", None), ("uncompressed", None)]:
@@ -67,7 +79,7 @@ def main() -> None:
                 (spark.sparkContext._jsc.hadoopConfiguration()
                  .set("parquet.compression.codec.zstd.level", str(level)))
             t0 = time.time()
-            (quads.write.mode("overwrite")
+            (quads.write.mode("overwrite").partitionBy("bucket")
              .option("compression", codec).parquet(out))
             t_write = time.time() - t0
             t0 = time.time()
