@@ -426,6 +426,46 @@ def _q_kg_predicate_profile(spark, sf_dir):
             .orderBy("pred"))
 
 
+SAMPLE_RATES = {"en": 0.35, "de": 1.0, "zh": 0.0}
+SAMPLE_DEFAULT = 0.1
+
+# >= 13 lowercase words so the decontamination sentinel yields 13-grams
+DECON_SENTINEL = (" shared benchmark passage used for contamination"
+                  " detection across this synthetic corpus evaluation"
+                  " suite revision seven")
+
+
+def _q_text_sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum sampling (the source-mixing op of a
+    training-data recipe): md5-threshold keep-rule per lang — zero RNG
+    state, identical across engines/reruns/partitionings; narrow filter
+    with no shuffle."""
+    return (textstats.stratified_sample(_docs(spark, sf_dir),
+                                        SAMPLE_RATES, SAMPLE_DEFAULT)
+            .select("doc_id", "lang")
+            .orderBy("doc_id"))
+
+
+def _q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (13-gram overlap rule): docs sharing
+    any word 13-gram with the eval set are flagged. The corpus plants
+    the eval sentinel on doc_id%41 in {0,1}: %41==0 docs ARE the eval
+    set, %41==1 docs are known-contaminated, everything else is clean
+    unless it genuinely overlaps. Eval grams broadcast; the corpus
+    never shuffles."""
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("text || CASE WHEN doc_id % 41 <= 1"
+               f" THEN '{DECON_SENTINEL}' ELSE '' END").alias("text"))
+    ev = corpus.where(F.expr("doc_id % 41 = 0"))
+    checked = corpus.where(F.expr("doc_id % 41 <> 0"))
+    return (textstats.contamination_flags(checked, ev, n=13)
+            .select("doc_id",
+                    F.col("n_hits").cast("long").alias("n_hits"),
+                    "contaminated")
+            .orderBy("doc_id"))
+
+
 def _q_kg_pagerank(spark, sf_dir):
     """PageRank over the KG's entity edges (5 fixed iterations,
     operators/graphalgo.py): the authority ranking a downstream
@@ -934,6 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_upsert_wave": _q_kg_upsert_wave,
         "kg_block_templates": _q_kg_block_templates,
         "kg_pagerank": _q_kg_pagerank,
+        "text_sample_stratified": _q_text_sample_stratified,
+        "text_decontaminate": _q_text_decontaminate,
         # -- unwitnessed in r05 (verdict ask #1) --
         "tpch_q5": _q_tpch_q5,
         "window_top_orders": _q_window_top_orders,
@@ -949,8 +991,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_strict_errors": _q_kg_strict_errors,
         "kg_quads_by_predicate": _q_kg_quads_by_predicate,
         "kg_lineage": _q_kg_lineage,
-        "kg_quads_i18n_datatype": _q_kg_quads_i18n_datatype,
-        "kg_quads_i18n_compound": _q_kg_quads_i18n_compound,
         "kg_http_quads": _q_kg_http_quads,
         "kg_http_errors": _q_kg_http_errors,
         "kg_ndjson_quads": _q_kg_ndjson_quads,
@@ -976,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: unchanged + green in r04/r05; may fall past a 50-lane
         #    driver window without losing audit coverage --
         "kg_extract_blocks": _q_kg_extract_blocks,
+        "kg_quads_i18n_datatype": _q_kg_quads_i18n_datatype,
+        "kg_quads_i18n_compound": _q_kg_quads_i18n_compound,
         "mm_media_stats": _q_mm_media_stats,
         "kg_entity_degree": _q_kg_entity_degree,
         "kg_host_stats": _q_kg_host_stats,
@@ -1108,6 +1150,40 @@ SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
        CAST(count(DISTINCT url) AS BIGINT) AS n_pages
 FROM blk_rows GROUP BY 1, 2 HAVING count(DISTINCT url) >= 10
 ORDER BY host, template_md5"""
+
+    rate_case = " ".join(
+        f"WHEN lang = '{s}' THEN {int(r * 1_000_000)}"
+        for s, r in sorted(SAMPLE_RATES.items()))
+    oracles["text_sample_stratified"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT
+        % 1000000
+      < CASE {rate_case} ELSE {int(SAMPLE_DEFAULT * 1_000_000)} END
+ORDER BY doc_id"""
+
+    _decon_toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    _decon_grams = (
+        "SELECT doc_id, unnest(list_transform("
+        " range(1, greatest(len(toks) - 12, 0) + 1),"
+        " i -> md5(array_to_string(toks[i:i+12], ' ')))) AS g"
+        " FROM (SELECT doc_id, {toks} AS toks FROM {src})")
+    oracles["text_decontaminate"] = f"""
+WITH c AS (
+  SELECT doc_id, text || CASE WHEN doc_id % 41 <= 1
+           THEN '{DECON_SENTINEL}' ELSE '' END AS text
+  FROM documents
+),
+ev AS (SELECT * FROM c WHERE doc_id % 41 = 0),
+chk AS (SELECT * FROM c WHERE doc_id % 41 <> 0),
+eg AS (SELECT DISTINCT g FROM
+       ({_decon_grams.format(toks=_decon_toks, src="ev")})),
+dg AS ({_decon_grams.format(toks=_decon_toks, src="chk")}),
+hits AS (SELECT doc_id, count(DISTINCT g) AS n_hits
+         FROM dg JOIN eg USING (g) GROUP BY doc_id)
+SELECT chk.doc_id,
+       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(n_hits, 0) > 0 AS contaminated
+FROM chk LEFT JOIN hits USING (doc_id) ORDER BY doc_id"""
 
     from jsonld_streaming_parser_js_spark.operators.graphalgo import (
         pagerank_oracle_sql)

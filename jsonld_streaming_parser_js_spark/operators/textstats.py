@@ -177,6 +177,67 @@ PII_PATTERNS = {
 }
 
 
+def stratified_sample(docs: DataFrame, rates: dict[str, float],
+                      default_rate: float = 0.0,
+                      key: str = "lang") -> DataFrame:
+    """Deterministic per-stratum sampling — the source-mixing op every
+    training-data pipeline runs (e.g. keep 30% of lang A, 100% of B).
+
+    Keep rule: ``md5(doc_id) mod 1e6 < rate * 1e6`` per stratum — no RNG
+    state, so the sample is identical across engines, reruns, retries
+    and partitionings (reproducible data recipes; the DuckDB oracle
+    replays it bit-for-bit). Narrow filter: no shuffle, prunes at the
+    scan."""
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long"),
+        F.lit(1_000_000))
+    thr = F.lit(int(default_rate * 1_000_000))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(key) == stratum,
+                     F.lit(int(rate * 1_000_000))).otherwise(thr)
+    return docs.where(h < thr)
+
+
+def _token_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g): md5 of each space-joined word n-gram (the shared
+    tokenizer regex, lowercased — identical in DuckDB)."""
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    # greatest(..., 1) + the size filter: Spark's sequence(1, 0) DESCENDS
+    # ([1, 0]), so a <n-token doc would otherwise emit bogus short grams
+    return (docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(filter(transform("
+            f"sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
+            f" i -> slice({toks}, i, {n})), a -> size(a) = {n}),"
+            f" a -> md5(array_join(a, ' ')))"
+        )).alias("g")))
+
+
+def contamination_flags(docs: DataFrame, eval_docs: DataFrame,
+                        n: int = 13) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ANY word
+    ``n``-gram with an evaluation set (the standard 13-gram rule, cf.
+    PAPERS.md training-data hygiene literature). Returns
+    (doc_id, n_hits, contaminated) for every input doc.
+
+    Scale design: the eval side is tiny relative to the corpus (a
+    benchmark suite vs a crawl), so its distinct gram set broadcasts —
+    the corpus never shuffles; the per-doc hit count is an algebraic
+    aggregate on doc_id."""
+    d_g = _token_ngrams(docs, n)
+    e_g = _token_ngrams(eval_docs, n).select("g").distinct()
+    hits = (d_g.join(F.broadcast(e_g), "g")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("g").alias("n_hits")))
+    return (docs.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) > 0)
+                    .alias("contaminated")))
+
+
 def pii_scan(docs: DataFrame) -> DataFrame:
     """PII / contamination pre-filter signals: per-document counts of
     email, phone-shaped, IPv4-shaped, and SSN-shaped substrings, plus a

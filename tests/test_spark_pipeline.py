@@ -804,6 +804,43 @@ def test_ivf_topk_recall_and_consistency(spark):
     assert hits >= len(exact) * 0.3, f"recall {hits}/{len(exact)}"
 
 
+def test_stratified_sample_rates_and_determinism(spark):
+    from jsonld_streaming_parser_js_spark.operators import textstats as ts
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rates = {"en": 0.5, "de": 1.0, "zh": 0.0}
+    s = ts.stratified_sample(docs, rates, default_rate=0.2).cache()
+    per = {r["lang"]: r["n"] for r in
+           s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot = {r["lang"]: r["n"] for r in
+           docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per["de"] == tot["de"]          # rate 1.0 keeps everything
+    assert "zh" not in per                 # rate 0.0 drops everything
+    # md5 threshold tracks the target rate (binomial tolerance)
+    frac_en = per["en"] / tot["en"]
+    assert abs(frac_en - 0.5) < 0.2
+    # determinism across partitionings: same ids, any layout
+    a = {r["doc_id"] for r in s.collect()}
+    b = {r["doc_id"] for r in
+         ts.stratified_sample(docs.repartition(13, "lang"), rates,
+                              default_rate=0.2).collect()}
+    assert a == b
+    s.unpersist()
+
+
+def test_contamination_flags_ngram_rule(spark):
+    from jsonld_streaming_parser_js_spark.operators import textstats as ts
+    words = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, f"prefix {words} suffix"),       # contains the eval 20-gram
+         (2, "totally different content " * 10),
+         (3, "short doc")],                   # < 13 tokens: no grams
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(99, words)], "doc_id long, text string")
+    got = {r["doc_id"]: r["contaminated"]
+           for r in ts.contamination_flags(docs, ev, n=13).collect()}
+    assert got == {1: True, 2: False, 3: False}
+
+
 def test_pii_scan_signals(spark):
     from jsonld_streaming_parser_js_spark.operators import textstats
 
