@@ -287,6 +287,24 @@ def main() -> None:
           f"SMJ x{p.count('SortMergeJoin')}, cartesian x0 "
           "(hit join + fallback semi-join, both on md5(block))")
 
+    # stratified sample: a pure narrow filter — zero Exchange
+    from jsonld_streaming_parser_js_spark.operators import textstats
+    p = plan_of(textstats.stratified_sample(
+        spark.read.parquet(f"{sf}/documents.parquet"),
+        {"en": 0.5}, 0.1))
+    check("stratified sample: narrow filter, zero Exchange",
+          "Exchange" not in p,
+          f"Exchange x{p.count('Exchange')} (md5-threshold filter "
+          "evaluated at the scan, no shuffle)")
+
+    # decontamination: eval-gram set broadcast, corpus never shuffled
+    # for the join
+    p = plan_of(e._q_text_decontaminate(spark, sf))
+    check("decontamination: eval grams broadcast (no corpus shuffle join)",
+          "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+          f"BHJ x{p.count('BroadcastHashJoin')}, "
+          f"SMJ x{p.count('SortMergeJoin')}, cartesian x0")
+
     df = e._q_dedup_embedding_lsh_recall(spark, sf)
     # the recall audit's exact side is all-pairs BY DESIGN, but only on the
     # deterministic md5 1/4 sample. Assert STRUCTURALLY that every
