@@ -1151,14 +1151,16 @@ SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
 FROM blk_rows GROUP BY 1, 2 HAVING count(DISTINCT url) >= 10
 ORDER BY host, template_md5"""
 
+    # round(), not int(): must match stratified_sample's threshold
+    # arithmetic exactly (0.35e6 truncates to 349999 in binary64)
     rate_case = " ".join(
-        f"WHEN lang = '{s}' THEN {int(r * 1_000_000)}"
+        f"WHEN lang = '{s}' THEN {round(r * 1_000_000)}"
         for s, r in sorted(SAMPLE_RATES.items()))
     oracles["text_sample_stratified"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT
         % 1000000
-      < CASE {rate_case} ELSE {int(SAMPLE_DEFAULT * 1_000_000)} END
+      < CASE {rate_case} ELSE {round(SAMPLE_DEFAULT * 1_000_000)} END
 ORDER BY doc_id"""
 
     _decon_toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"

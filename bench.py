@@ -201,7 +201,9 @@ def main() -> None:
                 "kg_canonical_fuzzy",
                 "dedup_exact", "dedup_minhash_lsh", "sim_topk_cosine",
                 "text_quality", "tpch_q1", "events_hourly",
-                "pipeline_clean_corpus", "kg_skew_salted_join"]
+                "pipeline_clean_corpus", "kg_skew_salted_join",
+                "kg_pagerank", "text_decontaminate",
+                "approx_distinct_hll"]
     qs = entry.queries()
     timings: dict[str, float] = {}
     for name in headline:

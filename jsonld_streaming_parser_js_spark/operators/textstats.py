@@ -3,8 +3,10 @@
 All implemented with built-in ``pyspark.sql.functions`` (JVM-side,
 whole-stage-codegen) — no Python UDFs in the hot path. Each operator has an
 exact ANSI-SQL twin in ``__spark_entry__.oracle_sql`` so correctness is
-oracle-checked, and each is a narrow map over the scan (no shuffle), so it
-scales linearly with input size / executor count.
+oracle-checked. The per-document stats and the sampler are narrow maps
+over the scan (no shuffle, linear scaling); the corpus-level operators
+(boilerplate document-frequency, contamination flags) shuffle only on
+uniform hash keys and broadcast their small side.
 """
 
 from __future__ import annotations
@@ -188,29 +190,36 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     and partitionings (reproducible data recipes; the DuckDB oracle
     replays it bit-for-bit). Narrow filter: no shuffle, prunes at the
     scan."""
-    h = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-               16, 10).cast("long"),
-        F.lit(1_000_000))
-    thr = F.lit(int(default_rate * 1_000_000))
+    from .similarity import md5_stratum
+    h = md5_stratum(F.col("doc_id"), 1_000_000)
+    # round, not int(): 0.35 * 1e6 is 349999.99999999994 in binary64 —
+    # truncation would put the threshold one off the documented rate*1e6
+    thr = F.lit(round(default_rate * 1_000_000))
     for stratum, rate in sorted(rates.items()):
         thr = F.when(F.col(key) == stratum,
-                     F.lit(int(rate * 1_000_000))).otherwise(thr)
+                     F.lit(round(rate * 1_000_000))).otherwise(thr)
     return docs.where(h < thr)
 
 
 def _token_ngrams(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, g): md5 of each space-joined word n-gram (the shared
     tokenizer regex, lowercased — identical in DuckDB)."""
-    toks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    # tokenize ONCE into a column: interpolating the regexp inside the
+    # transform lambda re-runs the tokenizer per sequence element
+    # (Catalyst does not hoist loop invariants out of higher-order
+    # lambdas) — measured 11x slower and O(tokens^2) per doc.
     # greatest(..., 1) + the size filter: Spark's sequence(1, 0) DESCENDS
     # ([1, 0]), so a <n-token doc would otherwise emit bogus short grams
-    return (docs.select(
+    toked = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        .alias("toks"))
+    return (toked.select(
         "doc_id",
         F.explode(F.expr(
             f"transform(filter(transform("
-            f"sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
-            f" i -> slice({toks}, i, {n})), a -> size(a) = {n}),"
+            f"sequence(1, greatest(size(toks) - {n - 1}, 1)),"
+            f" i -> slice(toks, i, {n})), a -> size(a) = {n}),"
             f" a -> md5(array_join(a, ' ')))"
         )).alias("g")))
 
@@ -224,8 +233,8 @@ def contamination_flags(docs: DataFrame, eval_docs: DataFrame,
 
     Scale design: the eval side is tiny relative to the corpus (a
     benchmark suite vs a crawl), so its distinct gram set broadcasts —
-    the corpus never shuffles; the per-doc hit count is an algebraic
-    aggregate on doc_id."""
+    no shuffle JOIN against the eval side; the corpus grams shuffle
+    only for the per-doc algebraic hit count (uniform doc_id keys)."""
     d_g = _token_ngrams(docs, n)
     e_g = _token_ngrams(eval_docs, n).select("g").distinct()
     hits = (d_g.join(F.broadcast(e_g), "g")

@@ -301,7 +301,9 @@ def main() -> None:
     # for the join
     p = plan_of(e._q_text_decontaminate(spark, sf))
     check("decontamination: eval grams broadcast (no corpus shuffle join)",
-          "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+          "BroadcastHashJoin" in p and "CartesianProduct" not in p
+          and "SortMergeJoin" not in p
+          and "BroadcastNestedLoopJoin" not in p,
           f"BHJ x{p.count('BroadcastHashJoin')}, "
           f"SMJ x{p.count('SortMergeJoin')}, cartesian x0")
 
