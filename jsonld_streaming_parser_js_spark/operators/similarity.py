@@ -175,20 +175,10 @@ def deterministic_id_sample(df: DataFrame, id_col: str = "vec_id",
     unbiased pair-level recall estimate (both pair endpoints sampled
     independently of their similarity). md5 (not xxhash64) so the DuckDB
     oracle computes the identical stratum with
-    ``('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT % mod``."""
+    ``('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT % mod``
+    (shared expression: operators/hashing.md5_stratum)."""
+    from .hashing import md5_stratum
     return df.where(md5_stratum(F.col(id_col), mod) == 0)
-
-
-def md5_stratum(col: F.Column, mod: int) -> F.Column:
-    """``md5(CAST(col AS STRING))[0:8] as int, mod ``mod`` — THE shared
-    deterministic-stratum hash (this audit's sampler AND
-    textstats.stratified_sample). Parity-critical: any drift breaks the
-    bit-for-bit DuckDB replay (twin expression in the docstring above),
-    which is why it lives in exactly one place."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
-        .cast("long"),
-        F.lit(mod))
 
 
 def lsh_topk(embeddings: DataFrame, query_ids: list[int],

@@ -5,14 +5,17 @@ whole-stage-codegen) — no Python UDFs in the hot path. Each operator has an
 exact ANSI-SQL twin in ``__spark_entry__.oracle_sql`` so correctness is
 oracle-checked. The per-document stats and the sampler are narrow maps
 over the scan (no shuffle, linear scaling); the corpus-level operators
-(boilerplate document-frequency, contamination flags) shuffle only on
-uniform hash keys and broadcast their small side.
+shuffle only on uniform hash keys (boilerplate document-frequency via a
+window over md5 grams; contamination additionally broadcasts the small
+eval-gram set for its join).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .hashing import md5_stratum
 
 # small multilingual stopword seed for language-ID voting (public knowledge)
 LANG_MARKERS = {
@@ -190,7 +193,6 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     and partitionings (reproducible data recipes; the DuckDB oracle
     replays it bit-for-bit). Narrow filter: no shuffle, prunes at the
     scan."""
-    from .similarity import md5_stratum
     h = md5_stratum(F.col("doc_id"), 1_000_000)
     # round, not int(): 0.35 * 1e6 is 349999.99999999994 in binary64 —
     # truncation would put the threshold one off the documented rate*1e6
