@@ -47,6 +47,11 @@ from jsonld_streaming_parser_js_spark.operators import textstats
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 SIM_QUERY_IDS = [0, 1, 2, 3, 4]
 
+# fuzzy-canonicalization MinHash shape, shared by the lane AND its DuckDB
+# oracle (r7 drift sweep: the oracle's rows-per-band derives from these)
+CANON_NUM_HASHES = 32
+CANON_BANDS = 16
+
 
 # ---------------------------------------------------------------------------
 # shared plan fragments
@@ -82,29 +87,27 @@ def _q_kg_quads(spark, sf_dir):
 
 
 def _q_kg_quads_memo(spark, sf_dir):
-    """Distinct-block parse memo twin of kg_quads (operators/memo.py):
-    parse each DISTINCT block once under a placeholder base, relabel
-    skolem bnodes per (url, blk) JVM-side, fall back per-occurrence for
-    base-dependent blocks. Value-hash-identical to kg_quads by oracle
-    (same SQL) — the memoization must never change the answer."""
-    from jsonld_streaming_parser_js_spark.operators.memo import (
-        pages_to_quads_memo)
-    return (pages_to_quads_memo(_pages(spark, sf_dir), CONTEXTS)
-            .orderBy("url", "blk", "pred", "obj"))
+    """Distinct-block parse memo (operators/memo.py), BOTH guarantees in
+    one lane (r7 registry consolidation — verdict ask #1):
 
-
-def _q_kg_quads_memo_shared(spark, sf_dir):
-    """Memo parse over the site-template corpus: 7 distinct blocks across
-    all pages (the real-crawl duplication shape — same org block on every
-    page of a host), with an anonymous member node so the per-(url, blk)
-    skolem rewrite is value-checked across occurrences."""
+    - corpus='pages': memoized parse of the standard pages table must be
+      value-hash-identical to kg_quads (the oracle is the same expected-
+      quads CTE) — memoization must never change the answer.
+    - corpus='shared': the site-template corpus (7 distinct blocks across
+      all pages, with an anonymous member node) value-checks the
+      per-(url, blk) skolem-prefix rewrite across occurrences."""
     from jsonld_streaming_parser_js_spark.operators.memo import (
-        parse_blocks_memo)
+        pages_to_quads_memo, parse_blocks_memo)
     from jsonld_streaming_parser_js_spark.sources.pages import (
         shared_org_blocks)
-    parsed = parse_blocks_memo(shared_org_blocks(spark, sf_dir), {})
-    return (quads_only(parsed)
-            .orderBy("url", "blk", "subj", "pred", "obj"))
+    pages_leg = (pages_to_quads_memo(_pages(spark, sf_dir), CONTEXTS)
+                 .withColumn("corpus", F.lit("pages")))
+    shared_leg = (quads_only(
+        parse_blocks_memo(shared_org_blocks(spark, sf_dir), {}))
+        .withColumn("corpus", F.lit("shared")))
+    return (pages_leg.unionByName(shared_leg)
+            .select("corpus", "url", "blk", "subj", "pred", "obj", "graph")
+            .orderBy("corpus", "url", "blk", "subj", "pred", "obj"))
 
 
 def _q_kg_extract_blocks(spark, sf_dir):
@@ -114,6 +117,31 @@ def _q_kg_extract_blocks(spark, sf_dir):
 def _q_kg_errors(spark, sf_dir):
     parsed = parse_blocks(extract_blocks(_pages(spark, sf_dir)), CONTEXTS)
     return errors_only(parsed).orderBy("url", "blk")
+
+
+def _q_kg_error_channels(spark, sf_dir):
+    """ALL THREE error channels in one lane (r7 registry consolidation):
+    channel='lenient' (malformed-JSON rows from the standard pages
+    corpus), channel='strict' (strictValues mode converts every lenient
+    drop into a coded error row), channel='http' (fromHttpResponse
+    media-type / Link-header failures). Each keeps its full former
+    per-channel value oracle — the union loses nothing."""
+    from jsonld_streaming_parser_js_spark.functions.parser import (
+        ParserOptions)
+    lenient = _q_kg_errors(spark, sf_dir)
+    strict = errors_only(parse_blocks(
+        _strict_blocks(spark, sf_dir), CONTEXTS,
+        parser_options=ParserOptions(strict_values=True)))
+    http = errors_only(parse_responses(
+        responses_from_documents(spark, sf_dir), CONTEXTS))
+    legs = [lenient.withColumn("channel", F.lit("lenient")),
+            strict.withColumn("channel", F.lit("strict")),
+            http.withColumn("channel", F.lit("http"))]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return (out.select("channel", "url", "blk", "error")
+            .orderBy("channel", "url", "blk"))
 
 
 def _strict_blocks(spark, sf_dir):
@@ -148,19 +176,44 @@ def _q_kg_strict_errors(spark, sf_dir):
 
 
 def _q_kg_quads_by_predicate(spark, sf_dir):
-    return stats.quads_by_predicate(_quads(spark, sf_dir))
+    """Per-(pred, rdf:type-object) counts — the r7 merge of the old
+    kg_quads_by_predicate + kg_type_counts lanes: summing over rdf_type
+    reproduces the per-predicate rollup; filtering pred = rdf:type
+    reproduces the type-instance counts. One algebraic groupBy."""
+    return stats.quads_by_predicate_and_type(_quads(spark, sf_dir))
 
 
-def _q_kg_type_counts(spark, sf_dir):
-    return stats.type_counts(_quads(spark, sf_dir))
+def _q_kg_rollups(spark, sf_dir):
+    """Three KG governance rollups in one long-format lane (r7 registry
+    consolidation of kg_host_stats / kg_distinct_objects /
+    kg_entity_degree — each keeps its full former value oracle):
 
+    - view='host': per-domain quad volume + distinct entities (the
+      crawl-governance view; hosts are the natural partition unit)
+    - view='pred_distinct_objects': skew-safe two-phase distinct-object
+      count per predicate (uniform (pred, obj) dedup shuffle first)
+    - view='entity_degree': top-50 subjects by out-degree
 
-def _q_kg_distinct_objects(spark, sf_dir):
-    return stats.distinct_objects_per_predicate(_quads(spark, sf_dir))
-
-
-def _q_kg_entity_degree(spark, sf_dir):
-    return stats.entity_out_degree(_quads(spark, sf_dir), limit=50)
+    All algebraic aggs with map-side partials; the union is of three
+    tiny aggregate outputs, never of corpus-sized inputs."""
+    q = _quads(spark, sf_dir)
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    hosts = (q.groupBy(host.alias("key"))
+             .agg(F.count("*").alias("m1"),
+                  F.countDistinct("subj").alias("m2"))
+             .select(F.lit("host").alias("view"), "key", "m1", "m2"))
+    dobj = (stats.distinct_objects_per_predicate(q)
+            .select(F.lit("pred_distinct_objects").alias("view"),
+                    F.col("pred").alias("key"),
+                    F.col("n_distinct_objects").alias("m1"),
+                    F.lit(0).cast("long").alias("m2")))
+    deg = (stats.entity_out_degree(q, limit=50)
+           .select(F.lit("entity_degree").alias("view"),
+                   F.col("subj").alias("key"),
+                   F.col("n_quads").alias("m1"),
+                   F.col("n_preds").alias("m2")))
+    return (hosts.unionByName(dobj).unionByName(deg)
+            .orderBy("view", "key"))
 
 
 def _q_kg_author_labels(spark, sf_dir):
@@ -185,22 +238,24 @@ def _q_kg_lineage(spark, sf_dir):
         quads_only(parsed).dropDuplicates(), errors_only(parsed))
 
 
-def _q_kg_quads_i18n_datatype(spark, sf_dir):
-    """rdfDirection=i18n-datatype over the @direction fixture block
-    (reference: lib/Util.ts:753-767 — https://www.w3.org/ns/i18n# datatype
-    encodes language+direction)."""
-    parsed = parse_blocks(i18n_blocks(spark, sf_dir), CONTEXTS,
-                          rdf_direction="i18n-datatype")
-    return quads_only(parsed).orderBy("url", "pred")
+def _q_kg_quads_i18n(spark, sf_dir):
+    """BOTH rdfDirection modes over the @direction fixture block, merged
+    into one lane (r7 registry consolidation; each mode keeps its full
+    former value oracle):
 
-
-def _q_kg_quads_i18n_compound(spark, sf_dir):
-    """rdfDirection=compound-literal: each directional literal becomes a
-    bnode with rdf:value/rdf:language/rdf:direction (lib/Util.ts:768-782);
-    bnode labels are the deterministic skolemized per-block sequence."""
-    parsed = parse_blocks(i18n_blocks(spark, sf_dir), CONTEXTS,
-                          rdf_direction="compound-literal")
-    return quads_only(parsed).orderBy("url", "subj", "pred")
+    - mode='i18n-datatype' (reference: lib/Util.ts:753-767 — the
+      https://www.w3.org/ns/i18n# datatype encodes language+direction)
+    - mode='compound-literal' (lib/Util.ts:768-782 — each directional
+      literal becomes a bnode with rdf:value/rdf:language/rdf:direction;
+      bnode labels are the deterministic skolemized per-block sequence)"""
+    legs = []
+    for mode in ("i18n-datatype", "compound-literal"):
+        parsed = parse_blocks(i18n_blocks(spark, sf_dir), CONTEXTS,
+                              rdf_direction=mode)
+        legs.append(quads_only(parsed).withColumn("mode", F.lit(mode)))
+    return (legs[0].unionByName(legs[1])
+            .select("mode", "url", "blk", "subj", "pred", "obj", "graph")
+            .orderBy("mode", "url", "subj", "pred"))
 
 
 def _q_kg_http_quads(spark, sf_dir):
@@ -285,15 +340,8 @@ def _q_kg_canonical_fuzzy(spark, sf_dir):
     A-B-C chains have diameter 2) -> (node, canonical) mapping."""
     mapping = canon.canonical_mapping_fuzzy(
         _entity_quads(spark, sf_dir), min_jaccard=0.6,
-        num_hashes=32, bands=16)
+        num_hashes=CANON_NUM_HASHES, bands=CANON_BANDS)
     return mapping.orderBy("node")
-
-
-def _q_text_extract_identity(spark, sf_dir):
-    from jsonld_streaming_parser_js_spark.operators.extract import (
-        extracted_text)
-    et = extracted_text(_pages(spark, sf_dir))
-    return (et.select("url", "match").orderBy("url"))
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -316,16 +364,31 @@ def _q_dedup_simhash(spark, sf_dir):
             .orderBy("doc_a", "doc_b"))
 
 
-def _q_text_token_count(spark, sf_dir):
-    return textstats.token_count(_docs(spark, sf_dir)).orderBy("doc_id")
+def _q_text_stats(spark, sf_dir):
+    """Token counts + language-ID + fingerprint in ONE scan (r7 merge of
+    the token_count / lang_id / fingerprint lanes; the oracle checks all
+    seven columns, the union of the three former oracles)."""
+    return textstats.text_profile(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def _q_text_quality(spark, sf_dir):
-    return textstats.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
-
-
-def _q_text_langid(spark, sf_dir):
-    return textstats.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+    """Quality features for EVERY document plus the composite filter
+    verdict (r7 merge of text_quality + text_quality_filter): ``kept`` is
+    true iff the doc is its exact-dedup group's keeper AND passes the
+    quality thresholds — the old filter lane's rows are exactly the rows
+    with kept=true, so both guarantees survive in one lane."""
+    docs = _docs(spark, sf_dir)
+    q = textstats.quality_score(docs)
+    keep = (dedup.exact_dedup(docs)
+            .select(F.col("keep_doc_id").alias("doc_id"),
+                    F.lit(True).alias("_keeper")))
+    return (q.join(keep, "doc_id", "left")
+            .withColumn("kept",
+                        F.coalesce("_keeper", F.lit(False))
+                        & (F.col("n_tokens") >= 10)
+                        & (F.col("punct_ratio") <= 0.2))
+            .drop("_keeper")
+            .orderBy("doc_id"))
 
 
 def _q_text_boilerplate(spark, sf_dir):
@@ -339,10 +402,6 @@ def _q_text_pii(spark, sf_dir):
     """PII / contamination pre-filter counts (emails, phone-shaped,
     IPv4-shaped, SSN-shaped) — training-data hygiene stage."""
     return textstats.pii_scan(_docs(spark, sf_dir)).orderBy("doc_id")
-
-
-def _q_text_fingerprint(spark, sf_dir):
-    return textstats.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def _q_sim_topk_cosine(spark, sf_dir):
@@ -393,6 +452,45 @@ def _q_sim_lsh_topk(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def _q_sim_topk(spark, sf_dir):
+    """ALL THREE top-k similarity-search paths in one lane (r7 registry
+    consolidation; each keeps its full former value oracle):
+
+    - method='brute': exact baseline — broadcast queries, one corpus scan
+    - method='ivf': IVF-flat ANN — deterministic coarse quantizer,
+      nprobe-bounded in-list search (centroids inlined as literals)
+    - method='lsh': hyperplane-LSH ANN — bucket-restricted search"""
+    legs = [
+        _q_sim_topk_cosine(spark, sf_dir).withColumn(
+            "method", F.lit("brute")),
+        _q_sim_ivf_topk(spark, sf_dir).withColumn("method", F.lit("ivf")),
+        _q_sim_lsh_topk(spark, sf_dir).withColumn("method", F.lit("lsh")),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return (out.select("method", "query_id", "neighbor_id", "rank",
+                       "cos_sim")
+            .orderBy("method", "query_id", "rank"))
+
+
+def _q_ann_recall(spark, sf_dir):
+    """BOTH approximate-index recall audits in one lane (r7 registry
+    consolidation): method='embedding_lsh' measures the near-dup LSH
+    candidate filter against its exact all-pairs twin on the
+    deterministic 1/4 md5 sample; method='ivf' measures IVF-flat
+    recall@5 against the brute-force top-k. An approximate index whose
+    recall is never measured is a silent quality hole — these rows keep
+    it measured per run, each against its fully SQL-replayed oracle."""
+    lsh = (_q_dedup_embedding_lsh_recall(spark, sf_dir)
+           .select(F.lit("embedding_lsh").alias("method"),
+                   F.col("n_lsh").alias("n_approx"), "n_exact", "recall"))
+    ivf = (_q_sim_ivf_recall(spark, sf_dir)
+           .select(F.lit("ivf").alias("method"),
+                   F.col("n_hits").alias("n_approx"), "n_exact", "recall"))
+    return lsh.unionByName(ivf).orderBy("method")
+
+
 def _q_kg_predicate_profile(spark, sf_dir):
     """Per-predicate object-kind profile (KG quality-assurance view):
     how many IRI / literal / bnode objects, language-tagged and typed
@@ -429,7 +527,12 @@ def _q_kg_predicate_profile(spark, sf_dir):
 SAMPLE_RATES = {"en": 0.35, "de": 1.0, "zh": 0.0}
 SAMPLE_DEFAULT = 0.1
 
-# >= 13 lowercase words so the decontamination sentinel yields 13-grams
+# the standard 13-gram decontamination rule; the oracle's gram width
+# derives from THIS name (r7 drift sweep)
+DECON_N = 13
+
+# >= DECON_N lowercase words so the decontamination sentinel yields
+# full n-grams
 DECON_SENTINEL = (" shared benchmark passage used for contamination"
                   " detection across this synthetic corpus evaluation"
                   " suite revision seven")
@@ -459,7 +562,7 @@ def _q_text_decontaminate(spark, sf_dir):
                f" THEN '{DECON_SENTINEL}' ELSE '' END").alias("text"))
     ev = corpus.where(F.expr("doc_id % 41 = 0"))
     checked = corpus.where(F.expr("doc_id % 41 <> 0"))
-    return (textstats.contamination_flags(checked, ev, n=13)
+    return (textstats.contamination_flags(checked, ev, n=DECON_N)
             .select("doc_id",
                     F.col("n_hits").cast("long").alias("n_hits"),
                     "contaminated")
@@ -539,20 +642,6 @@ def _q_approx_distinct_hll(spark, sf_dir):
     return hll_distinct(_quads(spark, sf_dir), "subj", b=8)
 
 
-def _q_kg_host_stats(spark, sf_dir):
-    """Per-domain KG rollup (the crawl-governance view every web
-    pipeline needs): host extracted from the page URL, quad volume and
-    distinct-entity count per host. Pure JVM regexp + algebraic aggs —
-    map-side partials, skew-free (hosts are the natural partition unit
-    of a crawl)."""
-    q = _quads(spark, sf_dir)
-    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
-    return (q.groupBy(host.alias("host"))
-            .agg(F.count("*").alias("n_quads"),
-                 F.countDistinct("subj").alias("n_subjects"))
-            .orderBy("host"))
-
-
 def _q_kg_nquads(spark, sf_dir):
     """N-Quads serialization sink: the full KG rendered as W3C N-Quads
     statements (pure JVM concat over the lexical quad columns — the
@@ -583,16 +672,28 @@ def _q_kg_skew_salted_join(spark, sf_dir):
             .orderBy("pred"))
 
 
-def _q_kg_graph_nodes(spark, sf_dir):
-    from jsonld_streaming_parser_js_spark.plans.pipeline import graph_views
-    nodes = graph_views(_quads(spark, sf_dir))["nodes"]
-    return nodes.orderBy("term")
+def _q_kg_graph_views(spark, sf_dir):
+    """Node AND edge materializations of the KG in one long-format lane
+    (r7 registry consolidation of kg_graph_nodes + kg_graph_edges; both
+    former value oracles preserved):
 
-
-def _q_kg_graph_edges(spark, sf_dir):
+    - view='node': (term, kind, out_degree, in_degree) — degrees cast to
+      string for the shared column shape; the single-term-shuffle plan
+      invariant stays EXPLAIN-checked on graph_views itself
+    - view='edge': (src, rel, dst, graph) for non-literal objects"""
     from jsonld_streaming_parser_js_spark.plans.pipeline import graph_views
-    edges = graph_views(_quads(spark, sf_dir))["edges"]
-    return edges.orderBy("src", "rel", "dst")
+    views = graph_views(_quads(spark, sf_dir))
+    nodes = views["nodes"].select(
+        F.lit("node").alias("view"),
+        F.col("term").alias("c1"), F.col("kind").alias("c2"),
+        F.col("out_degree").cast("string").alias("c3"),
+        F.col("in_degree").cast("string").alias("c4"))
+    edges = views["edges"].select(
+        F.lit("edge").alias("view"),
+        F.col("src").alias("c1"), F.col("rel").alias("c2"),
+        F.col("dst").alias("c3"), F.col("graph").alias("c4"))
+    return (nodes.unionByName(edges)
+            .orderBy("view", "c1", "c2", "c3", "c4"))
 
 
 def _q_dedup_embedding_cosine(spark, sf_dir):
@@ -608,6 +709,20 @@ def _q_dedup_embedding_lsh(spark, sf_dir):
     emb = _tbl(spark, sf_dir, "embeddings")
     return (similarity.embedding_lsh_pairs(emb, threshold=0.4)
             .orderBy("id_a", "id_b"))
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    """Embedding near-dup pairs, BOTH paths in one lane (r7 registry
+    consolidation): method='exact' is the all-pairs sf-scale oracle twin
+    (all-pairs BY DESIGN); method='lsh' is the hyperplane-bucketed scale
+    path (cartesian x0, EXPLAIN-checked on the underlying operator)."""
+    ex = (_q_dedup_embedding_cosine(spark, sf_dir)
+          .withColumn("method", F.lit("exact")))
+    lsh = (_q_dedup_embedding_lsh(spark, sf_dir)
+           .withColumn("method", F.lit("lsh")))
+    return (ex.unionByName(lsh)
+            .select("method", "id_a", "id_b", "cos_sim")
+            .orderBy("method", "id_a", "id_b"))
 
 
 # cleaning-chain corpus: base documents + four injected row classes, each
@@ -651,20 +766,6 @@ def _q_pipeline_clean_corpus(spark, sf_dir):
     return clean_corpus(_chain_corpus(spark, sf_dir)).orderBy("doc_id")
 
 
-def _q_text_quality_filter(spark, sf_dir):
-    """Composite training-data filter: quality thresholds + exact-dedup
-    survivorship in one pipeline (the everyday corpus-cleaning query)."""
-    docs = _docs(spark, sf_dir)
-    q = textstats.quality_score(docs)
-    keep = (dedup.exact_dedup(docs)
-            .select(F.col("keep_doc_id").alias("doc_id")))
-    return (q.join(keep, "doc_id")
-            .where((F.col("n_tokens") >= 10)
-                   & (F.col("punct_ratio") <= 0.2))
-            .select("doc_id", "n_tokens", "punct_ratio")
-            .orderBy("doc_id"))
-
-
 def _q_mm_media_stats(spark, sf_dir):
     """Multimodal metadata aggregation: binary column never decoded, pure
     JVM byte-length stats (the scan prunes to kind+payload)."""
@@ -685,38 +786,46 @@ def _q_mm_features(spark, sf_dir):
         .orderBy("media_id"))
 
 
-def _q_mm_decode_wav(spark, sf_dir):
-    """REAL audio decode lane: the audio subset of the media table gets a
-    real RIFF/PCM WAV payload (stdlib wave + NumPy parse); the decoded
-    waveform statistics are exact integers the oracle recomputes in SQL."""
+_MM_DECODE_STATS = {
+    "wav": ["n_samples", "sample_rate", "duration_ms", "peak", "sum_abs"],
+    "ppm": ["width", "height", "sum_r", "sum_g", "sum_b"],
+    "png": ["width", "height", "sum_r", "sum_g", "sum_b"],
+}
+
+
+def _q_mm_decode(spark, sf_dir):
+    """ALL THREE real media decoders in one long-format lane (r7 registry
+    consolidation of mm_decode_wav/ppm/png; every former stat is still a
+    value-checked row — (fmt, media_id, stat, value)):
+
+    - fmt='wav': real RIFF/PCM parse (stdlib wave + NumPy) — decoded
+      waveform stats are exact integers
+    - fmt='ppm': binary PPM (P6) header tokenizer + NumPy raster
+    - fmt='png': full PNG decoder (CRC-verified chunk walk, zlib
+      inflate, Paeth/Average/Sub/Up unfiltering — stdlib only); the
+      synth twin filters each row differently so filter inversion is
+      genuinely exercised, and decoded sums equal the PPM closed forms
+
+    Binary payloads are decoded partition-locally (mapInPandas), never
+    shuffled; the unpivot to long format is a narrow projection."""
     from jsonld_streaming_parser_js_spark.operators import multimodal as mm
     docs = _tbl(spark, sf_dir, "documents")
     audio_ids = (docs.where(F.col("doc_id") % 3 == 1)
                  .select(F.col("doc_id").alias("media_id")))
-    return mm.wav_stats_from_ids(audio_ids).orderBy("media_id")
-
-
-def _q_mm_decode_ppm(spark, sf_dir):
-    """REAL image decode lane: binary PPM (P6) payloads parsed by a real
-    header tokenizer + NumPy raster; per-channel sums are exact integers."""
-    from jsonld_streaming_parser_js_spark.operators import multimodal as mm
-    docs = _tbl(spark, sf_dir, "documents")
     image_ids = (docs.where(F.col("doc_id") % 3 == 0)
                  .select(F.col("doc_id").alias("media_id")))
-    return mm.ppm_stats_from_ids(image_ids).orderBy("media_id")
-
-
-def _q_mm_decode_png(spark, sf_dir):
-    """REAL compressed-image decode lane: full PNG decoder (CRC-verified
-    chunk walk, zlib inflate, Paeth/Average/Sub/Up unfiltering — stdlib
-    only). The synth twin filters every row with a different filter type,
-    so the decoder's filter inversion is genuinely exercised; decoded
-    per-channel sums equal the PPM closed forms, checked by the oracle."""
-    from jsonld_streaming_parser_js_spark.operators import multimodal as mm
-    docs = _tbl(spark, sf_dir, "documents")
-    image_ids = (docs.where(F.col("doc_id") % 3 == 0)
-                 .select(F.col("doc_id").alias("media_id")))
-    return mm.png_stats_from_ids(image_ids).orderBy("media_id")
+    wide = {"wav": mm.wav_stats_from_ids(audio_ids),
+            "ppm": mm.ppm_stats_from_ids(image_ids),
+            "png": mm.png_stats_from_ids(image_ids)}
+    out = None
+    for fmt, df in wide.items():
+        stats_ = _MM_DECODE_STATS[fmt]
+        stack = ", ".join(f"'{s}', CAST({s} AS BIGINT)" for s in stats_)
+        leg = df.selectExpr(
+            f"'{fmt}' AS fmt", "media_id",
+            f"stack({len(stats_)}, {stack}) AS (stat, value)")
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("fmt", "media_id", "stat")
 
 
 def _q_tpch_q1(spark, sf_dir):
@@ -877,36 +986,23 @@ def _q_streaming_kg_quads(spark, sf_dir):
 
 def _q_streaming_quad_rates(spark, sf_dir):
     """Watermarked event-time windowed aggregation over the quad stream
-    (the late-data-tolerant metrics feed): crawl-time-ordered micro-
-    batches -> fused extract+parse -> stream-static ts join ->
-    1-minute windows with a 2-minute watermark in APPEND mode (only
-    watermark-finalized windows reach the sink). Value-hashed against a
-    batch SQL twin grouping the expected quads by crawl-minute."""
+    WITH the late-data path exercised (r7 merge of the plain + late
+    lanes — the late variant's contract strictly subsumes the plain
+    one): crawl-time-ordered micro-batches -> fused extract+parse ->
+    stream-static ts join -> 1-minute windows in APPEND mode, where a
+    deterministic 1/5 url subset of every time range arrives one
+    micro-batch LATE — inside windows already populated by earlier
+    batches but within the watermark (derived from the corpus' slice
+    width so the no-drop bound holds at every scale factor) — so the
+    stateful aggregation must merge them before finalization. The
+    oracle is the order-independent batch windowing over ALL pages: a
+    dropped late row value-hash-fails. The explicit-watermark parameter
+    path is pytest-covered (tests/test_streaming_multimodal.py)."""
     import shutil
     import tempfile
     from jsonld_streaming_parser_js_spark.streaming.stream import (
         streaming_quad_rates)
     work = tempfile.mkdtemp(prefix="stream-rates-")
-    try:
-        return streaming_quad_rates(spark, _pages(spark, sf_dir), work,
-                                    CONTEXTS)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-
-
-def _q_streaming_quad_rates_late(spark, sf_dir):
-    """Late-data twin of streaming_quad_rates: a deterministic 1/5 url
-    subset of every time range arrives one micro-batch LATE — inside
-    windows already populated by earlier batches but within the
-    watermark (derived from the corpus' slice width so the no-drop bound
-    holds at every scale factor) — so the stateful aggregation must
-    merge them before finalization. The oracle is the order-independent
-    batch windowing over ALL pages: a dropped late row value-hash-fails."""
-    import shutil
-    import tempfile
-    from jsonld_streaming_parser_js_spark.streaming.stream import (
-        streaming_quad_rates)
-    work = tempfile.mkdtemp(prefix="stream-rates-late-")
     try:
         return streaming_quad_rates(spark, _pages(spark, sf_dir), work,
                                     CONTEXTS, watermark=None,
@@ -952,20 +1048,38 @@ def _q_events_hourly(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT: the driver's correctness harness was observed to
-    # record rows for the FIRST 50 entries only (CORRECTNESS_r05 stopped
-    # at 50 of 58). Lanes are therefore ordered: (1) lanes new or changed
-    # this round, (2) lanes that lacked a driver row in r05, (3) the rest,
-    # ending with cheap lanes that are unchanged since their last green
-    # driver row (r04/r05 artifacts witness them) — those are the only
-    # ones that may fall outside a 50-lane window.
+    # REGISTRY SIZE CONTRACT (r7, verdict ask #1): the driver's
+    # correctness harness records rows for the FIRST 50 entries only, so
+    # the registry is consolidated to <= 50 lanes — every lane gets a
+    # fresh driver row every round and the old tail-rotation bookkeeping
+    # is gone. Merged lanes (see each docstring) check the UNION of
+    # their former assertions: kg_quads_memo (+memo_shared),
+    # kg_error_channels (lenient+strict+http), kg_quads_by_predicate
+    # (+type_counts), kg_graph_views (nodes+edges), kg_rollups
+    # (host+distinct_objects+entity_degree), kg_quads_i18n
+    # (datatype+compound), text_stats (token_count+langid+fingerprint),
+    # text_quality (+quality_filter), sim_topk (brute+ivf+lsh),
+    # ann_recall (embedding_lsh+ivf), dedup_embedding (exact+lsh),
+    # mm_decode (wav+ppm+png), streaming_quad_rates (+late twin).
+    # Ordering stays changed-first as belt-and-braces.
     return {
-        # -- changed/new this round --
-        "kg_quads": _q_kg_quads,
+        # -- changed/merged this round (r7) --
         "kg_quads_memo": _q_kg_quads_memo,
-        "kg_quads_memo_shared": _q_kg_quads_memo_shared,
+        "kg_error_channels": _q_kg_error_channels,
+        "kg_quads_by_predicate": _q_kg_quads_by_predicate,
+        "kg_graph_views": _q_kg_graph_views,
+        "kg_rollups": _q_kg_rollups,
+        "kg_quads_i18n": _q_kg_quads_i18n,
+        "text_stats": _q_text_stats,
+        "text_quality": _q_text_quality,
+        "sim_topk": _q_sim_topk,
+        "ann_recall": _q_ann_recall,
+        "dedup_embedding": _q_dedup_embedding,
+        "mm_decode": _q_mm_decode,
+        "streaming_quad_rates": _q_streaming_quad_rates,
+        # -- carried lanes (unchanged; all inside the 50-row window) --
+        "kg_quads": _q_kg_quads,
         "kg_predicate_profile": _q_kg_predicate_profile,
-        "kg_graph_nodes": _q_kg_graph_nodes,
         "kg_skew_salted_join": _q_kg_skew_salted_join,
         "kg_canonical_clusters": _q_kg_canonical_clusters,
         "kg_quads_canonical": _q_kg_quads_canonical,
@@ -976,62 +1090,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "text_sample_stratified": _q_text_sample_stratified,
         "text_decontaminate": _q_text_decontaminate,
-        # -- unwitnessed in r05 (verdict ask #1) --
-        "tpch_q5": _q_tpch_q5,
-        "window_top_orders": _q_window_top_orders,
-        "events_hourly": _q_events_hourly,
-        "events_sessionize": _q_events_sessionize,
-        "dedup_embedding_lsh_recall": _q_dedup_embedding_lsh_recall,
-        "streaming_sessionize": _q_streaming_sessionize,
-        "streaming_kg_quads": _q_streaming_kg_quads,
-        "streaming_quad_rates": _q_streaming_quad_rates,
-        "streaming_quad_rates_late": _q_streaming_quad_rates_late,
-        # -- carried lanes --
-        "kg_errors": _q_kg_errors,
-        "kg_strict_errors": _q_kg_strict_errors,
-        "kg_quads_by_predicate": _q_kg_quads_by_predicate,
         "kg_lineage": _q_kg_lineage,
         "kg_http_quads": _q_kg_http_quads,
-        "kg_http_errors": _q_kg_http_errors,
         "kg_ndjson_quads": _q_kg_ndjson_quads,
         "kg_nquads": _q_kg_nquads,
-        "kg_graph_edges": _q_kg_graph_edges,
+        "kg_extract_blocks": _q_kg_extract_blocks,
+        "kg_author_labels": _q_kg_author_labels,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "text_quality": _q_text_quality,
         "text_boilerplate": _q_text_boilerplate,
         "text_pii": _q_text_pii,
-        "text_quality_filter": _q_text_quality_filter,
         "pipeline_clean_corpus": _q_pipeline_clean_corpus,
-        "sim_topk_cosine": _q_sim_topk_cosine,
-        "sim_ivf_topk": _q_sim_ivf_topk,
-        "sim_ivf_recall": _q_sim_ivf_recall,
-        "sim_lsh_topk": _q_sim_lsh_topk,
+        "mm_media_stats": _q_mm_media_stats,
+        "mm_features": _q_mm_features,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
-        # -- tail: unchanged + green in r04/r05; may fall past a 50-lane
-        #    driver window without losing audit coverage --
-        "kg_extract_blocks": _q_kg_extract_blocks,
-        "kg_quads_i18n_datatype": _q_kg_quads_i18n_datatype,
-        "kg_quads_i18n_compound": _q_kg_quads_i18n_compound,
-        "mm_media_stats": _q_mm_media_stats,
-        "kg_entity_degree": _q_kg_entity_degree,
-        "kg_host_stats": _q_kg_host_stats,
-        "kg_type_counts": _q_kg_type_counts,
-        "kg_distinct_objects": _q_kg_distinct_objects,
-        "kg_author_labels": _q_kg_author_labels,
-        "text_extract_identity": _q_text_extract_identity,
-        "text_token_count": _q_text_token_count,
-        "text_langid": _q_text_langid,
-        "text_fingerprint": _q_text_fingerprint,
-        "mm_features": _q_mm_features,
-        "mm_decode_wav": _q_mm_decode_wav,
-        "mm_decode_ppm": _q_mm_decode_ppm,
-        "mm_decode_png": _q_mm_decode_png,
+        "tpch_q5": _q_tpch_q5,
+        "window_top_orders": _q_window_top_orders,
+        "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
+        "streaming_sessionize": _q_streaming_sessionize,
+        "streaming_kg_quads": _q_streaming_kg_quads,
     }
 
 
@@ -1123,9 +1204,6 @@ def oracle_sql() -> dict[str, str]:
         "SELECT url, blk, subj, pred, obj, graph FROM q"
         " ORDER BY url, blk, pred, obj")
 
-    # memoized parse must be indistinguishable from the plain parse
-    oracles["kg_quads_memo"] = oracles["kg_quads"]
-
     from jsonld_streaming_parser_js_spark.operators.sketch import (
         hll_distinct_sql)
     oracles["approx_distinct_hll"] = hll_distinct_sql(
@@ -1166,8 +1244,8 @@ ORDER BY doc_id"""
     _decon_toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     _decon_grams = (
         "SELECT doc_id, unnest(list_transform("
-        " range(1, greatest(len(toks) - 12, 0) + 1),"
-        " i -> md5(array_to_string(toks[i:i+12], ' ')))) AS g"
+        f" range(1, greatest(len(toks) - {DECON_N - 1}, 0) + 1),"
+        f" i -> md5(array_to_string(toks[i:i+{DECON_N - 1}], ' ')))) AS g"
         " FROM (SELECT doc_id, {toks} AS toks FROM {src})")
     oracles["text_decontaminate"] = f"""
 WITH c AS (
@@ -1203,16 +1281,21 @@ FROM chk LEFT JOIN hits USING (doc_id) ORDER BY doc_id"""
           " UNION ALL SELECT * FROM qw)"
           " ORDER BY url, blk, pred, obj")
 
+    # memoized parse must be indistinguishable from the plain parse
+    # (corpus='pages' replays the kg_quads expected-quads CTE); the
+    # shared-template corpus (corpus='shared') value-checks the
+    # per-(url, blk) skolem rewrite across occurrences
     _org = "'<https://ex' || k || '.example.org/#org>'"
     _orgb = "'_:s' || substr(md5(url), 1, 16) || 'x' || blk || 'xb0'"
-    oracles["kg_quads_memo_shared"] = f"""
-WITH s AS (
+    oracles["kg_quads_memo"] = f"""
+WITH {_D_CTE}, {_expected_quads_cte()},
+s AS (
   SELECT 'https://ex' || CAST(doc_id % 7 AS STRING)
            || '.example.org/page/' || CAST(doc_id AS STRING) AS url,
          CAST(doc_id % 2 AS INT) AS blk,
          CAST(doc_id % 7 AS STRING) AS k
   FROM documents
-), q AS (
+), qs AS (
   SELECT url, blk, {_org} AS subj,
          '<{RDF_NS}type>' AS pred,
          '<{_SCHEMA}Organization>' AS obj, '' AS graph FROM s
@@ -1225,8 +1308,10 @@ WITH s AS (
   SELECT url, blk, {_orgb}, '<{_SCHEMA}name>',
          '"Bot ' || k || '"', '' FROM s
 )
-SELECT url, blk, subj, pred, obj, graph FROM q
-ORDER BY url, blk, subj, pred, obj"""
+SELECT 'pages' AS corpus, url, blk, subj, pred, obj, graph FROM q
+UNION ALL
+SELECT 'shared', url, blk, subj, pred, obj, graph FROM qs
+ORDER BY corpus, url, blk, subj, pred, obj"""
 
     # literal-kind tests are END-ANCHORED: a lexical term can only end
     # with '"', '"@lang' or '"^^<iri>' — content dquotes are serialized
@@ -1265,12 +1350,6 @@ SELECT pred,
    THEN 1 ELSE 0 END) AS BIGINT) AS n_typed
 FROM allq GROUP BY pred ORDER BY pred""")
 
-    oracles["kg_host_stats"] = _with_quads(
-        "SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,"
-        " CAST(count(*) AS BIGINT) AS n_quads,"
-        " CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects"
-        " FROM q GROUP BY 1 ORDER BY host")
-
     oracles["kg_nquads"] = _with_quads(
         "SELECT url, blk,"
         " subj || ' ' || pred || ' ' || obj ||"
@@ -1293,38 +1372,53 @@ SELECT url, blk, block FROM (
          '{{"@id": broken' FROM d WHERE doc_id % 17 = 0
 ) ORDER BY url, blk"""
 
-    oracles["kg_errors"] = f"""
-WITH {_D_CTE}
-SELECT url,
+    # all three error channels in one lane: each SELECT is the former
+    # standalone oracle verbatim, tagged with its channel
+    _lenient_err = f"""
+SELECT 'lenient' AS channel, url,
        1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
          + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS blk,
        'invalid json' AS error
-FROM d WHERE doc_id % 17 = 0 ORDER BY url, blk"""
-
-    oracles["kg_strict_errors"] = """
-SELECT 'strict://doc/' || doc_id::VARCHAR AS url, 0 AS blk,
+FROM d WHERE doc_id % 17 = 0"""
+    _strict_err = """
+SELECT 'strict' AS channel,
+       'strict://doc/' || doc_id::VARCHAR AS url, 0 AS blk,
        CASE doc_id % 4 WHEN 0 THEN 'invalid keyword'
                        WHEN 1 THEN 'invalid IRI mapping'
                        ELSE 'invalid language-tagged string' END AS error
-FROM documents WHERE doc_id % 4 < 3 ORDER BY url"""
+FROM documents WHERE doc_id % 4 < 3"""
+    # _http_err needs response_url_sql; assembled below once rurl exists
 
+    # (pred, rdf:type-object) counts: summing over rdf_type reproduces
+    # the per-predicate rollup; pred = rdf:type rows are the old
+    # type_counts lane (r7 merge — union of both former oracles)
     oracles["kg_quads_by_predicate"] = _with_quads(
-        "SELECT pred, count(*) AS n_quads FROM q GROUP BY pred"
-        " ORDER BY n_quads DESC, pred")
+        f"SELECT pred,"
+        f" CASE WHEN pred = '<{RDF_NS}type>' THEN obj ELSE '' END"
+        f"   AS rdf_type,"
+        f" count(*) AS n_quads FROM q GROUP BY 1, 2"
+        f" ORDER BY n_quads DESC, pred, rdf_type")
 
-    oracles["kg_type_counts"] = _with_quads(
-        f"SELECT obj AS rdf_type, count(*) AS n_instances FROM q"
-        f" WHERE pred = '<{RDF_NS}type>' GROUP BY obj"
-        f" ORDER BY n_instances DESC, rdf_type")
-
-    oracles["kg_distinct_objects"] = _with_quads(
-        "SELECT pred, count(DISTINCT obj) AS n_distinct_objects FROM q"
-        " GROUP BY pred ORDER BY n_distinct_objects DESC, pred")
-
-    oracles["kg_entity_degree"] = _with_quads(
-        "SELECT subj, count(*) AS n_quads,"
-        " count(DISTINCT pred) AS n_preds FROM q GROUP BY subj"
-        " ORDER BY n_quads DESC, subj LIMIT 50")
+    # host / distinct-objects / entity-degree rollups in one long-format
+    # lane; each SELECT is the former standalone oracle verbatim
+    oracles["kg_rollups"] = _with_quads("""
+SELECT view, key, m1, m2 FROM (
+  SELECT 'host' AS view,
+         regexp_extract(url, '^https?://([^/]+)', 1) AS key,
+         CAST(count(*) AS BIGINT) AS m1,
+         CAST(count(DISTINCT subj) AS BIGINT) AS m2
+  FROM q GROUP BY 2
+  UNION ALL
+  SELECT 'pred_distinct_objects', pred,
+         CAST(count(DISTINCT obj) AS BIGINT), CAST(0 AS BIGINT)
+  FROM q GROUP BY pred
+  UNION ALL
+  SELECT * FROM (
+    SELECT 'entity_degree', subj, CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT pred) AS BIGINT)
+    FROM q GROUP BY subj
+    ORDER BY count(*) DESC, subj LIMIT 50)
+) ORDER BY view, key""")
 
     oracles["kg_author_labels"] = _with_quads(
         f"SELECT url, obj AS entity,"
@@ -1357,9 +1451,9 @@ ORDER BY url""")
 
     i18n_s = "'<' || url || '#i18n>'"
     i18n_ns = "https://www.w3.org/ns/i18n#"
-    oracles["kg_quads_i18n_datatype"] = f"""
-WITH {_D_CTE}
-SELECT url, 0 AS blk, subj, pred, obj, graph FROM (
+    _i18n_dt = f"""
+SELECT 'i18n-datatype' AS mode, url, 0 AS blk, subj, pred, obj, graph
+FROM (
   SELECT url, {i18n_s} AS subj, '<{_SCHEMA}headline>' AS pred,
          '"Doc ' || did || '"^^<{i18n_ns}ar_rtl>' AS obj, '' AS graph
   FROM d
@@ -1369,7 +1463,7 @@ SELECT url, 0 AS blk, subj, pred, obj, graph FROM (
   UNION ALL
   SELECT url, {i18n_s}, '<{_SCHEMA}name>',
          '"Plain ' || did || '"^^<{i18n_ns}_ltr>', '' FROM d
-) ORDER BY url, pred"""
+)"""
 
     rurl = response_url_sql("doc_id")
     rsubj = f"'<' || {rurl} || '#r>'"
@@ -1384,12 +1478,20 @@ SELECT url, 0 AS blk, subj, pred, obj, graph FROM (
   FROM documents WHERE doc_id % 10 IN (6, 7)
 ) ORDER BY url, pred"""
 
-    oracles["kg_http_errors"] = f"""
-SELECT {rurl} AS url, 0 AS blk,
+    _http_err = f"""
+SELECT 'http' AS channel, {rurl} AS url, 0 AS blk,
        CASE WHEN doc_id % 10 = 8 THEN 'loading document failed'
             ELSE 'multiple context link headers' END AS error
-FROM documents WHERE doc_id % 10 IN (8, 9)
-ORDER BY url"""
+FROM documents WHERE doc_id % 10 IN (8, 9)"""
+    oracles["kg_error_channels"] = f"""
+WITH {_D_CTE}
+SELECT channel, url, blk, error FROM (
+{_lenient_err}
+UNION ALL
+{_strict_err}
+UNION ALL
+{_http_err}
+) ORDER BY channel, url, blk"""
 
     nurl = "'https://dump.example.org/rec/' || CAST(doc_id AS STRING)"
     oracles["kg_ndjson_quads"] = f"""
@@ -1407,9 +1509,9 @@ SELECT url, blk, subj, pred, obj, graph FROM (
 ) ORDER BY url, blk"""
 
     bn = "'_:s' || substr(md5(url), 1, 16) || 'x0xl'"
-    oracles["kg_quads_i18n_compound"] = f"""
-WITH {_D_CTE}
-SELECT url, 0 AS blk, subj, pred, obj, graph FROM (
+    _i18n_cl = f"""
+SELECT 'compound-literal' AS mode, url, 0 AS blk, subj, pred, obj, graph
+FROM (
   SELECT url, {i18n_s} AS subj, '<{_SCHEMA}headline>' AS pred,
          {bn} || '0' AS obj, '' AS graph FROM d
   UNION ALL
@@ -1436,7 +1538,15 @@ SELECT url, 0 AS blk, subj, pred, obj, graph FROM (
          '"Plain ' || did || '"', '' FROM d
   UNION ALL
   SELECT url, {bn} || '2', '<{RDF_NS}direction>', '"ltr"', '' FROM d
-) ORDER BY url, subj, pred"""
+)"""
+    # both rdfDirection modes in one lane (r7 merge): each branch is the
+    # former standalone oracle verbatim, tagged with its mode
+    oracles["kg_quads_i18n"] = f"""
+WITH {_D_CTE}
+{_i18n_dt}
+UNION ALL
+{_i18n_cl}
+ORDER BY mode, url, subj, pred"""
 
     oracles["kg_canonical_clusters"] = f"""
 WITH {_D_CTE}
@@ -1469,7 +1579,8 @@ ORDER BY q.url, q.blk, q.pred, q.obj""")
     # fixpoint of Spark's iterated hash-min label propagation). No recall
     # assumption anywhere: a banding off-by-one, hash-family drift, or a
     # CC loop that stops early now breaks the value hash.
-    cparams = canon.minhash_params(32)
+    cparams = canon.minhash_params(CANON_NUM_HASHES)
+    crows = CANON_NUM_HASHES // CANON_BANDS
     cparam_rows = ", ".join(
         f"({j}, {int(a)}, {int(b)})"
         for j, (a, b) in enumerate(zip(cparams[0], cparams[1])))
@@ -1491,10 +1602,10 @@ sig AS (  -- minhash_j = min (a_j*h + b_j) mod M  (fits BIGINT: a,h < 2^31)
   SELECT node, j, min((a * h + b) % {canon._MERSENNE}) AS m
   FROM hv CROSS JOIN params GROUP BY node, j
 ),
-bands AS (  -- 16 bands x 2 rows; md5 bucket key like the Spark side
-  SELECT node, j // 2 AS band,
+bands AS (  -- CANON_BANDS bands; md5 bucket key like the Spark side
+  SELECT node, j // {crows} AS band,
          md5(string_agg(CAST(m AS STRING), ',' ORDER BY j)) AS bkey
-  FROM sig GROUP BY node, j // 2
+  FROM sig GROUP BY node, j // {crows}
 ),
 cand AS (
   SELECT x.node AS src, y.node AS dst
@@ -1529,23 +1640,22 @@ comp AS (
 SELECT node, component AS canonical FROM comp
 WHERE node <> component ORDER BY node"""
 
-    oracles["text_extract_identity"] = f"""
-WITH {_D_CTE}
-SELECT url, true AS match FROM d ORDER BY url"""
-
-    oracles["text_boilerplate"] = """
+    _bk, _bs, _bm = (textstats.BOILERPLATE_K, textstats.BOILERPLATE_STRIDE,
+                     textstats.BOILERPLATE_MIN_DOCS)
+    oracles["text_boilerplate"] = f"""
 WITH base AS (
   SELECT doc_id, text,
-         greatest(CAST(floor((length(text) - 30) / 15) AS INT) + 1, 1) AS n
+         greatest(CAST(floor((length(text) - {_bk}) / {_bs}) AS INT) + 1, 1)
+           AS n
   FROM documents
 ),
-g AS (  -- strided char 30-grams, md5 keys (identical to the Spark side)
-  SELECT doc_id, md5(substr(text, (i - 1) * 15 + 1, 30)) AS g
+g AS (  -- strided char k-grams, md5 keys (identical to the Spark side)
+  SELECT doc_id, md5(substr(text, (i - 1) * {_bs} + 1, {_bk})) AS g
   FROM base, LATERAL unnest(range(1, n + 1)) AS t(i)
-  WHERE length(substr(text, (i - 1) * 15 + 1, 30)) = 30
+  WHERE length(substr(text, (i - 1) * {_bs} + 1, {_bk})) = {_bk}
 ),
 hot AS (
-  SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 3
+  SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= {_bm}
 ),
 per_doc AS (
   SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
@@ -1601,16 +1711,14 @@ WHERE round(len(list_intersect(a.toks, b.toks))
             6) >= 0.1
 ORDER BY doc_a, doc_b"""
 
-    oracles["text_token_count"] = r"""
-SELECT doc_id,
-       CAST(length(regexp_extract_all(text, '\S+')) AS INT) AS ws_tokens,
-       CAST(length(regexp_extract_all(text,
-            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS bpeish_tokens
-FROM documents ORDER BY doc_id"""
 
+    # quality features for every doc + the composite filter verdict
+    # (r7 merge of text_quality + text_quality_filter: the old filter
+    # lane's rows are exactly the kept=true rows)
     en_stop = _LANG_SQL_VOTES["en"]
     oracles["text_quality"] = rf"""
-SELECT doc_id,
+WITH qv AS (
+  SELECT doc_id,
        CAST(length(text) AS INT) AS n_chars_computed,
        CAST(length(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
        round(CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
@@ -1623,50 +1731,63 @@ SELECT doc_id,
        round(CAST(length(text) AS DOUBLE)
              / greatest(length(regexp_extract_all(text, '\S+')), 1), 6)
          AS mean_token_len
-FROM documents ORDER BY doc_id"""
+  FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT qv.*,
+       (keep.doc_id IS NOT NULL
+        AND n_tokens >= 10 AND punct_ratio <= 0.2) AS kept
+FROM qv LEFT JOIN keep ON qv.doc_id = keep.doc_id
+ORDER BY qv.doc_id"""
 
+    # token counts + language-ID + fingerprint in one projection (r7
+    # merge of text_token_count + text_langid + text_fingerprint: all
+    # seven former columns, one scan)
     votes = _LANG_SQL_VOTES
-    oracles["text_langid"] = f"""
+    oracles["text_stats"] = rf"""
 WITH v AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, text,
          {votes['de']} AS n_de, {votes['en']} AS n_en,
          {votes['es']} AS n_es, {votes['fr']} AS n_fr
   FROM documents
 )
-SELECT doc_id, lang,
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\S+')) AS INT) AS ws_tokens,
+       CAST(length(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS bpeish_tokens,
+       lang,
        CASE WHEN n_de = greatest(n_de, n_en, n_es, n_fr) THEN 'de'
             WHEN n_en = greatest(n_en, n_es, n_fr) THEN 'en'
             WHEN n_es = greatest(n_es, n_fr) THEN 'es'
             ELSE 'fr' END AS pred_lang,
-       greatest(n_de, n_en, n_es, n_fr) AS votes
+       greatest(n_de, n_en, n_es, n_fr) AS votes,
+       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
 FROM v ORDER BY doc_id"""
 
-    oracles["text_fingerprint"] = r"""
-SELECT doc_id,
-       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
-FROM documents ORDER BY doc_id"""
-
-    oracles["kg_graph_nodes"] = _with_quads("""
+    # node + edge views in one long-format lane (r7 merge): each branch
+    # is the former standalone oracle verbatim, degrees cast to string
+    # for the shared column shape
+    oracles["kg_graph_views"] = _with_quads("""
 , terms AS (
   SELECT subj AS term FROM q UNION SELECT obj FROM q
 ),
 outd AS (SELECT subj AS term, count(*) AS out_degree FROM q GROUP BY subj),
 ind AS (SELECT obj AS term, count(*) AS in_degree FROM q GROUP BY obj)
-SELECT t.term,
-       CASE WHEN t.term LIKE '_:%' THEN 'bnode'
-            WHEN t.term LIKE '"%' THEN 'literal'
-            WHEN t.term LIKE '<<%' THEN 'quoted'
-            ELSE 'iri' END AS kind,
-       coalesce(outd.out_degree, 0) AS out_degree,
-       coalesce(ind.in_degree, 0) AS in_degree
-FROM terms t
-LEFT JOIN outd ON t.term = outd.term
-LEFT JOIN ind ON t.term = ind.term
-ORDER BY t.term""")
-
-    oracles["kg_graph_edges"] = _with_quads(
-        "SELECT subj AS src, pred AS rel, obj AS dst, graph FROM q"
-        " WHERE obj NOT LIKE '\"%' ORDER BY src, rel, dst")
+SELECT view, c1, c2, c3, c4 FROM (
+  SELECT 'node' AS view, t.term AS c1,
+         CASE WHEN t.term LIKE '_:%' THEN 'bnode'
+              WHEN t.term LIKE '"%' THEN 'literal'
+              WHEN t.term LIKE '<<%' THEN 'quoted'
+              ELSE 'iri' END AS c2,
+         CAST(coalesce(outd.out_degree, 0) AS STRING) AS c3,
+         CAST(coalesce(ind.in_degree, 0) AS STRING) AS c4
+  FROM terms t
+  LEFT JOIN outd ON t.term = outd.term
+  LEFT JOIN ind ON t.term = ind.term
+  UNION ALL
+  SELECT 'edge', subj, pred, obj, graph FROM q
+  WHERE obj NOT LIKE '\"%'
+) ORDER BY view, c1, c2, c3, c4""")
 
     dot_ab = ("list_reduce(list_transform(range(1, len(a.embedding) + 1),"
               " i -> CAST(a.embedding[i] AS DOUBLE)"
@@ -1674,28 +1795,13 @@ ORDER BY t.term""")
     norm = ("sqrt(list_reduce(list_transform({side}.embedding,"
             " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
             " (acc, v) -> acc + v))")
-    oracles["dedup_embedding_cosine"] = f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    _emb_exact_sql = f"""
+SELECT 'exact' AS method, a.vec_id AS id_a, b.vec_id AS id_b,
        round(({dot_ab}) / greatest(({norm.format(side='a')})
              * ({norm.format(side='b')}), 1e-12), 6) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(({dot_ab}) / greatest(({norm.format(side='a')})
-      * ({norm.format(side='b')}), 1e-12), 6) >= 0.4
-ORDER BY id_a, id_b"""
-
-    oracles["text_quality_filter"] = r"""
-WITH q AS (
-  SELECT doc_id,
-         CAST(length(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
-         round(CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
-               / greatest(length(text), 1), 6) AS punct_ratio
-  FROM documents
-),
-keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
-SELECT q.doc_id, n_tokens, punct_ratio
-FROM q JOIN keep ON q.doc_id = keep.doc_id
-WHERE n_tokens >= 10 AND punct_ratio <= 0.2
-ORDER BY q.doc_id"""
+      * ({norm.format(side='b')}), 1e-12), 6) >= 0.4"""
 
     ids = ", ".join(str(i) for i in SIM_QUERY_IDS)
 
@@ -1717,24 +1823,21 @@ ORDER BY q.doc_id"""
               " (acc, v) -> acc + v))")
         return f"(({d}) / greatest(({n1}) * ({n2}), 1e-12))"
 
-    oracles["sim_topk_cosine"] = f"""
-WITH q AS (
+    _brute_ctes = f"""bq AS (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings
   WHERE vec_id IN ({ids})
 ),
-p AS (
-  SELECT q.qid, e.vec_id AS nid,
-         round({duck_cos('q.qe', 'e.embedding')}, 6) AS cos_sim
-  FROM q, embeddings e WHERE e.vec_id <> q.qid
+bp AS (
+  SELECT bq.qid, e.vec_id AS nid,
+         round({duck_cos('bq.qe', 'e.embedding')}, 6) AS cos_sim
+  FROM bq, embeddings e WHERE e.vec_id <> bq.qid
 ),
-r AS (
+br AS (
   SELECT qid AS query_id, nid AS neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY qid
                             ORDER BY cos_sim DESC, nid) AS rank
-  FROM p
-)
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
-FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+  FROM bp
+)"""
 
     # IVF oracle re-derives the deterministic centroid set (md5 order) and
     # replays assignment / nprobe / in-list search with the same float64
@@ -1742,7 +1845,8 @@ FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
     # CTE chain shared between sim_ivf_topk and the sim_ivf_recall audit.
     ivf_ctes = f"""cents AS (
   SELECT vec_id AS centroid_id, embedding AS c_emb
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {similarity.IVF_N_CENTROIDS}
 ),
 asg0 AS (
   SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -1759,7 +1863,7 @@ qp0 AS (
                             DESC, c.centroid_id) AS rn
   FROM embeddings q, cents c WHERE q.vec_id IN ({ids})
 ),
-qp AS (SELECT query_id, qe, centroid_id FROM qp0 WHERE rn <= 4),
+qp AS (SELECT query_id, qe, centroid_id FROM qp0 WHERE rn <= {similarity.IVF_NPROBE}),
 icand AS (
   SELECT qp.query_id, a.vec_id AS neighbor_id,
          round({duck_cos('qp.qe', 'a.embedding')}, 6) AS cos_sim
@@ -1772,18 +1876,13 @@ ir AS (
                             ORDER BY cos_sim DESC, neighbor_id) AS rank
   FROM icand
 )"""
-    oracles["sim_ivf_topk"] = f"""
-WITH {ivf_ctes}
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
-FROM ir WHERE rank <= 5 ORDER BY query_id, rank"""
-
-    # recall@5 of the IVF lane vs the exact brute-force twin: BOTH sides
-    # re-derived in SQL (the exact side is the sim_topk_cosine oracle),
-    # intersected on (query_id, neighbor_id). Same rounded-sim + id
-    # tie-break ordering everywhere, so the set compare is deterministic.
-    oracles["sim_ivf_recall"] = f"""
-WITH {ivf_ctes},
-ivf AS (SELECT query_id, neighbor_id FROM ir WHERE rank <= 5),
+    # IVF recall@5 vs the exact brute-force twin: BOTH sides re-derived
+    # in SQL, intersected on (query_id, neighbor_id). Same rounded-sim +
+    # id tie-break ordering everywhere, so the set compare is
+    # deterministic. Assembled into the merged ann_recall oracle below
+    # (alongside the embedding-LSH recall chain).
+    _ivf_recall_ctes = f"""ivf AS (
+  SELECT query_id, neighbor_id FROM ir WHERE rank <= 5),
 eq AS (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings
   WHERE vec_id IN ({ids})
@@ -1804,10 +1903,7 @@ h AS (
   SELECT CAST(count(*) AS BIGINT) AS n_hits
   FROM ivf JOIN exact USING (query_id, neighbor_id)
 ),
-x AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact)
-SELECT n_hits, n_exact,
-       round(n_hits / greatest(n_exact, 1), 6) AS recall
-FROM h, x"""
+x AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact)"""
 
     # salted skew join: the oracle is the PLAIN (unsalted) join over the
     # same deterministically rebuilt hot-predicate corpus — proving the
@@ -1847,27 +1943,29 @@ SELECT doc_id AS media_id, {mm_kind} AS kind,
        ('0x' || substr(sha256(text), 1, 2))::INT AS f0_byte
 FROM documents ORDER BY media_id"""
 
-    # REAL-decode lanes: the oracle recomputes the decoded statistics from
-    # the payload generators' closed-form integer definitions (the Spark
-    # side parses actual WAV/PPM bytes — multimodal.decode_wav/decode_ppm)
-    oracles["mm_decode_wav"] = """
+    # REAL-decode lanes merged into one long-format lane (r7): the
+    # oracle recomputes every decoded statistic from the payload
+    # generators' closed-form integer definitions (the Spark side parses
+    # actual WAV/PPM/PNG bytes — multimodal.decode_wav/decode_ppm/
+    # decode_png); the PNG rows decode to the SAME closed-form pixel
+    # sums as PPM (same raster, different container + filters).
+    _wav_cte = """
 SELECT doc_id AS media_id,
-       CAST(800 + (doc_id % 5) * 160 AS INT) AS n_samples,
-       CAST(16000 AS INT) AS sample_rate,
-       CAST((800 + (doc_id % 5) * 160) * 1000 // 16000 AS INT)
+       CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n_samples,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST((800 + (doc_id % 5) * 160) * 1000 // 16000 AS BIGINT)
          AS duration_ms,
        CAST(list_max([(doc_id * 31 + i * 7) % 65536 - 32768
-                      FOR i IN range(800 + (doc_id % 5) * 160)]) AS INT)
+                      FOR i IN range(800 + (doc_id % 5) * 160)]) AS BIGINT)
          AS peak,
        CAST(list_sum([abs((doc_id * 31 + i * 7) % 65536 - 32768)
                       FOR i IN range(800 + (doc_id % 5) * 160)]) AS BIGINT)
          AS sum_abs
-FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id"""
-
-    oracles["mm_decode_ppm"] = """
+FROM documents WHERE doc_id % 3 = 1"""
+    _ppm_cte = """
 SELECT doc_id AS media_id,
-       CAST(8 + (doc_id % 4) * 4 AS INT) AS width,
-       CAST(6 + (doc_id % 3) * 2 AS INT) AS height,
+       CAST(8 + (doc_id % 4) * 4 AS BIGINT) AS width,
+       CAST(6 + (doc_id % 3) * 2 AS BIGINT) AS height,
        CAST((6 + (doc_id % 3) * 2)
             * list_sum([(doc_id + x) % 256
                         FOR x IN range(8 + (doc_id % 4) * 4)]) AS BIGINT)
@@ -1880,10 +1978,17 @@ SELECT doc_id AS media_id,
             * list_sum([(doc_id * 3 + y) % 256
                         FOR y IN range(6 + (doc_id % 3) * 2)]) AS BIGINT)
          AS sum_b
-FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id"""
-
-    # the PNG lane decodes to the SAME closed-form pixel sums as PPM
-    oracles["mm_decode_png"] = oracles["mm_decode_ppm"]
+FROM documents WHERE doc_id % 3 = 0"""
+    _mm_rows = " UNION ALL ".join(
+        f"SELECT '{fmt}' AS fmt, media_id, '{s}' AS stat,"
+        f" {s} AS value FROM {src}"
+        for fmt, src in (("wav", "wavs"), ("ppm", "ppms"), ("png", "ppms"))
+        for s in _MM_DECODE_STATS[fmt])
+    oracles["mm_decode"] = f"""
+WITH wavs AS ({_wav_cte}),
+ppms AS ({_ppm_cte})
+SELECT fmt, media_id, stat, value FROM ({_mm_rows})
+ORDER BY fmt, media_id, stat"""
 
     oracles["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,
@@ -1939,7 +2044,7 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, hour"""
     # literals into both engines. No recall assumption anywhere: a banding
     # off-by-one or hash-family regression now breaks the value hash.
 
-    params = dedup._hash_params(64)
+    params = dedup._hash_params(dedup.NUM_HASHES)
     param_rows = ", ".join(f"({j}, {a}, {b})"
                            for j, (a, b) in enumerate(params))
 
@@ -1947,15 +2052,17 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, hour"""
         """The full MinHash-LSH recompute as a CTE chain ending in
         ``mh(doc_a, doc_b, est_jaccard)`` — parameterized on the source
         relation so the standalone lane and the cleaning chain replay the
-        IDENTICAL algorithm (64 hashes, 16 bands of 4)."""
+        IDENTICAL algorithm (dedup.NUM_HASHES hashes, dedup.BANDS bands)."""
+        sh1 = dedup.SHINGLE - 1
+        rows = dedup.NUM_HASHES // dedup.BANDS
         return f"""w AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
   FROM {src}
 ),
-g AS (  -- distinct word 3-shingles; <3 words degrades to one short gram
+g AS (  -- distinct word shingles; short docs degrade to one short gram
   SELECT doc_id, unnest(list_distinct(list_transform(
-           range(1, greatest(len(ws) - 2, 1) + 1),
-           i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS gram
+           range(1, greatest(len(ws) - {sh1}, 1) + 1),
+           i -> array_to_string(list_slice(ws, i, i + {sh1}), ' ')))) AS gram
   FROM w
 ),
 hv AS (  -- 31-bit gram hash: first 4 md5 bytes, sign bit cleared
@@ -1969,9 +2076,9 @@ sig AS (  -- minhash_j = min (a_j*h + b_j) mod M  (fits BIGINT: a,h < 2^31)
   FROM hv CROSS JOIN params GROUP BY doc_id, j
 ),
 bands AS (
-  SELECT doc_id, j // 4 AS band,
+  SELECT doc_id, j // {rows} AS band,
          string_agg(CAST(m AS STRING), ',' ORDER BY j) AS bkey
-  FROM sig GROUP BY doc_id, j // 4
+  FROM sig GROUP BY doc_id, j // {rows}
 ),
 cand AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -1981,13 +2088,15 @@ cand AS (
 ),
 mh AS (
   SELECT c.doc_a, c.doc_b,
-         round(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0, 6)
+         round(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+               / {dedup.NUM_HASHES}.0, 6)
            AS est_jaccard
   FROM cand c
   JOIN sig sa ON sa.doc_id = c.doc_a
   JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
   GROUP BY 1, 2
-  HAVING round(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0, 6)
+  HAVING round(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+               / {dedup.NUM_HASHES}.0, 6)
          >= {threshold}
 )"""
 
@@ -2083,41 +2192,61 @@ ORDER BY doc_a, doc_b"""
             terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
         return "(" + " + ".join(terms) + ")"
 
-    oracles["sim_lsh_topk"] = f"""
-WITH b AS (
-  SELECT vec_id, embedding, {duck_bucket(6, 42)} AS bucket FROM embeddings
+    _lsh_topk_ctes = f"""lb AS (
+  SELECT vec_id, embedding, {duck_bucket(similarity.LSH_TOPK_PLANES, similarity.LSH_SEED)} AS bucket FROM embeddings
 ),
-q AS (
-  SELECT vec_id AS qid, embedding AS qe, bucket AS qb FROM b
+lq AS (
+  SELECT vec_id AS qid, embedding AS qe, bucket AS qb FROM lb
   WHERE vec_id IN ({ids})
 ),
-p AS (
-  SELECT q.qid, e.vec_id AS nid,
-         round({duck_cos('q.qe', 'e.embedding')}, 6) AS cos_sim
-  FROM q JOIN b e ON e.bucket = q.qb AND e.vec_id <> q.qid
+lp AS (
+  SELECT lq.qid, e.vec_id AS nid,
+         round({duck_cos('lq.qe', 'e.embedding')}, 6) AS cos_sim
+  FROM lq JOIN lb e ON e.bucket = lq.qb AND e.vec_id <> lq.qid
 ),
-r AS (
+lr AS (
   SELECT qid AS query_id, nid AS neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY qid
                             ORDER BY cos_sim DESC, nid) AS rank
-  FROM p
-)
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
-FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+  FROM lp
+)"""
+    # all three top-k paths in one lane (r7 merge): each chain is the
+    # former standalone oracle verbatim, tagged with its method
+    oracles["sim_topk"] = f"""
+WITH {_brute_ctes},
+{ivf_ctes},
+{_lsh_topk_ctes}
+SELECT method, query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT 'brute' AS method, query_id, neighbor_id,
+         CAST(rank AS INT) AS rank, cos_sim FROM br WHERE rank <= 5
+  UNION ALL
+  SELECT 'ivf', query_id, neighbor_id, CAST(rank AS INT), cos_sim
+  FROM ir WHERE rank <= 5
+  UNION ALL
+  SELECT 'lsh', query_id, neighbor_id, CAST(rank AS INT), cos_sim
+  FROM lr WHERE rank <= 5
+) ORDER BY method, query_id, rank"""
 
     lsh_tables = "\nUNION\n".join(
         f"  SELECT x.vec_id AS id_a, y.vec_id AS id_b\n"
-        f"  FROM (SELECT vec_id, {duck_bucket(4, seed)} AS bucket"
+        f"  FROM (SELECT vec_id,"
+        f" {duck_bucket(similarity.LSH_PAIR_PLANES, seed)} AS bucket"
         f" FROM embeddings) x\n"
-        f"  JOIN (SELECT vec_id, {duck_bucket(4, seed)} AS bucket"
+        f"  JOIN (SELECT vec_id,"
+        f" {duck_bucket(similarity.LSH_PAIR_PLANES, seed)} AS bucket"
         f" FROM embeddings) y\n"
         f"    ON x.bucket = y.bucket AND x.vec_id < y.vec_id"
-        for seed in (42, 7, 13, 99))
-    oracles["dedup_embedding_lsh"] = f"""
+        for seed in similarity.LSH_PAIR_SEEDS)
+    # exact all-pairs twin + LSH scale path in one lane (r7 merge):
+    # each branch is the former standalone oracle verbatim
+    oracles["dedup_embedding"] = f"""
 WITH cand AS (
 {lsh_tables}
 )
-SELECT c.id_a, c.id_b,
+SELECT method, id_a, id_b, cos_sim FROM (
+{_emb_exact_sql}
+UNION ALL
+SELECT 'lsh', c.id_a, c.id_b,
        round(({dot_ab}) / greatest(({norm.format(side='a')})
              * ({norm.format(side='b')}), 1e-12), 6) AS cos_sim
 FROM cand c
@@ -2125,7 +2254,7 @@ JOIN embeddings a ON a.vec_id = c.id_a
 JOIN embeddings b ON b.vec_id = c.id_b
 WHERE round(({dot_ab}) / greatest(({norm.format(side='a')})
       * ({norm.format(side='b')}), 1e-12), 6) >= 0.4
-ORDER BY id_a, id_b"""
+) ORDER BY method, id_a, id_b"""
 
     oracles["events_sessionize"] = """
 WITH g AS (
@@ -2167,26 +2296,24 @@ JOIN (SELECT url, TIMESTAMP '2025-01-01 00:00:00'
   USING (url)
 GROUP BY 1 ORDER BY 1""")
 
-    # late-arrival twin: arrival order differs, the finalized windows
-    # must not — identical batch oracle
-    oracles["streaming_quad_rates_late"] = oracles["streaming_quad_rates"]
-
-    # the recall audit runs on a deterministic ~1/4 md5(vec_id) sample
-    # (mirrors similarity.deterministic_id_sample — same stratum math)
+    # BOTH approximate-index recall audits in one lane (r7 merge).
+    # embedding_lsh: deterministic ~1/4 md5(vec_id) sample (mirrors
+    # similarity.deterministic_id_sample — same stratum math); ivf:
+    # recall@5 vs the brute-force top-k (chains assembled above).
     samp = ("('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT"
             " % 4 = 0")
     lsh_tables_sampled = lsh_tables.replace(
         "FROM embeddings)", f"FROM embeddings WHERE {samp})")
-    oracles["dedup_embedding_lsh_recall"] = f"""
+    oracles["ann_recall"] = f"""
 WITH se AS (
   SELECT * FROM embeddings WHERE {samp}
 ),
-cand AS (
+scand AS (
 {lsh_tables_sampled}
 ),
 lshv AS (
   SELECT CAST(count(*) AS BIGINT) AS n_lsh
-  FROM cand c
+  FROM scand c
   JOIN se a ON a.vec_id = c.id_a
   JOIN se b ON b.vec_id = c.id_b
   WHERE round(({dot_ab}) / greatest(({norm.format(side='a')})
@@ -2197,9 +2324,17 @@ exactv AS (
   FROM se a JOIN se b ON a.vec_id < b.vec_id
   WHERE round(({dot_ab}) / greatest(({norm.format(side='a')})
         * ({norm.format(side='b')}), 1e-12), 6) >= 0.4
-)
-SELECT n_lsh, n_exact,
-       round(n_lsh / greatest(n_exact, 1), 6) AS recall
-FROM lshv, exactv"""
+),
+{ivf_ctes},
+{_ivf_recall_ctes}
+SELECT method, n_approx, n_exact, recall FROM (
+  SELECT 'embedding_lsh' AS method, n_lsh AS n_approx, exactv.n_exact,
+         round(n_lsh / greatest(exactv.n_exact, 1), 6) AS recall
+  FROM lshv, exactv
+  UNION ALL
+  SELECT 'ivf', n_hits, x.n_exact,
+         round(n_hits / greatest(x.n_exact, 1), 6)
+  FROM h, x
+) ORDER BY method"""
 
     return oracles

@@ -28,9 +28,18 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "200"))
 
 
+def _fixture_fingerprint() -> str:
+    """mtime+size of the documents fixture: cached /tmp corpora are keyed
+    on it so a regenerated-in-place fixture can never be silently
+    benchmarked against a stale cache (ADVICE r6)."""
+    st = os.stat(f"{SF_DIR}/documents.parquet")
+    return f"{int(st.st_mtime)}_{st.st_size}"
+
+
 def _pages_path(amplify: int) -> str:
     safe = SF_DIR.strip("/").replace("/", "_")
-    return f"/tmp/bench_pages_{safe}_x{amplify}.parquet"
+    return (f"/tmp/bench_pages_{safe}_x{amplify}"
+            f"_{_fixture_fingerprint()}.parquet")
 
 
 def materialize_pages(spark, amplify: int) -> str:
@@ -109,7 +118,8 @@ def memo_leg(spark, amplify: int = 200) -> dict:
         CONTEXTS, block_a_sql, page_url_sql)
 
     safe = SF_DIR.strip("/").replace("/", "_")
-    path = f"/tmp/bench_memo_blocks_{safe}_x{amplify}.parquet"
+    path = (f"/tmp/bench_memo_blocks_{safe}_x{amplify}"
+            f"_{_fixture_fingerprint()}.parquet")
     if not os.path.exists(path + "/_SUCCESS"):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         reps = docs.withColumn(
@@ -199,7 +209,7 @@ def main() -> None:
     spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
     headline = ["kg_quads", "kg_quads_by_predicate", "kg_canonical_clusters",
                 "kg_canonical_fuzzy",
-                "dedup_exact", "dedup_minhash_lsh", "sim_topk_cosine",
+                "dedup_exact", "dedup_minhash_lsh", "sim_topk",
                 "text_quality", "tpch_q1", "events_hourly",
                 "pipeline_clean_corpus", "kg_skew_salted_join",
                 "kg_pagerank", "text_decontaminate",

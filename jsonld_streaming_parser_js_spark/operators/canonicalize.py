@@ -148,7 +148,8 @@ def candidate_edges_minhash(features: DataFrame, num_hashes: int = 32,
 
 
 def connected_components(edges: DataFrame,
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         stats: dict | None = None) -> DataFrame:
     """Hash-min connected components on an undirected edge list.
 
     Returns (node, component) where component = min node id (string order)
@@ -158,6 +159,11 @@ def connected_components(edges: DataFrame,
     pass without converging — silently-partial components would corrupt
     canonicalization. localCheckpoint every iteration truncates lineage so
     plans stay flat at depth n.
+
+    ``stats``: caller-owned dict; on return ``stats['iterations']`` holds
+    the converged round count (an out-param instead of mutating a function
+    attribute, which would be shared global state under concurrent
+    callers — ADVICE r6).
     """
     # Checkpoint the EDGE LIST first: everything below (sym's two union
     # branches, the initial labels) derives from it, so the expensive
@@ -206,7 +212,8 @@ def connected_components(edges: DataFrame,
         changed = joined.where(F.col("_changed")).count()
         labels = joined.drop("_changed")
         if changed == 0:
-            connected_components.last_iterations = it + 1
+            if stats is not None:
+                stats["iterations"] = it + 1
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations "
@@ -245,7 +252,8 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components_two_phase(edges: DataFrame,
-                                   max_iter: int = 30) -> DataFrame:
+                                   max_iter: int = 30,
+                                   stats: dict | None = None) -> DataFrame:
     """Alternating large-star / small-star connected components —
     O(log n) rounds regardless of component DIAMETER (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14; PAPERS.md).
@@ -259,12 +267,19 @@ def connected_components_two_phase(edges: DataFrame,
     for the tiny-diameter components that blocking produces; this is the
     scale path for unknown/long chain topologies.
 
-    Convergence test: the (count, bit_xor(xxhash64)) signature of the
-    edge set is unchanged by a full round — at the fixpoint the edge set
-    is exactly the star forest {(v, min(C)) | v != min(C)}, which both
-    steps map to itself. (Signature equality standing in for set equality
-    has a ~2^-64 collision bound; the count component is exact.)
-    Iteration count is exposed as ``last_iterations`` for tests.
+    Convergence test: EXACT edge-set equality across a full round — at
+    the fixpoint the edge set is exactly the star forest
+    {(v, min(C)) | v != min(C)}, which both steps map to itself. Both
+    sides are distinct sets, so equality is one symmetric-difference
+    count: full-outer join on (src, dst) with presence indicators,
+    count of one-sided rows == 0. (Replaces the r6
+    (count, bit_xor(xxhash64)) signature, which carried a documented
+    ~2^-64 collision risk — ADVICE r6; exactness costs the same single
+    job per round.)
+
+    ``stats``: caller-owned dict; on return ``stats['iterations']``
+    holds the converged round count (out-param, not a mutated function
+    attribute — shared global state is unsafe under concurrent callers).
     """
     base = edges.select("src", "dst").localCheckpoint()
     e = base.where(F.col("src") != F.col("dst")).distinct()
@@ -274,21 +289,21 @@ def connected_components_two_phase(edges: DataFrame,
                  .union(base.select(F.col("dst").alias("node")))
                  .distinct())
 
-    def signature(df: DataFrame):
-        # multi-column xxhash64 (NOT a concat with a separator: node
-        # terms may contain any byte, so ('a|b','c') and ('a','b|c')
-        # would collide deterministically under a joined string)
-        return tuple(df.agg(
-            F.count("*"),
-            F.bit_xor(F.xxhash64(F.col("src"), F.col("dst")))
-        ).first())
-
-    prev = signature(e)
+    e = e.localCheckpoint()  # each round full-outer-joins prev vs new
     for rounds in range(1, max_iter + 1):
+        prev_e = e
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        sig = signature(e)  # materializes the lazy checkpoint
-        if sig == prev:
-            connected_components_two_phase.last_iterations = rounds
+        # exact set equality in ONE count job (which also materializes
+        # the lazy checkpoint): both relations are distinct on
+        # (src, dst), so symmetric-difference cardinality 0 <=> equal
+        n_diff = (e.withColumn("_a", F.lit(1))
+                  .join(prev_e.withColumn("_b", F.lit(1)),
+                        ["src", "dst"], "full")
+                  .where(F.col("_a").isNull() | F.col("_b").isNull())
+                  .count())
+        if n_diff == 0:
+            if stats is not None:
+                stats["iterations"] = rounds
             labels = e.select(F.col("src").alias("node"),
                               F.col("dst").alias("component"))
             # roots (and any node isolated by self-edge pruning) label
@@ -297,7 +312,6 @@ def connected_components_two_phase(edges: DataFrame,
                     .select("node",
                             F.coalesce("component", "node")
                             .alias("component")))
-        prev = sig
     raise RuntimeError(
         f"connected_components_two_phase did not converge in {max_iter} "
         f"rounds (expected O(log n); this indicates a bug or adversarial "

@@ -29,7 +29,8 @@ from .textstats import pii_any_expr, punct_ratio_expr, token_count_expr
 
 def clean_corpus(docs: DataFrame, min_tokens: int = 10,
                  max_punct: float = 0.2, near_threshold: float = 0.5,
-                 num_hashes: int = 64, bands: int = 16) -> DataFrame:
+                 num_hashes: int = dedup.NUM_HASHES,
+                 bands: int = dedup.BANDS) -> DataFrame:
     """(doc_id, n_tokens, punct_ratio) of the documents that survive all
     four gates. Near-dup survivorship: for every MinHash-verified pair the
     LARGER doc_id is dropped (the standard keep-the-canonical-min rule;

@@ -88,6 +88,14 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
 _MERSENNE = (1 << 31) - 1
 _PARAM_MAX = _MERSENNE
 
+# Named MinHash defaults shared with the DuckDB oracle builders in
+# __spark_entry__ (r7 drift sweep): the oracle's /NUM_HASHES divisor and
+# rows-per-band derive from THESE names, so an operator-default change
+# cannot silently diverge from the oracle's replay.
+NUM_HASHES = 64
+BANDS = 16
+SHINGLE = 3
+
 
 def _hash_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = np.random.RandomState(seed)
@@ -116,8 +124,8 @@ def _token_hash64(tok: str) -> int:
     return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
-                       shingle: int = 3) -> DataFrame:
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES,
+                       shingle: int = SHINGLE) -> DataFrame:
     """(doc_id, sig: array<long>) — word-shingle MinHash, Arrow-batched.
 
     Implementation note (measured, sf0.1/32 cores): a pure-SQL expression
@@ -154,8 +162,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
     return docs.select("doc_id", "text").mapInPandas(run, schema)
 
 
-def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64,
-                      bands: int = 16, threshold: float = 0.7) -> DataFrame:
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = NUM_HASHES,
+                      bands: int = BANDS, threshold: float = 0.7) -> DataFrame:
     """Candidate pairs via banded LSH, verified by signature similarity.
 
     rows/band = num_hashes/bands; est. Jaccard = fraction of matching

@@ -85,7 +85,19 @@ def embedding_near_pairs(embeddings: DataFrame,
             .where(F.col("cos_sim") >= threshold))
 
 
-def lsh_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+# Named defaults shared with the DuckDB oracles in __spark_entry__ (r7
+# drift sweep, verdict ask #8): the oracle SQL interpolates THESE names,
+# so changing an operator default here cannot silently diverge from the
+# oracle's hardcoded twin.
+LSH_PAIR_PLANES = 4          # embedding_lsh_pairs hash tables
+LSH_PAIR_SEEDS = (42, 7, 13, 99)
+LSH_TOPK_PLANES = 6          # lsh_topk bucket width
+LSH_SEED = 42                # default hyperplane seed
+IVF_N_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def lsh_planes(n_planes: int, dim: int, seed: int = LSH_SEED) -> list[list[float]]:
     """Deterministic random-hyperplane constants, shared by the Spark plan
     and the DuckDB oracle (both engines inline the same literals)."""
     rng = np.random.RandomState(seed)
@@ -124,7 +136,7 @@ def hyperplane_bucket_sql(planes: list[list[float]],
 
 
 def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
-                       dim: int = 64, seed: int = 42) -> DataFrame:
+                       dim: int = 64, seed: int = LSH_SEED) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector.
 
     100% JVM-side (whole-stage-codegen'd fold over the array column — no
@@ -140,8 +152,8 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
 
 
 def embedding_lsh_pairs(embeddings: DataFrame, threshold: float = 0.4,
-                        n_planes: int = 4, dim: int = 64,
-                        seeds: tuple[int, ...] = (42, 7, 13, 99)) -> DataFrame:
+                        n_planes: int = LSH_PAIR_PLANES, dim: int = 64,
+                        seeds: tuple[int, ...] = LSH_PAIR_SEEDS) -> DataFrame:
     """Scale-shape embedding near-dup: bucket-restricted candidates ->
     exact float64 cosine verify. NEVER all-pairs — each hash table is an
     equi-join on the bucket id; multiple plane seeds union'd for recall
@@ -182,7 +194,7 @@ def deterministic_id_sample(df: DataFrame, id_col: str = "vec_id",
 
 
 def lsh_topk(embeddings: DataFrame, query_ids: list[int],
-             k: int = 5, n_planes: int = 6) -> DataFrame:
+             k: int = 5, n_planes: int = LSH_TOPK_PLANES) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket,
     then exact cosine + window top-k. Recall < 1.0 by design (scale path)."""
     buckets = hyperplane_buckets(embeddings, n_planes)
@@ -200,7 +212,8 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int],
     return _topk_epilogue(pairs, k)
 
 
-def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+def ivf_centroids(embeddings: DataFrame,
+                  n_centroids: int = IVF_N_CENTROIDS) -> DataFrame:
     """Deterministic IVF coarse quantizer: the ``n_centroids`` corpus
     vectors with the smallest ``md5(vec_id)`` are the centroids.
 
@@ -233,7 +246,8 @@ def _cos_sql(col: str, arr_sql: str) -> str:
 
 
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
-             n_centroids: int = 16, nprobe: int = 4) -> DataFrame:
+             n_centroids: int = IVF_N_CENTROIDS,
+             nprobe: int = IVF_NPROBE) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` inverted lists (nearest-centroid assignment), probe
     the ``nprobe`` nearest lists per query, exact cosine inside them.

@@ -47,6 +47,22 @@ def distinct_objects_per_predicate(quads: DataFrame) -> DataFrame:
             .orderBy(F.desc("n_distinct_objects"), F.asc("pred")))
 
 
+def quads_by_predicate_and_type(quads: DataFrame) -> DataFrame:
+    """Per-(predicate, rdf:type-object) counts: one algebraic groupBy
+    that witnesses BOTH the per-predicate rollup (sum over rdf_type) and
+    the instance-counts-per-type view (filter pred = rdf:type) — the r7
+    merge of ``quads_by_predicate`` + ``type_counts``. Non-type
+    predicates carry rdf_type = '' so their group is exactly the old
+    per-predicate group. Map-side partials make it skew-immune (module
+    docstring, point 1)."""
+    rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    t = (F.when(F.col("pred") == rdf_type, F.col("obj"))
+         .otherwise(F.lit("")))
+    return (quads.groupBy("pred", t.alias("rdf_type"))
+            .agg(F.count("*").alias("n_quads"))
+            .orderBy(F.desc("n_quads"), F.asc("pred"), F.asc("rdf_type")))
+
+
 def type_counts(quads: DataFrame) -> DataFrame:
     """Instance counts per rdf:type object (the classic hot-predicate
     filter + agg; the filter is pushed to the scan when quads land in

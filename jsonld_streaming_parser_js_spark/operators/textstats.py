@@ -120,8 +120,44 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
-def boilerplate_spans(docs: DataFrame, k: int = 30, stride: int = 15,
-                      min_docs: int = 3) -> DataFrame:
+def text_profile(docs: DataFrame) -> DataFrame:
+    """Token counts + language-ID vote + fingerprint in ONE projection
+    (r7 merge of the token_count / lang_id / fingerprint lanes): all
+    three are narrow per-document maps, so composing them into a single
+    select keeps one corpus scan and zero shuffles — strictly better at
+    scale than three lanes each re-scanning the corpus."""
+    lowered = F.lower(F.col("text"))
+    votes = {lang: F.regexp_count(lowered, F.lit(_word_re(words)))
+             for lang, words in LANG_MARKERS.items()}
+    best = None
+    for lang in sorted(LANG_MARKERS):  # same argmax as lang_id
+        pair = F.struct(votes[lang].alias("n"), F.lit(lang).alias("lang"))
+        best = pair if best is None else F.when(
+            (pair["n"] > best["n"]), pair).otherwise(best)
+    norm = F.regexp_replace(lowered, r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"\S+")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+        .alias("bpeish_tokens"),
+        "lang",
+        best["lang"].alias("pred_lang"),
+        best["n"].alias("votes"),
+        F.md5(norm).alias("fingerprint"),
+    )
+
+
+# Named boilerplate defaults shared with the DuckDB oracle (r7 drift
+# sweep): the oracle's gram width / stride / document-frequency bound
+# interpolate THESE names.
+BOILERPLATE_K = 30
+BOILERPLATE_STRIDE = 15
+BOILERPLATE_MIN_DOCS = 3
+
+
+def boilerplate_spans(docs: DataFrame, k: int = BOILERPLATE_K,
+                      stride: int = BOILERPLATE_STRIDE,
+                      min_docs: int = BOILERPLATE_MIN_DOCS) -> DataFrame:
     """Repeated-span (boilerplate) detection via character k-gram document
     frequency — the exact-substring dedup signal from the training-data
     literature (cf. PAPERS.md, "Deduplicating Training Data Makes Language
@@ -226,8 +262,15 @@ def _token_ngrams(docs: DataFrame, n: int) -> DataFrame:
         )).alias("g")))
 
 
+# broadcast bound for the eval gram set: ~2M md5 keys is ~64 MB hashed
+# relation per executor — comfortably inside a default 1 GB broadcast
+# budget, far above any real benchmark suite's gram count
+BROADCAST_EVAL_MAX_GRAMS = 2_000_000
+
+
 def contamination_flags(docs: DataFrame, eval_docs: DataFrame,
-                        n: int = 13) -> DataFrame:
+                        n: int = 13,
+                        broadcast_eval: bool | None = None) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing ANY word
     ``n``-gram with an evaluation set (the standard 13-gram rule, cf.
     PAPERS.md training-data hygiene literature). Returns
@@ -236,10 +279,24 @@ def contamination_flags(docs: DataFrame, eval_docs: DataFrame,
     Scale design: the eval side is tiny relative to the corpus (a
     benchmark suite vs a crawl), so its distinct gram set broadcasts —
     no shuffle JOIN against the eval side; the corpus grams shuffle
-    only for the per-doc algebraic hit count (uniform doc_id keys)."""
+    only for the per-doc algebraic hit count (uniform doc_id keys).
+    The "tiny" assumption is MEASURED, not assumed (ADVICE r6): with
+    ``broadcast_eval=None`` the eval gram set is counted first (one
+    cheap job over the small side, reused via localCheckpoint) and the
+    broadcast hint applies only under BROADCAST_EVAL_MAX_GRAMS — an
+    eval set that grew with the corpus degrades to a shuffle join
+    instead of an executor/driver OOM. Pass True/False to force."""
     d_g = _token_ngrams(docs, n)
     e_g = _token_ngrams(eval_docs, n).select("g").distinct()
-    hits = (d_g.join(F.broadcast(e_g), "g")
+    if broadcast_eval is None:
+        # localCheckpoint: the guard count and the join read ONE
+        # materialization of the eval grams (and the join side stops
+        # re-deriving the eval tokenization per task)
+        e_g = e_g.localCheckpoint()
+        broadcast_eval = e_g.count() <= BROADCAST_EVAL_MAX_GRAMS
+    if broadcast_eval:
+        e_g = F.broadcast(e_g)
+    hits = (d_g.join(e_g, "g")
             .groupBy("doc_id")
             .agg(F.countDistinct("g").alias("n_hits")))
     return (docs.select("doc_id").join(hits, "doc_id", "left")

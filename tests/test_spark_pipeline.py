@@ -525,11 +525,13 @@ def test_two_phase_cc_beats_hash_min_on_long_chains(spark):
     edges = spark.createDataFrame(
         [(nodes[i], nodes[i + 1]) for i in range(n - 1)],
         "src string, dst string")
+    st: dict = {}
     got = {r["node"]: r["component"]
-           for r in canon.connected_components_two_phase(edges).collect()}
+           for r in canon.connected_components_two_phase(
+               edges, stats=st).collect()}
     assert set(got) == set(nodes)
     assert set(got.values()) == {nodes[0]}
-    rounds = canon.connected_components_two_phase.last_iterations
+    rounds = st["iterations"]
     assert rounds <= 10, rounds  # ~log2(120), not 119
     with pytest.raises(RuntimeError, match="did not converge"):
         canon.connected_components(edges, max_iter=20)
@@ -561,8 +563,9 @@ def test_fuzzy_cc_diameter_bound(spark, pages):
     quads = pages_to_quads(pages, CONTEXTS)
     feats = canon.node_features(quads)
     edges = canon.candidate_edges_minhash(feats, min_jaccard=0.5)
-    canon.connected_components(edges).count()
-    assert canon.connected_components.last_iterations <= 5
+    st: dict = {}
+    canon.connected_components(edges, stats=st).count()
+    assert st["iterations"] <= 5
 
 
 def test_pagerank_mass_and_authority_ordering(spark):
