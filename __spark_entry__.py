@@ -575,7 +575,14 @@ def _q_kg_pagerank(spark, sf_dir):
     entity-importance pipeline runs on the constructed graph. Fixed
     iteration count makes the computation deterministic, so the oracle
     replays it exactly (chained CTEs); round(6) absorbs the ~1e-13
-    aggregation-order float divergence."""
+    aggregation-order float divergence.
+
+    WARNING (documented convention): this lane does NOT redistribute
+    dangling-node mass, so ranks sum to < 1 when sinks exist — the
+    oracle replays the same convention. A consumer expecting the
+    canonical probability distribution must use
+    ``pagerank(..., redistribute_dangling=True)`` (exact-replay
+    pytest: test_pagerank_redistributed_sums_to_one_with_exact_oracle)."""
     from jsonld_streaming_parser_js_spark.operators import graphalgo
     q = _quads(spark, sf_dir)
     edges = (q.where(~F.col("obj").startswith('"'))

@@ -32,13 +32,23 @@ TELEPORT = 0.15  # literal, NOT 1-DAMPING: Python's 1-0.85 is a
 # different binary64 than the SQL literal 0.15 both engines parse
 
 
-def pagerank(edges: DataFrame, iterations: int = 5) -> DataFrame:
+def pagerank(edges: DataFrame, iterations: int = 5,
+             redistribute_dangling: bool = False) -> DataFrame:
     """(src, dst) edge list -> (node, rank) after ``iterations`` steps.
 
     Edges are deduplicated to simple directed pairs first (parallel
     predicates between the same nodes count once — the convention the
     oracle replays). Returns the UNROUNDED rank; callers round for
-    cross-engine comparison."""
+    cross-engine comparison.
+
+    ``redistribute_dangling=False`` (default, the convention the
+    kg_pagerank lane's oracle replays): sink-node mass is DROPPED, so
+    **sum of ranks < 1 whenever sinks exist** — a downstream consumer
+    expecting the canonical probability distribution must pass
+    ``redistribute_dangling=True``, which spreads each iteration's
+    dangling mass uniformly (one extra global agg per iteration, the
+    textbook definition; sum of ranks == 1, pytest-asserted with an
+    exact DuckDB replay)."""
     # checkpoint the DEDUPED EDGE LIST first: every iteration joins it
     # (and out_deg derives from it), so without materialization the full
     # upstream pipeline (pages -> parse -> dedup) would re-run ~2x per
@@ -55,6 +65,17 @@ def pagerank(edges: DataFrame, iterations: int = 5) -> DataFrame:
     out_deg = e.groupBy("src").agg(F.count("*").alias("odeg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
+        inflow_expr = F.coalesce("s", F.lit(0.0))
+        if redistribute_dangling:
+            # dangling mass = rank held by nodes with no outgoing edge;
+            # one global agg per iteration (driver scalar folded into
+            # the update as a literal — the oracle derives the same
+            # scalar in a per-iteration CTE; agg-order float divergence
+            # is ~1e-16, absorbed by the round(6) reporting grain)
+            dm = (ranks.join(out_deg, ranks["node"] == out_deg["src"],
+                             "left_anti")
+                  .agg(F.sum("rank")).first()[0]) or 0.0
+            inflow_expr = inflow_expr + F.lit(dm / n)
         contribs = (e.join(ranks, e["src"] == ranks["node"])
                     .join(out_deg, "src")
                     .select(F.col("dst").alias("node"),
@@ -63,27 +84,41 @@ def pagerank(edges: DataFrame, iterations: int = 5) -> DataFrame:
         ranks = (nodes.join(inflow, "node", "left")
                  .select("node",
                          (F.lit(TELEPORT / n)
-                          + F.lit(DAMPING) * F.coalesce("s", F.lit(0.0)))
+                          + F.lit(DAMPING) * inflow_expr)
                          .alias("rank"))
                  .localCheckpoint(eager=False))
     return ranks
 
 
-def pagerank_oracle_sql(edges_sql: str, iterations: int = 5) -> str:
+def pagerank_oracle_sql(edges_sql: str, iterations: int = 5,
+                        redistribute_dangling: bool = False) -> str:
     """DuckDB replay of :func:`pagerank` over ``edges_sql`` (a query
     producing src, dst): one chained CTE per iteration, same teleport /
-    damping literals, same left-join inflow shape."""
+    damping literals, same left-join inflow shape. With
+    ``redistribute_dangling`` a per-iteration ``d{i}`` CTE derives the
+    dangling mass exactly as the Spark side's global agg does."""
     if iterations < 1:
         raise ValueError(f"iterations={iterations}: need >= 1 (the CTE"
                          " chain has no zero-iteration form)")
     it_ctes = []
     prev = "r0"
     for i in range(1, iterations + 1):
-        it_ctes.append(f"""
+        inflow = "COALESCE(c.s, 0.0e0)"
+        dangling_cte = ""
+        if redistribute_dangling:
+            dangling_cte = f"""
+d{i} AS (
+  SELECT COALESCE(SUM(r.rank), 0.0e0) AS dm
+  FROM {prev} r LEFT JOIN outd o ON r.node = o.src
+  WHERE o.src IS NULL
+),"""
+            inflow = (f"(COALESCE(c.s, 0.0e0)"
+                      f" + (SELECT dm FROM d{i}) / (SELECT n FROM nn))")
+        it_ctes.append(f"""{dangling_cte}
 r{i} AS (
   SELECT nd.node,
          ({TELEPORT}e0 / (SELECT n FROM nn))
-           + {DAMPING}e0 * COALESCE(c.s, 0.0e0) AS rank
+           + {DAMPING}e0 * {inflow} AS rank
   FROM nodes nd
   LEFT JOIN (
     SELECT e.dst AS node, SUM(r.rank / o.odeg) AS s

@@ -77,6 +77,29 @@ _MEMO_SCHEMA = ST.StructType([
 ])
 
 
+# Measured break-even of the memo at sf0.1 (BENCH.md round-6 leg): below
+# ~50x mean duplication the bkey shuffle + hit join cost more than the
+# saved kernel calls.
+MEMO_BREAK_EVEN_DUPLICATION = 50.0
+
+
+def should_memoize(blocks: DataFrame,
+                   break_even: float = MEMO_BREAK_EVEN_DUPLICATION
+                   ) -> tuple[bool, float]:
+    """Data-driven memo decision (r7 verdict ask #5): ONE cheap agg over
+    the block corpus measures the mean duplication ratio
+    ``occurrences / distinct(md5(block))`` and compares it to the
+    measured break-even. ``approx_count_distinct`` (HLL++, one pass, no
+    distinct shuffle) keeps the pre-pass O(scan) — its ~2% error is three
+    orders of magnitude below the decision grain. Returns
+    (memoize?, measured_ratio)."""
+    row = blocks.agg(
+        F.count("*").alias("n"),
+        F.approx_count_distinct(F.md5("block")).alias("d")).first()
+    ratio = row["n"] / max(row["d"], 1)
+    return ratio >= break_even, ratio
+
+
 def _is_memoizable(quads: list[tuple], err: str | None) -> bool:
     if err is not None:
         return False

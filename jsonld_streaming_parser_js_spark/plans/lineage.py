@@ -241,7 +241,7 @@ def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
                     ctx_cache: dict, buckets: int = 64,
                     rdf_direction: str | None = None,
                     snapshot_id: str = "", quad_sink=None,
-                    memo: bool = False) -> dict:
+                    memo: bool | str = False) -> dict:
     """Process only urls in not-yet-committed buckets; returns stats.
 
     ``pages -> filter(uncommitted bucket) -> extract+parse -> write``.
@@ -251,7 +251,11 @@ def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
     ``memo=True`` parses via the distinct-block memo (operators/memo.py)
     — same output protocol including the error channel, one kernel call
     per distinct block; worth it when the crawl repeats site-template
-    blocks (measured break-even ~50x duplication)."""
+    blocks (measured break-even ~50x duplication). ``memo='auto'``
+    (r7) decides from the data: one cheap approx-distinct agg over the
+    extracted blocks measures the duplication ratio and memoizes iff it
+    clears the measured break-even — both regimes produce identical
+    output (pytest: test_build_kg_memo_auto_*)."""
     from ..operators.parse import extract_and_parse
 
     pages_b = with_bucket(pages, buckets)
@@ -262,6 +266,11 @@ def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
         n_done = done.count()
         pages_b = pages_b.join(F.broadcast(done), "bucket", "left_anti")
 
+    memo_ratio = None
+    if memo == "auto":
+        from ..operators.extract import extract_blocks
+        from ..operators.memo import should_memoize
+        memo, memo_ratio = should_memoize(extract_blocks(pages_b))
     if memo:
         from ..operators.extract import extract_blocks
         from ..operators.memo import parse_blocks_memo
@@ -276,9 +285,12 @@ def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
     agg = lineage.agg(F.countDistinct("bucket").alias("b"),
                       F.sum("n_quads").alias("q"),
                       F.sum("n_errors").alias("e")).collect()[0]
-    return {"buckets_total": buckets, "buckets_previously_done": n_done,
-            "buckets_done": agg["b"], "n_quads": agg["q"],
-            "n_errors": agg["e"]}
+    stats = {"buckets_total": buckets, "buckets_previously_done": n_done,
+             "buckets_done": agg["b"], "n_quads": agg["q"],
+             "n_errors": agg["e"], "memo_used": bool(memo)}
+    if memo_ratio is not None:
+        stats["memo_duplication_ratio"] = round(memo_ratio, 2)
+    return stats
 
 
 def run_in_waves(spark: SparkSession, pages: DataFrame, out_dir: str,

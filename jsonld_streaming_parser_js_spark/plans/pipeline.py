@@ -29,7 +29,9 @@ class PipelineConfig:
     rdf_direction: str | None = None
     ctx_cache: dict = field(default_factory=dict)
     snapshot_id: str = ""  # input table version tag recorded in lineage
-    memo: bool = False  # distinct-block parse memo (operators/memo.py)
+    # distinct-block parse memo (operators/memo.py): False / True /
+    # "auto" (measure the duplication ratio, memoize past break-even)
+    memo: bool | str = False
 
 
 def build_kg(spark: SparkSession, pages: DataFrame,

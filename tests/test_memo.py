@@ -112,6 +112,40 @@ def test_run_with_resume_memo_twin(spark, tmp_path):
     assert outs[True][1] > 0  # error channel present through the memo
 
 
+def test_build_kg_memo_auto_picks_by_measured_duplication(spark, tmp_path):
+    """memo='auto' (r7 verdict ask #5): the duplication pre-pass turns
+    the memo ON for a high-dup corpus and OFF for the standard low-dup
+    pages, and the committed store is value-identical either way."""
+    from jsonld_streaming_parser_js_spark.plans import lineage as lin
+    from jsonld_streaming_parser_js_spark.sources.pages import (
+        pages_from_documents, shared_org_blocks)
+
+    # low-dup: the standard pages corpus (every block embeds its url) —
+    # auto must NOT memoize, and the store equals the plain-parse store
+    pages = pages_from_documents(spark, SF)
+    out_auto = str(tmp_path / "auto_low")
+    stats = lin.run_with_resume(spark, pages, out_auto, CONTEXTS,
+                                buckets=8, memo="auto")
+    assert stats["memo_used"] is False
+    assert stats["memo_duplication_ratio"] < memo.MEMO_BREAK_EVEN_DUPLICATION
+    out_plain = str(tmp_path / "plain_low")
+    lin.run_with_resume(spark, pages, out_plain, CONTEXTS, buckets=8)
+    cols = ["url", "blk", "subj", "pred", "obj", "graph", "error"]
+    a = set(map(tuple, spark.read.parquet(f"{out_auto}/quads")
+                .select(*cols).collect()))
+    b = set(map(tuple, spark.read.parquet(f"{out_plain}/quads")
+                .select(*cols).collect()))
+    assert a == b and len(a) > 3000
+
+    # high-dup decision: 500 pages / 7 distinct templates (~71x) clears
+    # the ~50x break-even (decision-level check on the shared pre-pass;
+    # memo-vs-plain value identity at the store level is
+    # test_run_with_resume_memo_twin)
+    blocks = shared_org_blocks(spark, SF)
+    on, ratio = memo.should_memoize(blocks)
+    assert on and ratio > memo.MEMO_BREAK_EVEN_DUPLICATION
+
+
 def test_streaming_memo_sink_matches_batch(spark, tmp_path):
     """The memo parse composed into Structured Streaming (foreachBatch
     per micro-batch) must produce exactly the batch memo/plain result

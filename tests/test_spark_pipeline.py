@@ -591,6 +591,34 @@ def test_pagerank_mass_and_authority_ordering(spark):
     assert r2 == {k: round(v, 12) for k, v in r.items()}
 
 
+def test_pagerank_redistributed_sums_to_one_with_exact_oracle(spark):
+    """The dangling-mass redistribution variant (r7 verdict ask #6):
+    sink mass is spread uniformly each iteration, so the ranks form the
+    canonical probability distribution (sum == 1, vs < 1 under the
+    default drop convention), and the DuckDB oracle replays the exact
+    computation including the per-iteration dangling-mass CTE."""
+    import duckdb
+    from jsonld_streaming_parser_js_spark.operators.graphalgo import (
+        pagerank, pagerank_oracle_sql)
+    # 'hub' and 'c' are dangling sinks; 'z' only dangles after round 1
+    e = ([(f"u{i}", "hub") for i in range(6)]
+         + [("a", "b"), ("b", "c"), ("a", "z")])
+    edges = spark.createDataFrame(e, "src string, dst string")
+    pr = pagerank(edges, iterations=4, redistribute_dangling=True)
+    rows = pr.select("node", F.round("rank", 6).alias("r6"),
+                     "rank").collect()
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-9
+    # and the default convention really does lose the sink mass
+    pr0 = pagerank(edges, iterations=4).agg(F.sum("rank")).first()[0]
+    assert pr0 < 0.9
+    values = ", ".join(f"('{s}', '{d}')" for s, d in e)
+    sql = pagerank_oracle_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)",
+        iterations=4, redistribute_dangling=True)
+    want = dict(duckdb.sql(sql).fetchall())
+    assert {r["node"]: r["r6"] for r in rows} == want
+
+
 def test_minhash_estimator_tracks_true_jaccard(spark):
     """Guards the 2^31-1 modulus choice: with a near-monotone hash family
     (the old 2^61-1 modulus over 31-bit hashes) signature agreement no
