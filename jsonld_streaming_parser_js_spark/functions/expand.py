@@ -347,10 +347,26 @@ def _expand_entries(active_ctx: Context, type_scoped_ctx: Context,
             elif expanded_prop == "@list":
                 if active_prop is None or active_prop == "@graph":
                     continue  # free-floating list
+                if active_ctx.mode == "json-ld-1.0" and any(
+                        isinstance(item, list)
+                        for item in as_list(value)):
+                    # W3C 1.0 expansion 8.4.5 / toRdf ter24: a nested
+                    # raw array inside an explicit @list is the classic
+                    # "list of lists" error. Checked PRE-expansion
+                    # because array expansion flattens raw arrays (the
+                    # 1.1-legal behavior) and would erase the evidence.
+                    raise JsonLdError("list of lists")
                 expanded = expand(active_ctx, active_prop, value, base_url,
                                   ctx_cache)
-                result["@list"] = [e for e in as_list(expanded)
-                                   if e is not None]
+                items = [e for e in as_list(expanded) if e is not None]
+                if active_ctx.mode == "json-ld-1.0" and any(
+                        isinstance(e, dict) and "@list" in e
+                        for e in items):
+                    # post-expansion twin of the check above: catches
+                    # nested LIST OBJECTS however they were spelled
+                    # (aliased @list keys included)
+                    raise JsonLdError("list of lists")
+                result["@list"] = items
             elif expanded_prop == "@set":
                 result["@set"] = expand(active_ctx, active_prop, value,
                                         base_url, ctx_cache)
