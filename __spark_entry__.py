@@ -126,17 +126,12 @@ def _q_kg_error_channels(spark, sf_dir):
     drop into a coded error row), channel='http' (fromHttpResponse
     media-type / Link-header failures). Each keeps its full former
     per-channel value oracle — the union loses nothing."""
-    from jsonld_streaming_parser_js_spark.functions.parser import (
-        ParserOptions)
-    lenient = _q_kg_errors(spark, sf_dir)
-    strict = errors_only(parse_blocks(
-        _strict_blocks(spark, sf_dir), CONTEXTS,
-        parser_options=ParserOptions(strict_values=True)))
-    http = errors_only(parse_responses(
-        responses_from_documents(spark, sf_dir), CONTEXTS))
-    legs = [lenient.withColumn("channel", F.lit("lenient")),
-            strict.withColumn("channel", F.lit("strict")),
-            http.withColumn("channel", F.lit("http"))]
+    legs = [_q_kg_errors(spark, sf_dir)
+            .withColumn("channel", F.lit("lenient")),
+            _q_kg_strict_errors(spark, sf_dir)
+            .withColumn("channel", F.lit("strict")),
+            _q_kg_http_errors(spark, sf_dir)
+            .withColumn("channel", F.lit("http"))]
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
@@ -1068,7 +1063,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text_quality (+quality_filter), sim_topk (brute+ivf+lsh),
     # ann_recall (embedding_lsh+ivf), dedup_embedding (exact+lsh),
     # mm_decode (wav+ppm+png), streaming_quad_rates (+late twin).
-    # Ordering stays changed-first as belt-and-braces.
+    # Deliberately DROPPED (not merged): text_extract_identity — its
+    # only assertion (every url extracts) is subsumed by
+    # kg_extract_blocks' full value check of the same extraction, and
+    # the extracted_text operator keeps its pytest
+    # (tests/test_spark_pipeline.py). Ordering stays changed-first as
+    # belt-and-braces.
     return {
         # -- changed/merged this round (r7) --
         "kg_quads_memo": _q_kg_quads_memo,
@@ -1782,7 +1782,10 @@ outd AS (SELECT subj AS term, count(*) AS out_degree FROM q GROUP BY subj),
 ind AS (SELECT obj AS term, count(*) AS in_degree FROM q GROUP BY obj)
 SELECT view, c1, c2, c3, c4 FROM (
   SELECT 'node' AS view, t.term AS c1,
-         CASE WHEN t.term LIKE '_:%' THEN 'bnode'
+         -- starts_with, not LIKE '_:%': '_' is a single-char LIKE
+         -- wildcard, so LIKE would also match any term whose SECOND
+         -- char is ':' (e.g. a literal whose content begins with ':')
+         CASE WHEN starts_with(t.term, '_:') THEN 'bnode'
               WHEN t.term LIKE '"%' THEN 'literal'
               WHEN t.term LIKE '<<%' THEN 'quoted'
               ELSE 'iri' END AS c2,

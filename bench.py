@@ -423,8 +423,18 @@ def _deltas_vs_prev(result: dict) -> dict | None:
     if prev.get("sf") and prev.get("sf") != result["sf"]:
         deltas["_note"] = (f"prev ran at sf={prev['sf']}; "
                            "deltas not comparable")
+    # lanes whose NAME survived round 7 but whose computation changed
+    # (registry consolidation): prior-round timings time a different
+    # query, so a delta would compare apples to oranges. Clear after the
+    # next recorded round establishes fresh baselines.
+    redefined = {"text_quality": "r7: + exact-dedup keeper join",
+                 "kg_quads_by_predicate": "r7: + rdf_type group key"}
     for name, sec in result["queries"].items():
         old = prev["queries"].get(name)
+        if name in redefined:
+            deltas[name] = {"prev_sec": old, "pct": None,
+                            "flag": f"new ({redefined[name]})"}
+            continue
         if not old:
             deltas[name] = {"prev_sec": None, "pct": None, "flag": "new"}
             continue

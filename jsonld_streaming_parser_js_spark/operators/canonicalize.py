@@ -129,7 +129,18 @@ def candidate_edges_minhash(features: DataFrame, num_hashes: int = 32,
                 F.col("sig")[band * rows + r].cast("string")
                 for r in range(rows)]))
             for band in range(bands)])).alias("band", "bucket"))
-    x, y = banded.alias("x"), banded.alias("y")
+    # The bands and features relations are CORPUS-SIZED by construction,
+    # so they must never be broadcast off a STATIC size estimate:
+    # generated lineages (explode over a small scan — how entity corpora
+    # and array-expansion pipelines look) propagate tiny sizeInBytes
+    # through Catalyst, and the static planner then plans BuildRight
+    # broadcasts of relations that are actually millions of rows — the r7
+    # amplify=100 scale probe OOM'd the driver exactly this way
+    # (BENCH.md "Scale probe"). merge hints pin the STATIC plan to
+    # sort-merge (shuffle-safe at any size); joins that are genuinely
+    # tiny stay cheap because the hinted SMJ's inputs are already
+    # partitioned and sorted only at their true (runtime) sizes.
+    x, y = banded.alias("x"), banded.hint("merge").alias("y")
     cand = (x.join(y, (F.col("x.band") == F.col("y.band"))
                    & (F.col("x.bucket") == F.col("y.bucket"))
                    & (F.col("x.node") < F.col("y.node")))
@@ -137,9 +148,9 @@ def candidate_edges_minhash(features: DataFrame, num_hashes: int = 32,
                     F.col("y.node").alias("dst"))
             .dropDuplicates())
     fa = features.select(F.col("node").alias("src"),
-                         F.col("features").alias("f_src"))
+                         F.col("features").alias("f_src")).hint("merge")
     fb = features.select(F.col("node").alias("dst"),
-                         F.col("features").alias("f_dst"))
+                         F.col("features").alias("f_dst")).hint("merge")
     jac = (F.size(F.array_intersect("f_src", "f_dst"))
            / F.greatest(F.size(F.array_union("f_src", "f_dst")), F.lit(1)))
     return (cand.join(fa, "src").join(fb, "dst")
@@ -269,13 +280,17 @@ def connected_components_two_phase(edges: DataFrame,
 
     Convergence test: EXACT edge-set equality across a full round — at
     the fixpoint the edge set is exactly the star forest
-    {(v, min(C)) | v != min(C)}, which both steps map to itself. Both
-    sides are distinct sets, so equality is one symmetric-difference
-    count: full-outer join on (src, dst) with presence indicators,
-    count of one-sided rows == 0. (Replaces the r6
-    (count, bit_xor(xxhash64)) signature, which carried a documented
-    ~2^-64 collision risk — ADVICE r6; exactness costs the same single
-    job per round.)
+    {(v, min(C)) | v != min(C)}, which both steps map to itself.
+    (Replaces the r6 (count, bit_xor(xxhash64)) signature, which
+    carried a documented ~2^-64 collision risk — ADVICE r6.) Cost
+    shape: every round pays one shuffle-free count (map-side agg, which
+    also materializes the lazy checkpoint); only rounds whose count
+    MATCHES the previous round's — candidate fixpoints — additionally
+    pay a left-anti join on (src, dst): with equal counts and both
+    relations distinct, one-sided emptiness <=> set equality. While the
+    algorithm is contracting, counts differ and the join is skipped, so
+    exactness costs one corpus-keyed join at the final round(s) only,
+    not per round.
 
     ``stats``: caller-owned dict; on return ``stats['iterations']``
     holds the converged round count (out-param, not a mutated function
@@ -289,19 +304,21 @@ def connected_components_two_phase(edges: DataFrame,
                  .union(base.select(F.col("dst").alias("node")))
                  .distinct())
 
-    e = e.localCheckpoint()  # each round full-outer-joins prev vs new
+    e = e.localCheckpoint()
+    prev_count = e.count()
     for rounds in range(1, max_iter + 1):
         prev_e = e
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        # exact set equality in ONE count job (which also materializes
-        # the lazy checkpoint): both relations are distinct on
-        # (src, dst), so symmetric-difference cardinality 0 <=> equal
-        n_diff = (e.withColumn("_a", F.lit(1))
-                  .join(prev_e.withColumn("_b", F.lit(1)),
-                        ["src", "dst"], "full")
-                  .where(F.col("_a").isNull() | F.col("_b").isNull())
-                  .count())
-        if n_diff == 0:
+        n = e.count()  # shuffle-free; materializes the lazy checkpoint
+        converged = False
+        if n == prev_count:
+            # candidate fixpoint: equal counts + (new \ prev) empty
+            # <=> set equality (both relations are distinct on
+            # (src, dst)); the anti-join only runs on these rounds
+            converged = (e.join(prev_e, ["src", "dst"], "left_anti")
+                         .count() == 0)
+        prev_count = n
+        if converged:
             if stats is not None:
                 stats["iterations"] = rounds
             labels = e.select(F.col("src").alias("node"),
@@ -335,7 +352,8 @@ def canonical_mapping_fuzzy(quads: DataFrame,
                             min_jaccard: float = 0.5,
                             num_hashes: int = 32,
                             bands: int = 8,
-                            cc_algorithm: str = "hash_min") -> DataFrame:
+                            cc_algorithm: str = "hash_min",
+                            cc_stats: dict | None = None) -> DataFrame:
     """Fuzzy variant: MinHash-LSH candidates can chain A~B~C across
     blocks, so real connected components are required.
 
@@ -350,7 +368,7 @@ def canonical_mapping_fuzzy(quads: DataFrame,
                                     bands=bands, min_jaccard=min_jaccard)
     cc = (connected_components_two_phase if cc_algorithm == "two_phase"
           else connected_components)
-    comps = cc(edges)
+    comps = cc(edges, stats=cc_stats)
     return (comps
             .where(F.col("node") != F.col("component"))
             .select("node", F.col("component").alias("canonical")))

@@ -90,12 +90,13 @@ def should_memoize(blocks: DataFrame,
     the block corpus measures the mean duplication ratio
     ``occurrences / distinct(md5(block))`` and compares it to the
     measured break-even. ``approx_count_distinct`` (HLL++, one pass, no
-    distinct shuffle) keeps the pre-pass O(scan) — its ~2% error is three
-    orders of magnitude below the decision grain. Returns
-    (memoize?, measured_ratio)."""
+    distinct shuffle) keeps the pre-pass O(scan); rsd=0.02 pins the
+    sketch error to ~2% — the break-even itself is an order-of-magnitude
+    threshold, so a 2% estimate cannot flip a non-borderline decision.
+    Returns (memoize?, measured_ratio)."""
     row = blocks.agg(
         F.count("*").alias("n"),
-        F.approx_count_distinct(F.md5("block")).alias("d")).first()
+        F.approx_count_distinct(F.md5("block"), rsd=0.02).alias("d")).first()
     ratio = row["n"] / max(row["d"], 1)
     return ratio >= break_even, ratio
 

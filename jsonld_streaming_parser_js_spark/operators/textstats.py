@@ -30,15 +30,39 @@ def _word_re(words: list[str]) -> str:
     return r"\b(" + "|".join(words) + r")\b"
 
 
+def bpeish_tokens_expr(text: str = "text"):
+    """BPE-ish subword estimate (runs of word chars / digits / single
+    punctuation — a cheap proxy for BPE pre-tokenization). ONE
+    definition shared by token_count and text_profile."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+
+
+def lang_best_expr(lowered):
+    """Deterministic stopword-vote argmax as a (n, lang) struct —
+    compare (count, reverse-alphabetic lang) pairs; shared by lang_id
+    and text_profile so the tie-break can never drift between them."""
+    votes = {lang: F.regexp_count(lowered, F.lit(_word_re(words)))
+             for lang, words in LANG_MARKERS.items()}
+    best = None
+    for lang in sorted(LANG_MARKERS):
+        pair = F.struct(votes[lang].alias("n"), F.lit(lang).alias("lang"))
+        best = pair if best is None else F.when(
+            (pair["n"] > best["n"]), pair).otherwise(best)
+    return best
+
+
+def fingerprint_expr(text: str = "text"):
+    """md5 over whitespace-normalized lowercase text (engine-portable,
+    unlike xxhash64); shared by fingerprint and text_profile."""
+    return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
 def token_count(docs: DataFrame) -> DataFrame:
-    """Whitespace token count + BPE-ish subword estimate (regex: runs of
-    word chars / digits / single punctuation — a cheap proxy for BPE
-    pre-tokenization)."""
+    """Whitespace token count + BPE-ish subword estimate."""
     return docs.select(
         "doc_id",
-        F.regexp_count("text", F.lit(r"\S+")).alias("ws_tokens"),
-        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
-        .alias("bpeish_tokens"),
+        token_count_expr().alias("ws_tokens"),
+        bpeish_tokens_expr().alias("bpeish_tokens"),
     )
 
 
@@ -92,17 +116,8 @@ def quality_score(docs: DataFrame) -> DataFrame:
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-vote language ID (n-gram-free heuristic that is exactly
     expressible in ANSI SQL for the oracle). Ties break by language code
-    order via the greatest-tuple trick."""
-    lowered = F.lower(F.col("text"))
-    votes = {lang: F.regexp_count(lowered, F.lit(_word_re(words)))
-             for lang, words in LANG_MARKERS.items()}
-    # deterministic argmax: compare (count, reverse-alphabetic lang) pairs
-    best = None
-    for lang in sorted(LANG_MARKERS):
-        pair = F.struct(votes[lang].alias("n"),
-                        F.lit(lang).alias("lang"))
-        best = pair if best is None else F.when(
-            (pair["n"] > best["n"]), pair).otherwise(best)
+    order via the greatest-tuple trick (lang_best_expr)."""
+    best = lang_best_expr(F.lower(F.col("text")))
     return docs.select(
         "doc_id", "lang",
         best["lang"].alias("pred_lang"),
@@ -111,12 +126,10 @@ def lang_id(docs: DataFrame) -> DataFrame:
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:
-    """Document fingerprint: md5 over whitespace-normalized lowercase text
-    (portable across engines, unlike xxhash64)."""
-    norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
+    """Document fingerprint (fingerprint_expr)."""
     return docs.select(
         "doc_id",
-        F.md5(norm).alias("fingerprint"),
+        fingerprint_expr().alias("fingerprint"),
     )
 
 
@@ -125,25 +138,18 @@ def text_profile(docs: DataFrame) -> DataFrame:
     (r7 merge of the token_count / lang_id / fingerprint lanes): all
     three are narrow per-document maps, so composing them into a single
     select keeps one corpus scan and zero shuffles — strictly better at
-    scale than three lanes each re-scanning the corpus."""
-    lowered = F.lower(F.col("text"))
-    votes = {lang: F.regexp_count(lowered, F.lit(_word_re(words)))
-             for lang, words in LANG_MARKERS.items()}
-    best = None
-    for lang in sorted(LANG_MARKERS):  # same argmax as lang_id
-        pair = F.struct(votes[lang].alias("n"), F.lit(lang).alias("lang"))
-        best = pair if best is None else F.when(
-            (pair["n"] > best["n"]), pair).otherwise(best)
-    norm = F.regexp_replace(lowered, r"\s+", " ")
+    scale than three lanes each re-scanning the corpus. Every expression
+    is the SHARED builder the narrow operators use, so the merged lane
+    and its parts cannot drift."""
+    best = lang_best_expr(F.lower(F.col("text")))
     return docs.select(
         "doc_id",
-        F.regexp_count("text", F.lit(r"\S+")).alias("ws_tokens"),
-        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
-        .alias("bpeish_tokens"),
+        token_count_expr().alias("ws_tokens"),
+        bpeish_tokens_expr().alias("bpeish_tokens"),
         "lang",
         best["lang"].alias("pred_lang"),
         best["n"].alias("votes"),
-        F.md5(norm).alias("fingerprint"),
+        fingerprint_expr().alias("fingerprint"),
     )
 
 

@@ -267,15 +267,26 @@ def run_with_resume(spark: SparkSession, pages: DataFrame, out_dir: str,
         pages_b = pages_b.join(F.broadcast(done), "bucket", "left_anti")
 
     memo_ratio = None
+    blocks = None
     if memo == "auto":
         from ..operators.extract import extract_blocks
         from ..operators.memo import should_memoize
-        memo, memo_ratio = should_memoize(extract_blocks(pages_b))
+        # extract ONCE: the pre-pass agg and the chosen parse path share
+        # one materialized block table (localCheckpoint) instead of
+        # running the extraction regex over the crawl twice
+        blocks = extract_blocks(pages_b).localCheckpoint()
+        memo, memo_ratio = should_memoize(blocks)
     if memo:
         from ..operators.extract import extract_blocks
         from ..operators.memo import parse_blocks_memo
-        parsed = parse_blocks_memo(extract_blocks(pages_b), ctx_cache,
-                                   rdf_direction)
+        if blocks is None:
+            blocks = extract_blocks(pages_b)
+        parsed = parse_blocks_memo(blocks, ctx_cache, rdf_direction)
+    elif blocks is not None:
+        # auto decided against the memo: parse the already-materialized
+        # blocks (same output protocol as the fused extract_and_parse)
+        from ..operators.parse import parse_blocks
+        parsed = parse_blocks(blocks, ctx_cache, rdf_direction)
     else:
         parsed = extract_and_parse(pages_b, ctx_cache, rdf_direction)
     parsed_b = with_bucket(parsed, buckets)

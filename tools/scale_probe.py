@@ -1,0 +1,141 @@
+"""Scale probe for the two iterated operators (r7 verdict ask #7).
+
+The EXPLAIN invariants argue the 100x story analytically; this tool
+MEASURES it on the sandbox's closest stand-in: the same jobs at
+amplified input sizes, recording wall time, total shuffle write bytes
+(Spark REST API), and CC iteration counts.
+
+  - ``fuzzy`` leg: the kg_canonical_fuzzy entity corpus amplified by
+    replicating documents with disjoint doc_id ranges (every replica is
+    a NEW 3-node A-B-C chain — entity count scales linearly, exactly how
+    a bigger crawl behaves). amplify=100 at sf0.1 is 1.5M entities /
+    18M feature rows (the lane's own 100x point; the pages-corpus
+    "~40M quads" scale is covered by the memo leg below — at 1000x the
+    FEATURE table would be 180M rows, past this box's one-probe budget).
+  - ``memo`` leg: bench.memo_leg at amplify=1000 -> 5M block
+    occurrences / 5k distinct (~40M quads through the plain side).
+
+Usage: python tools/scale_probe.py [--fuzzy 1,30,100] [--memo 1000]
+Prints one JSON line; BENCH.md quotes it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _shuffle_write_bytes(spark) -> int:
+    """Total shuffle write bytes across all completed stages (REST API).
+    Returns -1 when the UI is unreachable (probe stays usable)."""
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages",
+                                    timeout=10) as fh:
+            stages = json.loads(fh.read())
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages
+                   if s.get("status") == "COMPLETE")
+    except Exception:  # noqa: BLE001 - metrics are best-effort
+        return -1
+
+
+def amplified_entity_quads(spark, sf_dir: str, amplify: int):
+    """The _entity_quads corpus from __spark_entry__, amplified: replica
+    r gets doc_id' = doc_id + r * 10_000_000, so every replica is a
+    fresh disjoint A-B-C chain (linear entity growth, same topology)."""
+    from pyspark.sql import functions as F
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id")
+            .withColumn("rep", F.explode(
+                F.sequence(F.lit(0), F.lit(amplify - 1))))
+            .select((F.col("doc_id")
+                     + F.col("rep") * F.lit(10_000_000)).alias("doc_id")))
+    ent = (docs
+           .select("doc_id",
+                   F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r"))
+           .select("doc_id", "r",
+                   F.explode(F.sequence(F.lit(0), F.lit(11))).alias("j")))
+    return ent.select(
+        F.lit("synthetic://entities").alias("url"),
+        F.lit(0).alias("blk"),
+        F.concat(F.lit("<http://auth.example.org/e"),
+                 F.col("doc_id").cast("string"),
+                 F.expr("substr('abc', r + 1, 1)"),
+                 F.lit(">")).alias("subj"),
+        F.lit("<http://ex.org/feat>").alias("pred"),
+        F.concat(F.lit('"t'), F.col("doc_id").cast("string"), F.lit("_"),
+                 (F.col("r") * 2 + F.col("j")).cast("string"),
+                 F.lit('"')).alias("obj"),
+        F.lit("").alias("graph"))
+
+
+def fuzzy_leg(spark, amplify: int) -> dict:
+    from jsonld_streaming_parser_js_spark.operators import (
+        canonicalize as canon)
+    sw0 = _shuffle_write_bytes(spark)
+    cc_stats: dict = {}
+    t0 = time.time()
+    quads = amplified_entity_quads(spark, SF_DIR, amplify)
+    mapping = canon.canonical_mapping_fuzzy(
+        quads, min_jaccard=0.6, num_hashes=32, bands=16,
+        cc_stats=cc_stats)
+    n_mapped = mapping.count()
+    wall = time.time() - t0
+    sw1 = _shuffle_write_bytes(spark)
+    return {"amplify": amplify,
+            "n_feature_rows": 5000 * 36 * amplify
+            if "sf0.1" in SF_DIR else None,
+            "n_entities": 3 * 5000 * amplify
+            if "sf0.1" in SF_DIR else None,
+            "n_mapped": n_mapped,
+            "cc_iterations": cc_stats.get("iterations"),
+            "wall_sec": round(wall, 1),
+            "shuffle_write_bytes": (sw1 - sw0)
+            if sw0 >= 0 and sw1 >= 0 else None}
+
+
+def main() -> None:
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--fuzzy", default="1,30,100")
+    p.add_argument("--memo", type=int, default=1000)
+    args = p.parse_args()
+
+    from jsonld_streaming_parser_js_spark.sources.session import get_spark
+    import bench
+
+    spark = get_spark(app="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict = {"sf": SF_DIR, "fuzzy": [], "memo": None,
+                 "load_avg_1m": round(os.getloadavg()[0], 2)}
+    for amp in [int(a) for a in args.fuzzy.split(",") if a]:
+        leg = fuzzy_leg(spark, amp)
+        out["fuzzy"].append(leg)
+        print(f"# fuzzy x{amp}: {leg}", file=sys.stderr)
+
+    if args.memo:
+        sw0 = _shuffle_write_bytes(spark)
+        t0 = time.time()
+        memo = bench.memo_leg(spark, amplify=args.memo)
+        memo["wall_sec_total"] = round(time.time() - t0, 1)
+        sw1 = _shuffle_write_bytes(spark)
+        memo["shuffle_write_bytes"] = (sw1 - sw0) \
+            if sw0 >= 0 and sw1 >= 0 else None
+        out["memo"] = memo
+        print(f"# memo x{args.memo}: {memo}", file=sys.stderr)
+
+    out["load_avg_1m_end"] = round(os.getloadavg()[0], 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
