@@ -114,9 +114,13 @@ def _q_kg_extract_blocks(spark, sf_dir):
     return extract_blocks(_pages(spark, sf_dir)).orderBy("url", "blk")
 
 
-def _q_kg_errors(spark, sf_dir):
+def _errors_lenient(spark, sf_dir):
     parsed = parse_blocks(extract_blocks(_pages(spark, sf_dir)), CONTEXTS)
-    return errors_only(parsed).orderBy("url", "blk")
+    return errors_only(parsed)
+
+
+def _q_kg_errors(spark, sf_dir):
+    return _errors_lenient(spark, sf_dir).orderBy("url", "blk")
 
 
 def _q_kg_error_channels(spark, sf_dir):
@@ -126,11 +130,14 @@ def _q_kg_error_channels(spark, sf_dir):
     drop into a coded error row), channel='http' (fromHttpResponse
     media-type / Link-header failures). Each keeps its full former
     per-channel value oracle — the union loses nothing."""
-    legs = [_q_kg_errors(spark, sf_dir)
+    # unsorted leg builders: a per-leg orderBy under the union would NOT
+    # be eliminated by Catalyst (verified: Sort x3 survives beneath the
+    # outer Sort) — three wasted range-partition shuffles per run
+    legs = [_errors_lenient(spark, sf_dir)
             .withColumn("channel", F.lit("lenient")),
-            _q_kg_strict_errors(spark, sf_dir)
+            _errors_strict(spark, sf_dir)
             .withColumn("channel", F.lit("strict")),
-            _q_kg_http_errors(spark, sf_dir)
+            _errors_http(spark, sf_dir)
             .withColumn("channel", F.lit("http"))]
     out = legs[0]
     for leg in legs[1:]:
@@ -156,7 +163,7 @@ def _strict_blocks(spark, sf_dir):
         block.alias("block"))
 
 
-def _q_kg_strict_errors(spark, sf_dir):
+def _errors_strict(spark, sf_dir):
     """strictValues END-TO-END at driver level (reference: lib/Util.ts
     609-660 'Invalid predicate/term IRI' + 'unknown keyword' + language
     validation): the same corpus parses clean in lenient mode (drops), but
@@ -167,7 +174,7 @@ def _q_kg_strict_errors(spark, sf_dir):
         ParserOptions)
     parsed = parse_blocks(_strict_blocks(spark, sf_dir), CONTEXTS,
                           parser_options=ParserOptions(strict_values=True))
-    return errors_only(parsed).orderBy("url")
+    return errors_only(parsed)
 
 
 def _q_kg_quads_by_predicate(spark, sf_dir):
@@ -262,10 +269,10 @@ def _q_kg_http_quads(spark, sf_dir):
     return quads_only(parsed).orderBy("url", "pred")
 
 
-def _q_kg_http_errors(spark, sf_dir):
+def _errors_http(spark, sf_dir):
     parsed = parse_responses(responses_from_documents(spark, sf_dir),
                              CONTEXTS)
-    return errors_only(parsed).orderBy("url")
+    return errors_only(parsed)
 
 
 def _q_kg_ndjson_quads(spark, sf_dir):

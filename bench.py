@@ -424,11 +424,14 @@ def _deltas_vs_prev(result: dict) -> dict | None:
         deltas["_note"] = (f"prev ran at sf={prev['sf']}; "
                            "deltas not comparable")
     # lanes whose NAME survived round 7 but whose computation changed
-    # (registry consolidation): prior-round timings time a different
-    # query, so a delta would compare apples to oranges. Clear after the
-    # next recorded round establishes fresh baselines.
-    redefined = {"text_quality": "r7: + exact-dedup keeper join",
-                 "kg_quads_by_predicate": "r7: + rdf_type group key"}
+    # (registry consolidation): timings from PRE-r7 artifacts time a
+    # different query, so a delta would compare apples to oranges. The
+    # suppression is keyed to the baseline's round number — once an r7+
+    # artifact is the baseline, these lanes are adjudicated normally.
+    prev_round = int(re.search(r"_r(\d+)\.json$", prev_path).group(1))
+    redefined = {} if prev_round >= 7 else {
+        "text_quality": "r7 redefinition: + exact-dedup keeper join",
+        "kg_quads_by_predicate": "r7 redefinition: + rdf_type group key"}
     for name, sec in result["queries"].items():
         old = prev["queries"].get(name)
         if name in redefined:

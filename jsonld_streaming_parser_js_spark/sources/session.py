@@ -8,11 +8,19 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "jsonld-kg", cores: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """``extra_conf``: static SparkConf entries that must be set BEFORE
+    session construction (e.g. spark.ui.retainedStages for the scale
+    probe's metric sampling); no effect if a session already exists
+    (getOrCreate reuses it) — callers needing them must be first."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(2 * cores, 32)
+    builder = SparkSession.builder
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return (
-        SparkSession.builder
+        builder
         .master(f"local[{cores}]")
         .appName(app)
         # AQE: runtime coalescing + skew-join splitting (north-star: AQE

@@ -33,18 +33,28 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _shuffle_write_bytes(spark) -> int:
-    """Total shuffle write bytes across all completed stages (REST API).
-    Returns -1 when the UI is unreachable (probe stays usable)."""
+    """Total shuffle write bytes across all retained stages (REST API),
+    ANY status (a failed stage's partial shuffle writes are real bytes).
+    Returns -1 when the UI is unreachable. Caveat: the UI retains only
+    spark.ui.retainedStages stages (the probe session raises it to
+    20000), so per-leg deltas are valid only while no eviction happened
+    between the two samples — _delta() nulls a non-monotonic pair
+    instead of reporting an undercount."""
     try:
         ui = spark.sparkContext.uiWebUrl
         app = spark.sparkContext.applicationId
         with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages",
                                     timeout=10) as fh:
             stages = json.loads(fh.read())
-        return sum(s.get("shuffleWriteBytes", 0) for s in stages
-                   if s.get("status") == "COMPLETE")
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
     except Exception:  # noqa: BLE001 - metrics are best-effort
         return -1
+
+
+def _delta(sw0: int, sw1: int) -> int | None:
+    """sw1-sw0, or None when either sample failed or stage eviction made
+    the pair non-monotonic (an undercount must not masquerade as data)."""
+    return (sw1 - sw0) if 0 <= sw0 <= sw1 else None
 
 
 def amplified_entity_quads(spark, sf_dir: str, amplify: int):
@@ -90,16 +100,14 @@ def fuzzy_leg(spark, amplify: int) -> dict:
     n_mapped = mapping.count()
     wall = time.time() - t0
     sw1 = _shuffle_write_bytes(spark)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     return {"amplify": amplify,
-            "n_feature_rows": 5000 * 36 * amplify
-            if "sf0.1" in SF_DIR else None,
-            "n_entities": 3 * 5000 * amplify
-            if "sf0.1" in SF_DIR else None,
+            "n_feature_rows": n_docs * 36 * amplify,
+            "n_entities": 3 * n_docs * amplify,
             "n_mapped": n_mapped,
             "cc_iterations": cc_stats.get("iterations"),
             "wall_sec": round(wall, 1),
-            "shuffle_write_bytes": (sw1 - sw0)
-            if sw0 >= 0 and sw1 >= 0 else None}
+            "shuffle_write_bytes": _delta(sw0, sw1)}
 
 
 def main() -> None:
@@ -112,7 +120,8 @@ def main() -> None:
     from jsonld_streaming_parser_js_spark.sources.session import get_spark
     import bench
 
-    spark = get_spark(app="scale-probe")
+    spark = get_spark(app="scale-probe",
+                      extra_conf={"spark.ui.retainedStages": "20000"})
     spark.sparkContext.setLogLevel("ERROR")
 
     out: dict = {"sf": SF_DIR, "fuzzy": [], "memo": None,
@@ -128,8 +137,7 @@ def main() -> None:
         memo = bench.memo_leg(spark, amplify=args.memo)
         memo["wall_sec_total"] = round(time.time() - t0, 1)
         sw1 = _shuffle_write_bytes(spark)
-        memo["shuffle_write_bytes"] = (sw1 - sw0) \
-            if sw0 >= 0 and sw1 >= 0 else None
+        memo["shuffle_write_bytes"] = _delta(sw0, sw1)
         out["memo"] = memo
         print(f"# memo x{args.memo}: {memo}", file=sys.stderr)
 
