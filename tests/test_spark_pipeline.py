@@ -872,6 +872,41 @@ def test_contamination_flags_ngram_rule(spark):
     assert got == {1: True, 2: False, 3: False}
 
 
+def test_contamination_broadcast_guard_flips_without_value_change(spark):
+    """The r7 ADVICE fix: the eval-gram broadcast hint is applied only
+    under a MEASURED count bound. Above the bound the join degrades to
+    a non-broadcast plan (no executor/driver OOM hazard); the flags are
+    value-identical in both regimes, and the auto guard (None) picks
+    broadcast for a genuinely tiny eval set."""
+    from jsonld_streaming_parser_js_spark.operators import textstats as ts
+    words = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, f"prefix {words} suffix"),
+         (2, "totally different content " * 10)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(99, words)], "doc_id long, text string")
+
+    def flags(**kw):
+        return {r["doc_id"]: (r["n_hits"], r["contaminated"])
+                for r in ts.contamination_flags(docs, ev, n=13,
+                                                **kw).collect()}
+
+    assert flags(broadcast_eval=True) == flags(broadcast_eval=False) \
+        == flags(broadcast_eval=None) == {1: (8, True), 2: (0, False)}
+    # the guard really measures: a bound of 0 grams must force the
+    # non-broadcast path (monkeypatch-free check via the module constant)
+    orig = ts.BROADCAST_EVAL_MAX_GRAMS
+    try:
+        ts.BROADCAST_EVAL_MAX_GRAMS = 0
+        df = ts.contamination_flags(docs, ev, n=13, broadcast_eval=None)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ResolvedHint" not in plan
+        assert {r["doc_id"]: r["contaminated"] for r in df.collect()} \
+            == {1: True, 2: False}
+    finally:
+        ts.BROADCAST_EVAL_MAX_GRAMS = orig
+
+
 def test_pii_scan_signals(spark):
     from jsonld_streaming_parser_js_spark.operators import textstats
 
