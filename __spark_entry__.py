@@ -571,6 +571,39 @@ def _q_text_decontaminate(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_text_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition quality signals (new
+    r7): fraction of characters in the most frequent word 2-gram plus
+    the occurrence-weighted duplicated-5-gram character ratio — the
+    published repetition-removal rules for web-crawl corpora (PAPERS.md
+    training-data quality literature). One corpus scan, two
+    uniform-key shuffles (operators/textstats.repetition_signals); the
+    oracle recomputes the grams, the struct-max tie-break and both
+    ratios exactly in DuckDB."""
+    return (textstats.repetition_signals(
+        _docs(spark, sf_dir).select("doc_id", "text"))
+        .orderBy("doc_id"))
+
+
+def _q_kg_nquads_roundtrip(spark, sf_dir):
+    """N-Quads SOURCE round-trip (new r7): the full KG is serialized to
+    W3C N-Quads (the interchange sink) and parsed BACK into lexical
+    quad columns by operators/serialize.from_nquads — the ingestion
+    path for dumps this engine (or any RDF toolchain the reference
+    serves) writes. The oracle rebuilds the lines from the
+    expected-quads CTE and re-parses them with the SAME anchored regex
+    in DuckDB (RE2 vs java.util.regex), so the term-aware split —
+    literal objects containing spaces / '<' / bnode-like tails, IRI vs
+    bnode graph labels, default-graph omission — is value-checked
+    cross-engine on every statement."""
+    from jsonld_streaming_parser_js_spark.operators.serialize import (
+        from_nquads, to_nquads)
+    parsed = from_nquads(to_nquads(_quads(spark, sf_dir)))
+    return (parsed.select("url", "blk", "subj", "pred", "obj", "graph",
+                          "ok")
+            .orderBy("url", "blk", "subj", "pred", "obj", "graph"))
+
+
 def _q_kg_pagerank(spark, sf_dir):
     """PageRank over the KG's entity edges (5 fixed iterations,
     operators/graphalgo.py): the authority ranking a downstream
@@ -1075,9 +1108,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # kg_extract_blocks' full value check of the same extraction, and
     # the extracted_text operator keeps its pytest
     # (tests/test_spark_pipeline.py). Ordering stays changed-first as
-    # belt-and-braces.
+    # belt-and-braces. The two consolidation-freed slots hold the r7
+    # additions text_repetition + kg_nquads_roundtrip — registry is at
+    # exactly 50.
     return {
         # -- changed/merged this round (r7) --
+        "text_repetition": _q_text_repetition,
+        "kg_nquads_roundtrip": _q_kg_nquads_roundtrip,
         "kg_quads_memo": _q_kg_quads_memo,
         "kg_error_channels": _q_kg_error_channels,
         "kg_quads_by_predicate": _q_kg_quads_by_predicate,
@@ -1278,6 +1315,67 @@ SELECT chk.doc_id,
        CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
        COALESCE(n_hits, 0) > 0 AS contaminated
 FROM chk LEFT JOIN hits USING (doc_id) ORDER BY doc_id"""
+
+    # text_repetition: same tokenizer, same gram construction, same
+    # struct-max tie-break (field-lexicographic compare in BOTH
+    # engines → ties on cnt pick the lexicographically greatest gram),
+    # same occurrence-weighted dup-5-gram rule. BIGINT/BIGINT division
+    # is DOUBLE in both engines; round(x, 6) agrees (half-up vs
+    # half-away coincide for non-negative values).
+    oracles["text_repetition"] = """
+WITH t AS (
+  SELECT doc_id, length(text) AS text_len,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                i -> array_to_string(toks[i:i+1], ' '))) AS gram
+  FROM t
+  UNION ALL
+  SELECT doc_id, 5,
+         unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                i -> array_to_string(toks[i:i+4], ' ')))
+  FROM t
+),
+c AS (SELECT doc_id, n, gram, count(*) AS cnt
+      FROM g GROUP BY doc_id, n, gram),
+p AS (SELECT doc_id,
+             max(CASE WHEN n = 2
+                 THEN struct_pack(cnt := cnt, gram := gram) END) AS top2,
+             sum(CASE WHEN n = 5 AND cnt > 1
+                 THEN cnt * length(gram) END) AS dup5
+      FROM c GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_toks,
+       COALESCE(top2.gram, '') AS top_2gram,
+       round(COALESCE(top2.cnt * length(top2.gram), 0)
+             / greatest(text_len, 1), 6) AS top_2gram_frac,
+       round(COALESCE(dup5, 0) / greatest(text_len, 1), 6)
+         AS dup_5gram_ratio
+FROM t LEFT JOIN p USING (doc_id)
+ORDER BY doc_id"""
+
+    # kg_nquads_roundtrip: rebuild the exact N-Quads line (the
+    # kg_nquads oracle's concat) then re-parse it with the SAME
+    # anchored regex the Spark source uses — no single quotes in the
+    # pattern and DuckDB single-quoted strings pass backslashes through
+    # unprocessed, so the literal interpolates verbatim.
+    from jsonld_streaming_parser_js_spark.operators.serialize import (
+        NQUADS_STMT_RE)
+    _nq_line = ("subj || ' ' || pred || ' ' || obj ||"
+                " CASE WHEN graph <> '' THEN ' ' || graph ELSE '' END"
+                " || ' .'")
+    oracles["kg_nquads_roundtrip"] = _with_quads(f"""
+SELECT url, blk,
+       regexp_extract(line, '{NQUADS_STMT_RE}', 1) AS subj,
+       regexp_extract(line, '{NQUADS_STMT_RE}', 2) AS pred,
+       regexp_extract(line, '{NQUADS_STMT_RE}', 3) AS obj,
+       regexp_extract(line, '{NQUADS_STMT_RE}', 4) AS graph,
+       regexp_matches(line, '{NQUADS_STMT_RE}') AS ok
+FROM (SELECT url, blk, {_nq_line} AS line FROM q)
+ORDER BY url, blk, subj, pred, obj, graph""")
 
     from jsonld_streaming_parser_js_spark.operators.graphalgo import (
         pagerank_oracle_sql)

@@ -312,6 +312,80 @@ def contamination_flags(docs: DataFrame, eval_docs: DataFrame,
                     .alias("contaminated")))
 
 
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition quality signals (cf.
+    PAPERS.md training-data quality literature: fraction of characters
+    in the most frequent word 2-gram, fraction of characters in
+    duplicated word 5-grams — the published repetition-removal rules
+    for web-crawl corpora). Returns one row per document:
+
+    - ``n_toks``: token count (shared ``[a-z0-9]+`` tokenizer).
+    - ``top_2gram`` / ``top_2gram_frac``: the most frequent word
+      2-gram and ``count * length(gram) / length(text)``. Ties on
+      count pick the lexicographically GREATEST gram (struct-max
+      semantics, identical field-lexicographic compare in DuckDB).
+    - ``dup_5gram_ratio``: ``sum(count * length(gram)) / length(text)``
+      over 5-grams occurring more than once — the standard
+      occurrence-weighted approximation (overlapping spans counted per
+      occurrence, same rule both engines; a pathologically repetitive
+      document can exceed 1, which is exactly what the downstream
+      quality gate filters on).
+
+    Scale design: ONE scan feeds everything — a sentinel ``n = 0``
+    struct guarantees a row per document through the explode, so the
+    per-doc stats ride the aggregation instead of a second scan + join.
+    Two shuffles total, both on uniform keys ((doc_id, n, gram) then
+    doc_id); all expressions JVM-side. ``first(n_toks)`` under groupBy
+    is deterministic here — the carried columns are functionally
+    dependent on doc_id. The tokenizer runs once per doc (hoisted into
+    a column; Catalyst does not hoist invariants out of higher-order
+    lambdas — see _token_ngrams)."""
+    toked = docs.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        .alias("toks"))
+    base = toked.select("doc_id", "text_len",
+                        F.size("toks").alias("n_toks"), "toks")
+    # sequence(1, greatest(.., 1)) + size filter: sequence DESCENDS for
+    # an upper bound below the lower one, so short docs would otherwise
+    # emit bogus grams (same guard as _token_ngrams)
+    grams = base.select(
+        "doc_id", "n_toks", "text_len",
+        F.explode(F.expr(
+            "concat("
+            " array(named_struct('n', 0, 'gram', '')),"
+            " transform(filter(transform(sequence(1, greatest(size(toks) - 1, 1)),"
+            "   i -> slice(toks, i, 2)), a -> size(a) = 2),"
+            "   a -> named_struct('n', 2, 'gram', array_join(a, ' '))),"
+            " transform(filter(transform(sequence(1, greatest(size(toks) - 4, 1)),"
+            "   i -> slice(toks, i, 5)), a -> size(a) = 5),"
+            "   a -> named_struct('n', 5, 'gram', array_join(a, ' ')))"
+            ")")).alias("s"))
+    counts = (grams.groupBy("doc_id", F.col("s.n").alias("n"),
+                            F.col("s.gram").alias("gram"))
+              .agg(F.count("*").alias("cnt"),
+                   F.first("n_toks").alias("n_toks"),
+                   F.first("text_len").alias("text_len")))
+    per = (counts.groupBy("doc_id")
+           .agg(F.first("n_toks").alias("n_toks"),
+                F.first("text_len").alias("text_len"),
+                F.max(F.when(F.col("n") == 2, F.struct("cnt", "gram")))
+                .alias("top2"),
+                F.sum(F.when((F.col("n") == 5) & (F.col("cnt") > 1),
+                             F.col("cnt") * F.length("gram")))
+                .alias("dup5_chars")))
+    denom = F.greatest("text_len", F.lit(1))
+    return per.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.coalesce(F.col("top2.gram"), F.lit("")).alias("top_2gram"),
+        F.round(F.coalesce(F.col("top2.cnt") * F.length("top2.gram"),
+                           F.lit(0)) / denom, 6).alias("top_2gram_frac"),
+        F.round(F.coalesce(F.col("dup5_chars"), F.lit(0)) / denom, 6)
+        .alias("dup_5gram_ratio"))
+
+
 def pii_scan(docs: DataFrame) -> DataFrame:
     """PII / contamination pre-filter signals: per-document counts of
     email, phone-shaped, IPv4-shaped, and SSN-shaped substrings, plus a

@@ -872,6 +872,95 @@ def test_contamination_flags_ngram_rule(spark):
     assert got == {1: True, 2: False, 3: False}
 
 
+def test_nquads_roundtrip_adversarial(spark):
+    """from_nquads must invert to_nquads on the nastiest legal terms:
+    literals containing spaces, '<g>'-shaped text, ' .'-shaped tails and
+    bnode-like tails; datatyped/tagged literals; IRI and bnode graph
+    labels; default graph. Also checks the engine-parity claim directly:
+    DuckDB (RE2) extracts the SAME four groups from the same lines as
+    Spark (java.util.regex)."""
+    import duckdb
+
+    from jsonld_streaming_parser_js_spark.operators.serialize import (
+        NQUADS_STMT_RE, from_nquads, to_nquads)
+    rows = [
+        ("u", 0, "<s>", "<p>", "<o>", ""),
+        ("u", 0, "<s>", "<p>", "<o>", "<g>"),
+        ("u", 0, "<s>", "<p>", '"a b"', "_:g"),
+        ("u", 0, "<s>", "<p>", '"x _:b"', ""),
+        ("u", 0, "<s>", "<p>", '"trap <g> ."', ""),
+        ("u", 0, "<s>", "<p>", '"say \\"hi\\" now"', "<g>"),
+        ("u", 0, "<s>", "<p>", '"v"^^<http://t>', "<g>"),
+        ("u", 0, "<s>", "<p>", '"v"@en-US', ""),
+        ("u", 0, "_:b0", "<p>", "_:b1", "_:g2"),
+        ("u", 0, "<s>", "<p>", '"ends <g>"', ""),
+        ("u", 0, "<s>", "<p>", '"tail _:x"@en', ""),
+    ]
+    quads = spark.createDataFrame(
+        rows, "url string, blk int, subj string, pred string,"
+              " obj string, graph string")
+    lines = to_nquads(quads)
+    parsed = from_nquads(lines)
+    got = sorted(tuple(r) for r in
+                 parsed.select("subj", "pred", "obj", "graph").collect())
+    want = sorted((s, p, o, g) for _, _, s, p, o, g in rows)
+    assert got == want
+    assert all(r["ok"] for r in parsed.collect())
+    # cross-engine regex parity on the identical line strings
+    con = duckdb.connect()
+    for (line,) in ((r["line"],) for r in lines.collect()):
+        dd = con.execute(
+            "SELECT regexp_extract($l, $p, 1), regexp_extract($l, $p, 2),"
+            " regexp_extract($l, $p, 3), regexp_extract($l, $p, 4)",
+            {"l": line, "p": NQUADS_STMT_RE}).fetchone()
+        sp = [r for r in got if " ".join(
+            [r[0], r[1], r[2]] + ([r[3]] if r[3] else [])) + " ." == line]
+        assert sp and tuple(dd) == sp[0], (line, dd, sp)
+
+
+def test_from_nquads_error_channel(spark):
+    """Blank and comment lines are dropped (the grammar's only
+    non-statements); anything else malformed keeps its raw line with
+    ok=false instead of poisoning the parse."""
+    from jsonld_streaming_parser_js_spark.operators.serialize import (
+        from_nquads)
+    lines = spark.createDataFrame(
+        [("<s> <p> <o> .",), ("",), ("   ",), ("# comment",),
+         ("not a statement",), ("<s> <p> .",)],
+        "line string")
+    out = from_nquads(lines).select("line", "ok").collect()
+    flags = {r["line"].strip(): r["ok"] for r in out}
+    assert flags == {"<s> <p> <o> .": True, "not a statement": False,
+                     "<s> <p> .": False}
+
+
+def test_repetition_signals_hand_derived(spark):
+    """Exact hand-derived values: 'the cat sat on' x3 = 44 chars,
+    top 2-gram 'the cat' (count 3, ties broken to the lexicographically
+    greatest gram) -> 21/44; all four distinct 5-grams occur twice ->
+    (2*18*3 + 2*17)/44. Short and empty docs emit zero rows nowhere —
+    the sentinel guarantees one row per document."""
+    from jsonld_streaming_parser_js_spark.operators.textstats import (
+        repetition_signals)
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the cat sat on the cat sat on"),
+         (2, "all distinct words here now"),
+         (3, "one"),
+         (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           repetition_signals(docs).collect()}
+    assert got[1]["n_toks"] == 12
+    assert got[1]["top_2gram"] == "the cat"
+    assert got[1]["top_2gram_frac"] == round(21 / 44, 6)
+    assert got[1]["dup_5gram_ratio"] == round(142 / 44, 6)
+    assert got[2]["dup_5gram_ratio"] == 0.0
+    assert got[2]["top_2gram_frac"] > 0
+    assert got[3] == {"doc_id": 3, "n_toks": 1, "top_2gram": "",
+                      "top_2gram_frac": 0.0, "dup_5gram_ratio": 0.0}
+    assert got[4]["n_toks"] == 0 and len(got) == 4
+
+
 def test_contamination_broadcast_guard_flips_without_value_change(spark):
     """The r7 ADVICE fix: the eval-gram broadcast hint is applied only
     under a MEASURED count bound. Above the bound the join degrades to

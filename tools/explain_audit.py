@@ -346,6 +346,34 @@ def main() -> None:
           n_bnlj >= 1 and ok,
           f"BNLJ x{n_bnlj}, each with pmod(md5) filter in subtree={ok}")
 
+    # N-Quads round-trip: serialize + re-parse are narrow maps — the
+    # composed plan must add ZERO Exchanges over the bare quad pipeline
+    # (the regexp split never shuffles; ingestion of a 100 TB dump is a
+    # pure scan)
+    from jsonld_streaming_parser_js_spark.operators.serialize import (
+        from_nquads, to_nquads)
+    quads_df = e._quads(spark, sf)
+    p_base = plan_of(quads_df)
+    p_rt = plan_of(from_nquads(to_nquads(quads_df)))
+    check("nquads round-trip: parse adds zero Exchange over the quads",
+          p_rt.count("Exchange") == p_base.count("Exchange"),
+          f"Exchange x{p_rt.count('Exchange')} vs base "
+          f"x{p_base.count('Exchange')}")
+
+    # repetition signals: the sentinel-row design means ONE corpus scan
+    # and NO join anywhere — per-doc stats ride the aggregation instead
+    # of a second scan + join-back
+    from jsonld_streaming_parser_js_spark.operators.textstats import (
+        repetition_signals)
+    p = plan_of(repetition_signals(
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")))
+    check("repetition: one corpus scan, no join, two uniform shuffles",
+          p.count("FileScan") == 1 and "Join" not in p
+          and p.count("Exchange") == 2,
+          f"FileScan x{p.count('FileScan')}, joins "
+          f"x{p.count('Join')}, Exchange x{p.count('Exchange')}")
+
     with open(os.path.join(ROOT, "EXPLAIN.md"), "w") as f:
         f.write("# EXPLAIN audit — physical-plan invariants\n\n")
         f.write("Generated by `python tools/explain_audit.py`; re-run "

@@ -15,6 +15,30 @@ import time
 sys.path.insert(0, ".")
 
 
+def calibrate() -> float:
+    """Fixed pure-Python workload (dict/str/list mix approximating the
+    kernel's op profile) timed on the current core. This VM's wall clock
+    swings ±20% from CPU-frequency steal that load average cannot see;
+    printing the calibration next to the quads/s makes windows
+    comparable: normalized q/s = q/s × (CAL_REF / cal_now). CAL_REF is
+    the value recorded in BENCH.md alongside the window of record."""
+    t0 = time.perf_counter()
+    acc = 0
+    for _ in range(120):
+        d = {}
+        for i in range(4000):
+            k = "term%d" % (i % 97)
+            v = d.get(k)
+            d[k] = (v[0] + 1, k) if v else (1, k)
+            if i % 7 == 0:
+                s = "http://example.org/%s/%d" % (k, i)
+                acc += len(s.rsplit("/", 1)[1])
+        acc += sum(c for c, _ in d.values())
+    dt = time.perf_counter() - t0
+    assert acc == 735360, acc  # fixed workload, fixed answer
+    return 1.0 / dt
+
+
 def main() -> None:
     repeat = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     from pyspark.sql import SparkSession
@@ -55,9 +79,11 @@ def main() -> None:
         parse_block(block, url, blk, CONTEXTS)
     pr.disable()
     calls = pstats.Stats(pr).total_calls
+    cal = max(calibrate() for _ in range(3))
     print(f"{len(blocks)} blocks x{repeat}: "
           f"{best / 1000:.1f}k quads/s single-core; "
-          f"{calls} calls/corpus-pass (deterministic)")
+          f"{calls} calls/corpus-pass (deterministic); "
+          f"cal {cal:.2f} passes/s (window speed ref)")
 
 
 if __name__ == "__main__":
