@@ -19,19 +19,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-# Term-aware statement split. The object term is the only one that may
-# contain spaces (inside a quoted literal), so it is non-greedy and the
-# optional graph label is restricted to forms that CANNOT appear as a
-# literal tail: an IRI ref (no '>' inside) or an ASCII bnode label with
-# no '"' — a literal object ending in «... _:x" .» therefore cannot
-# donate a fake graph (the quote is outside the label charset and the
-# match backtracks to the full literal). Verified adversarially against
-# DuckDB's RE2 in tests/test_spark_pipeline.py so BOTH engines parse
-# identically (java.util.regex and RE2 agree on leftmost-first
-# captures for this pattern).
+# Term-validating statement split (W3C N-Quads grammar, r7 review
+# hardening). Each position admits only the term kinds the grammar
+# allows there — subject: IRI|bnode, predicate: IRI, object:
+# IRI|bnode|literal, graph: IRI|bnode — so non-RDF garbage
+# («foo bar baz .») and truncated literals («<s> <p> "x .») fail the
+# match (ok=false) instead of yielding poisoned terms. The literal
+# production consumes escape pairs ((?:[^"\\]|\\.)*), so a literal
+# object containing spaces, '<g>'-shaped text, ' .'-shaped tails or
+# bnode-like tails parses as ONE term and can never donate a fake
+# graph label. Whitespace follows the spec: tabs or multiple spaces
+# between terms, optional leading/trailing whitespace, and an optional
+# «# comment» after the terminating dot — so dumps from other RDF
+# toolchains ingest, not just this engine's canonical single-space
+# output. Bnode labels are the ASCII subset this engine emits. No
+# backtracking ambiguity (alternatives are first-char disjoint) and no
+# lookarounds, so java.util.regex and DuckDB's RE2 agree on every
+# capture — verified adversarially in tests/test_spark_pipeline.py.
+# No single quotes in the pattern (it interpolates into single-quoted
+# DuckDB SQL verbatim).
+_T_IRI = r"<[^>]*>"
+_T_BNODE = r"_:[A-Za-z0-9_.-]+"
+_T_LIT = (r'"(?:[^"\\]|\\.)*"'
+          r"(?:\^\^<[^>]*>|@[A-Za-z]+(?:-[A-Za-z0-9]+)*)?")
 NQUADS_STMT_RE = (
-    r"^(\S+) (\S+) (.*?)"
-    r"(?: (<[^>]*>|_:[A-Za-z0-9_.-]+))? \.$")
+    r"^[ \t]*(" + _T_IRI + "|" + _T_BNODE + r")[ \t]+"
+    r"(" + _T_IRI + r")[ \t]+"
+    r"(" + _T_IRI + "|" + _T_BNODE + "|" + _T_LIT + r")"
+    r"(?:[ \t]+(" + _T_IRI + "|" + _T_BNODE + r"))?"
+    r"[ \t]*\.[ \t]*(?:#.*)?$")
 
 
 def from_nquads(lines: DataFrame, line_col: str = "line") -> DataFrame:
@@ -44,9 +60,12 @@ def from_nquads(lines: DataFrame, line_col: str = "line") -> DataFrame:
     (escapes untouched in both directions).
 
     Blank lines and ``#`` comment lines (the N-Quads grammar's only
-    non-statements) are dropped; anything else that fails the grammar
-    keeps its raw line with ``ok = false`` — the same lenient error
-    channel shape as the JSON-LD parser's. Pure JVM regexp over a
+    non-statements) are dropped; anything else that fails the grammar —
+    including non-RDF garbage and truncated literals, each term position
+    is shape-validated — keeps its raw line with ``ok = false``, the
+    same lenient error channel shape as the JSON-LD parser's. External
+    dumps with spec-legal tab/multi-space separators or end-of-line
+    comments parse too (see NQUADS_STMT_RE). Pure JVM regexp over a
     narrow map: no shuffle, no Python, linear at any scale.
 
     Reference anchor: the reference's test suite round-trips expected

@@ -916,22 +916,64 @@ def test_nquads_roundtrip_adversarial(spark):
         sp = [r for r in got if " ".join(
             [r[0], r[1], r[2]] + ([r[3]] if r[3] else [])) + " ." == line]
         assert sp and tuple(dd) == sp[0], (line, dd, sp)
+    # parity also on NON-canonical lines (external whitespace/comment
+    # forms and garbage): RE2 and java.util.regex must agree on both
+    # the match verdict and every capture
+    extern = ["<s>\t<p>\t<o>\t.", "  <s>  <p>  <o> <g> .  ",
+              "<s> <p> <o> . # provenance", "foo bar baz .",
+              '<s> <p> "unterminated .', '<s> <p> "x" extra .',
+              '<s> <p> "trap \\" <g> ."@en .']
+    sp_rows = {r["line"]: r for r in from_nquads(
+        spark.createDataFrame([(l,) for l in extern], "line string"))
+        .collect()}
+    for line in extern:
+        ok_dd, *dd = con.execute(
+            "SELECT regexp_matches($l, $p),"
+            " regexp_extract($l, $p, 1), regexp_extract($l, $p, 2),"
+            " regexp_extract($l, $p, 3), regexp_extract($l, $p, 4)",
+            {"l": line.strip(), "p": NQUADS_STMT_RE}).fetchone()
+        r = sp_rows[line]
+        assert (ok_dd, tuple(dd)) == (
+            r["ok"], (r["subj"], r["pred"], r["obj"], r["graph"])), line
 
 
 def test_from_nquads_error_channel(spark):
     """Blank and comment lines are dropped (the grammar's only
     non-statements); anything else malformed keeps its raw line with
-    ok=false instead of poisoning the parse."""
+    ok=false instead of poisoning the parse. r7 review hardening: each
+    term position is shape-validated, so non-RDF garbage and truncated
+    literals are rejected, while spec-legal external forms (tabs,
+    multi-space, end-of-line comments) are accepted."""
     from jsonld_streaming_parser_js_spark.operators.serialize import (
         from_nquads)
     lines = spark.createDataFrame(
         [("<s> <p> <o> .",), ("",), ("   ",), ("# comment",),
-         ("not a statement",), ("<s> <p> .",)],
+         ("not a statement",), ("<s> <p> .",),
+         # garbage that the old shape-agnostic regex let through
+         ("foo bar baz .",), ('<s> <p> "unterminated .',),
+         ('<s> <p> "x" extra .',), ("<s> \"notiri\" <o> .",),
+         # spec-legal external dump forms (other toolchains emit these)
+         ("<s>\t<p>\t<o>\t.",), ("  <s>  <p>  <o> <g> .  ",),
+         ("<s> <p> <o> . # provenance comment",),
+         ('<s> <p> "a b"@en-US . # trailing',)],
         "line string")
     out = from_nquads(lines).select("line", "ok").collect()
     flags = {r["line"].strip(): r["ok"] for r in out}
-    assert flags == {"<s> <p> <o> .": True, "not a statement": False,
-                     "<s> <p> .": False}
+    assert flags == {
+        "<s> <p> <o> .": True, "not a statement": False,
+        "<s> <p> .": False, "foo bar baz .": False,
+        '<s> <p> "unterminated .': False, '<s> <p> "x" extra .': False,
+        "<s> \"notiri\" <o> .": False,
+        "<s>\t<p>\t<o>\t.": True, "<s>  <p>  <o> <g> .": True,
+        "<s> <p> <o> . # provenance comment": True,
+        '<s> <p> "a b"@en-US . # trailing': True}
+    by_line = {r["line"].strip(): r for r in
+               from_nquads(lines).collect()}
+    tabbed = by_line["<s>\t<p>\t<o>\t."]
+    assert (tabbed["subj"], tabbed["pred"], tabbed["obj"],
+            tabbed["graph"]) == ("<s>", "<p>", "<o>", "")
+    commented = by_line['<s> <p> "a b"@en-US . # trailing']
+    assert (commented["obj"], commented["graph"]) == ('"a b"@en-US', "")
 
 
 def test_repetition_signals_hand_derived(spark):
@@ -982,18 +1024,39 @@ def test_contamination_broadcast_guard_flips_without_value_change(spark):
 
     assert flags(broadcast_eval=True) == flags(broadcast_eval=False) \
         == flags(broadcast_eval=None) == {1: (8, True), 2: (0, False)}
-    # the guard really measures: a bound of 0 grams must force the
-    # non-broadcast path (monkeypatch-free check via the module constant)
+    # The guard really measures — witnessed at the PLAN level. With
+    # auto-broadcast disabled on BOTH paths (static + adaptive), the
+    # only possible source of a BroadcastHashJoin is the explicit hint
+    # the guard controls, so the join strategy itself must flip with
+    # the bound (a vacuous string check on 'ResolvedHint' — a
+    # logical-plan-only node that never appears in physical plans —
+    # passed even with the guard deleted; r7 review).
+    conf = spark.conf
+    # adaptive.autoBroadcastJoinThreshold has no explicit value by
+    # default (it defers to the static threshold) -> save None and
+    # restore via unset
+    saved = {k: conf.get(k, None) for k in
+             ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.autoBroadcastJoinThreshold")}
     orig = ts.BROADCAST_EVAL_MAX_GRAMS
     try:
-        ts.BROADCAST_EVAL_MAX_GRAMS = 0
-        df = ts.contamination_flags(docs, ev, n=13, broadcast_eval=None)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "ResolvedHint" not in plan
-        assert {r["doc_id"]: r["contaminated"] for r in df.collect()} \
-            == {1: True, 2: False}
+        for k in saved:
+            conf.set(k, "-1")
+
+        def join_plan(bound):
+            ts.BROADCAST_EVAL_MAX_GRAMS = bound
+            df = ts.contamination_flags(docs, ev, n=13,
+                                        broadcast_eval=None)
+            assert {r["doc_id"]: r["contaminated"]
+                    for r in df.collect()} == {1: True, 2: False}
+            return df._jdf.queryExecution().sparkPlan().toString()
+
+        assert "BroadcastHashJoin" in join_plan(orig)
+        assert "BroadcastHashJoin" not in join_plan(0)
     finally:
         ts.BROADCAST_EVAL_MAX_GRAMS = orig
+        for k, v in saved.items():
+            conf.set(k, v) if v is not None else conf.unset(k)
 
 
 def test_pii_scan_signals(spark):
