@@ -110,11 +110,68 @@ def fuzzy_leg(spark, amplify: int) -> dict:
             "shuffle_write_bytes": _delta(sw0, sw1)}
 
 
+def decon_leg(spark, eval_amplify: int) -> dict:
+    """Decontamination at a GROWN eval set (r7 ADVICE follow-up): the
+    broadcast guard in contamination_flags exists for the eval set that
+    did not stay tiny; this leg measures both sides of the bound.
+    Replica r token-renames the eval text (every token gets a 'q<r>'
+    suffix, one JVM regexp pass) so the DISTINCT gram count grows
+    linearly — the worst case for the broadcast (no overlap collapses
+    it). Records which join strategy the guard picked (from the
+    physical plan: the only possible BroadcastHashJoin source here is
+    the guarded hint when auto-broadcast is off), wall, and shuffle
+    delta — evidence that past the bound the operator degrades to a
+    bounded shuffle join instead of an executor/driver OOM."""
+    from pyspark.sql import functions as F
+
+    from jsonld_streaming_parser_js_spark.operators import textstats as ts
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text"))
+    base = docs.where(F.pmod("doc_id", F.lit(41)) == 0)
+    ev = (base.withColumn("rep", F.explode(
+              F.sequence(F.lit(0), F.lit(eval_amplify - 1))))
+          .select((F.col("doc_id") * eval_amplify + F.col("rep"))
+                  .alias("doc_id"),
+                  F.when(F.col("rep") == 0, F.col("text"))
+                  .otherwise(F.regexp_replace(
+                      "text", F.lit("([a-z0-9]+)"),
+                      F.concat(F.lit("$1q"), F.col("rep"))))
+                  .alias("text")))
+    n_eval_grams = (ts._token_ngrams(ev, 13).select("g").distinct()
+                    .count())
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    sw0 = _shuffle_write_bytes(spark)
+    t0 = time.time()
+    try:
+        for k in keys:  # hint-only broadcasts: the guard IS the chooser
+            spark.conf.set(k, "-1")
+        flags = ts.contamination_flags(docs, ev, n=13,
+                                       broadcast_eval=None)
+        n_contaminated = flags.where("contaminated").count()
+        plan = flags._jdf.queryExecution().sparkPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    wall = time.time() - t0
+    sw1 = _shuffle_write_bytes(spark)
+    return {"eval_amplify": eval_amplify,
+            "n_eval_grams": n_eval_grams,
+            "guard_bound": ts.BROADCAST_EVAL_MAX_GRAMS,
+            "broadcast_chosen": "BroadcastHashJoin" in plan,
+            "n_contaminated": n_contaminated,
+            "wall_sec": round(wall, 1),
+            "shuffle_write_bytes": _delta(sw0, sw1)}
+
+
 def main() -> None:
     import argparse
     p = argparse.ArgumentParser()
     p.add_argument("--fuzzy", default="1,30,100")
     p.add_argument("--memo", type=int, default=1000)
+    p.add_argument("--decon", default="",
+                   help="comma-separated eval_amplify values, e.g. 40,500")
     args = p.parse_args()
 
     from jsonld_streaming_parser_js_spark.sources.session import get_spark
@@ -124,12 +181,17 @@ def main() -> None:
                       extra_conf={"spark.ui.retainedStages": "20000"})
     spark.sparkContext.setLogLevel("ERROR")
 
-    out: dict = {"sf": SF_DIR, "fuzzy": [], "memo": None,
+    out: dict = {"sf": SF_DIR, "fuzzy": [], "memo": None, "decon": [],
                  "load_avg_1m": round(os.getloadavg()[0], 2)}
     for amp in [int(a) for a in args.fuzzy.split(",") if a]:
         leg = fuzzy_leg(spark, amp)
         out["fuzzy"].append(leg)
         print(f"# fuzzy x{amp}: {leg}", file=sys.stderr)
+
+    for amp in [int(a) for a in args.decon.split(",") if a]:
+        leg = decon_leg(spark, amp)
+        out["decon"].append(leg)
+        print(f"# decon x{amp}: {leg}", file=sys.stderr)
 
     if args.memo:
         sw0 = _shuffle_write_bytes(spark)
