@@ -28,26 +28,36 @@ from pyspark.sql import functions as F
 # production consumes escape pairs ((?:[^"\\]|\\.)*), so a literal
 # object containing spaces, '<g>'-shaped text, ' .'-shaped tails or
 # bnode-like tails parses as ONE term and can never donate a fake
-# graph label. Whitespace follows the spec: tabs or multiple spaces
-# between terms, optional leading/trailing whitespace, and an optional
-# «# comment» after the terminating dot — so dumps from other RDF
-# toolchains ingest, not just this engine's canonical single-space
-# output. Bnode labels are the ASCII subset this engine emits. No
-# backtracking ambiguity (alternatives are first-char disjoint) and no
-# lookarounds, so java.util.regex and DuckDB's RE2 agree on every
-# capture — verified adversarially in tests/test_spark_pipeline.py.
-# No single quotes in the pattern (it interpolates into single-quoted
-# DuckDB SQL verbatim).
+# graph label. Whitespace: tabs or multiple spaces between terms,
+# optional leading/trailing whitespace, an optional «# comment» after
+# the terminating dot, and an optional trailing \r (CRLF dumps split
+# on '\n') — so dumps from other RDF toolchains ingest, not just this
+# engine's canonical single-space output. Deliberate limit: SEPARATORS
+# ARE REQUIRED ([ \t]+). The W3C grammar allows zero whitespace where
+# tokens self-delimit («<s><p><o>.»), but optional separators next to
+# a bnode label make the split ambiguous under backtracking and no
+# mainstream serializer emits the zero-space form — requiring them is
+# what keeps the two regex engines provably aligned; such lines land
+# in the error channel. Bnode labels are the ASCII subset this engine
+# emits. No backtracking ambiguity (alternatives are first-char
+# disjoint), no lookarounds, and \z (not $ — java.util.regex lets $
+# match BEFORE a final \r, RE2 does not) so java.util.regex and
+# DuckDB's RE2 agree on every capture — verified adversarially in
+# tests/test_spark_pipeline.py. No single quotes in the pattern (it
+# interpolates into single-quoted DuckDB SQL verbatim).
 _T_IRI = r"<[^>]*>"
 _T_BNODE = r"_:[A-Za-z0-9_.-]+"
-_T_LIT = (r'"(?:[^"\\]|\\.)*"'
+# escape pairs are \\[^\r], not \\. — java.util.regex's '.' excludes
+# \r (a line terminator there) while RE2's '.' matches it, so '.'
+# after a backslash would be the one spot the engines could disagree
+_T_LIT = (r'"(?:[^"\\]|\\[^\r])*"'
           r"(?:\^\^<[^>]*>|@[A-Za-z]+(?:-[A-Za-z0-9]+)*)?")
 NQUADS_STMT_RE = (
     r"^[ \t]*(" + _T_IRI + "|" + _T_BNODE + r")[ \t]+"
     r"(" + _T_IRI + r")[ \t]+"
     r"(" + _T_IRI + "|" + _T_BNODE + "|" + _T_LIT + r")"
     r"(?:[ \t]+(" + _T_IRI + "|" + _T_BNODE + r"))?"
-    r"[ \t]*\.[ \t]*(?:#.*)?$")
+    r"[ \t]*\.[ \t]*(?:#[^\r]*)?\r?\z")
 
 
 def from_nquads(lines: DataFrame, line_col: str = "line") -> DataFrame:
@@ -73,8 +83,11 @@ def from_nquads(lines: DataFrame, line_col: str = "line") -> DataFrame:
     this operator is the matching parse direction. Bnode labels are
     restricted to the ASCII subset this engine emits (see
     NQUADS_STMT_RE comment)."""
-    s = F.trim(F.col(line_col))
-    kept = lines.where((s != "") & ~s.startswith("#"))
+    s = F.col(line_col)
+    # blank = whitespace-only (space/tab/CR — r7 review: F.trim strips
+    # only 0x20, so tab-blank and tab-indented comment lines previously
+    # leaked into the error channel); comment = first non-blank is '#'
+    kept = lines.where(~s.rlike(r"^[ \t\r]*\z") & ~s.rlike(r"^[ \t]*#"))
     return kept.select(
         "*",
         F.regexp_extract(s, NQUADS_STMT_RE, 1).alias("subj"),

@@ -12,6 +12,8 @@ eval-gram set for its join).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -272,6 +274,27 @@ def _token_ngrams(docs: DataFrame, n: int) -> DataFrame:
 # relation per executor — comfortably inside a default 1 GB broadcast
 # budget, far above any real benchmark suite's gram count
 BROADCAST_EVAL_MAX_GRAMS = 2_000_000
+
+
+@contextmanager
+def hint_only_broadcasts(spark: SparkSession):
+    """Disable BOTH auto-broadcast paths (static + adaptive) so the only
+    possible BroadcastHashJoin source is an explicit hint — turns a
+    physical-plan string into a direct read of a guarded-hint decision
+    (the witness shape the broadcast-guard pytest and the scale probe's
+    decon leg share). The adaptive key has no explicit value by default
+    (it defers to the static one), so it saves as None and restores via
+    unset."""
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        yield
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
 
 
 def contamination_flags(docs: DataFrame, eval_docs: DataFrame,

@@ -922,7 +922,11 @@ def test_nquads_roundtrip_adversarial(spark):
     extern = ["<s>\t<p>\t<o>\t.", "  <s>  <p>  <o> <g> .  ",
               "<s> <p> <o> . # provenance", "foo bar baz .",
               '<s> <p> "unterminated .', '<s> <p> "x" extra .',
-              '<s> <p> "trap \\" <g> ."@en .']
+              '<s> <p> "trap \\" <g> ."@en .',
+              # the \z-vs-$ engine divergence the r7 review caught:
+              # java.util.regex lets $ match BEFORE a final \r, RE2
+              # does not — \z makes both accept the CR line identically
+              "<s> <p> <cr> .\r", "<s> <p> <o> . # c\r", "<s><p><o>."]
     sp_rows = {r["line"]: r for r in from_nquads(
         spark.createDataFrame([(l,) for l in extern], "line string"))
         .collect()}
@@ -931,7 +935,7 @@ def test_nquads_roundtrip_adversarial(spark):
             "SELECT regexp_matches($l, $p),"
             " regexp_extract($l, $p, 1), regexp_extract($l, $p, 2),"
             " regexp_extract($l, $p, 3), regexp_extract($l, $p, 4)",
-            {"l": line.strip(), "p": NQUADS_STMT_RE}).fetchone()
+            {"l": line, "p": NQUADS_STMT_RE}).fetchone()
         r = sp_rows[line]
         assert (ok_dd, tuple(dd)) == (
             r["ok"], (r["subj"], r["pred"], r["obj"], r["graph"])), line
@@ -955,9 +959,15 @@ def test_from_nquads_error_channel(spark):
          # spec-legal external dump forms (other toolchains emit these)
          ("<s>\t<p>\t<o>\t.",), ("  <s>  <p>  <o> <g> .  ",),
          ("<s> <p> <o> . # provenance comment",),
-         ('<s> <p> "a b"@en-US . # trailing',)],
+         ('<s> <p> "a b"@en-US . # trailing',),
+         # CRLF dump split on '\n' leaves a trailing \r; tab-blank and
+         # tab-indented comment lines are still non-statements
+         ("<s> <p> <cr> .\r",), ("\t",), ("\t# tab-indented comment",),
+         # documented limit: zero-space self-delimiting form is NOT
+         # ingested (separators required for provable engine parity)
+         ("<s><p><o>.",)],
         "line string")
-    out = from_nquads(lines).select("line", "ok").collect()
+    out = from_nquads(lines).collect()
     flags = {r["line"].strip(): r["ok"] for r in out}
     assert flags == {
         "<s> <p> <o> .": True, "not a statement": False,
@@ -966,9 +976,9 @@ def test_from_nquads_error_channel(spark):
         "<s> \"notiri\" <o> .": False,
         "<s>\t<p>\t<o>\t.": True, "<s>  <p>  <o> <g> .": True,
         "<s> <p> <o> . # provenance comment": True,
-        '<s> <p> "a b"@en-US . # trailing': True}
-    by_line = {r["line"].strip(): r for r in
-               from_nquads(lines).collect()}
+        '<s> <p> "a b"@en-US . # trailing': True,
+        "<s> <p> <cr> .": True, "<s><p><o>.": False}
+    by_line = {r["line"].strip(): r for r in out}
     tabbed = by_line["<s>\t<p>\t<o>\t."]
     assert (tabbed["subj"], tabbed["pred"], tabbed["obj"],
             tabbed["graph"]) == ("<s>", "<p>", "<o>", "")
@@ -1031,32 +1041,22 @@ def test_contamination_broadcast_guard_flips_without_value_change(spark):
     # the bound (a vacuous string check on 'ResolvedHint' — a
     # logical-plan-only node that never appears in physical plans —
     # passed even with the guard deleted; r7 review).
-    conf = spark.conf
-    # adaptive.autoBroadcastJoinThreshold has no explicit value by
-    # default (it defers to the static threshold) -> save None and
-    # restore via unset
-    saved = {k: conf.get(k, None) for k in
-             ("spark.sql.autoBroadcastJoinThreshold",
-              "spark.sql.adaptive.autoBroadcastJoinThreshold")}
     orig = ts.BROADCAST_EVAL_MAX_GRAMS
     try:
-        for k in saved:
-            conf.set(k, "-1")
+        with ts.hint_only_broadcasts(spark):
 
-        def join_plan(bound):
-            ts.BROADCAST_EVAL_MAX_GRAMS = bound
-            df = ts.contamination_flags(docs, ev, n=13,
-                                        broadcast_eval=None)
-            assert {r["doc_id"]: r["contaminated"]
-                    for r in df.collect()} == {1: True, 2: False}
-            return df._jdf.queryExecution().sparkPlan().toString()
+            def join_plan(bound):
+                ts.BROADCAST_EVAL_MAX_GRAMS = bound
+                df = ts.contamination_flags(docs, ev, n=13,
+                                            broadcast_eval=None)
+                assert {r["doc_id"]: r["contaminated"]
+                        for r in df.collect()} == {1: True, 2: False}
+                return df._jdf.queryExecution().sparkPlan().toString()
 
-        assert "BroadcastHashJoin" in join_plan(orig)
-        assert "BroadcastHashJoin" not in join_plan(0)
+            assert "BroadcastHashJoin" in join_plan(orig)
+            assert "BroadcastHashJoin" not in join_plan(0)
     finally:
         ts.BROADCAST_EVAL_MAX_GRAMS = orig
-        for k, v in saved.items():
-            conf.set(k, v) if v is not None else conf.unset(k)
 
 
 def test_pii_scan_signals(spark):

@@ -139,21 +139,13 @@ def decon_leg(spark, eval_amplify: int) -> dict:
                   .alias("text")))
     n_eval_grams = (ts._token_ngrams(ev, 13).select("g").distinct()
                     .count())
-    keys = ("spark.sql.autoBroadcastJoinThreshold",
-            "spark.sql.adaptive.autoBroadcastJoinThreshold")
-    saved = {k: spark.conf.get(k, None) for k in keys}
     sw0 = _shuffle_write_bytes(spark)
     t0 = time.time()
-    try:
-        for k in keys:  # hint-only broadcasts: the guard IS the chooser
-            spark.conf.set(k, "-1")
+    with ts.hint_only_broadcasts(spark):
         flags = ts.contamination_flags(docs, ev, n=13,
                                        broadcast_eval=None)
         n_contaminated = flags.where("contaminated").count()
         plan = flags._jdf.queryExecution().sparkPlan().toString()
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
     wall = time.time() - t0
     sw1 = _shuffle_write_bytes(spark)
     return {"eval_amplify": eval_amplify,
