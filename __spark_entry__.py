@@ -970,27 +970,39 @@ def _q_events_sessionize(spark, sf_dir):
 
 
 def _q_streaming_sessionize(spark, sf_dir):
-    """The STREAMING twin of events_sessionize: a real file-source
-    Structured Streaming job (4 ordered micro-batches + sentinel flush,
-    applyInPandasWithState session state straddling batch boundaries),
-    value-hash-checked against the same DuckDB oracle as the batch twin."""
+    """The STREAMING twin of events_sessionize, run under BOTH tail-flush
+    mechanisms and discriminated by a ``flush`` column: ``sentinel``
+    (O(users) end-of-input sentinel rows close open sessions) and
+    ``timeout`` (GroupStateTimeout.EventTimeTimeout — idle sessions are
+    evicted by the watermark via the state store's timeout machinery, the
+    unbounded-stream production pattern; stream end needs only ONE O(1)
+    watermark-advancer row). Each is a real file-source Structured
+    Streaming job (4 ordered micro-batches, applyInPandasWithState state
+    straddling batch boundaries) and each half must value-hash-match the
+    same DuckDB sessionization oracle as the batch twin."""
     import shutil
     import tempfile
     from jsonld_streaming_parser_js_spark.streaming.stateful import (
         streaming_sessionize)
-    work = tempfile.mkdtemp(prefix="stream-sess-")
-    try:
-        out = streaming_sessionize(spark, f"{sf_dir}/events.parquet", work)
-        # fully materialize BEFORE the temp inputs/outputs are deleted —
-        # a cache() can be evicted and would recompute from removed files.
-        # Driver-side collect is safe here: the session table is one row
-        # per (user, session), orders of magnitude smaller than events
-        # (9.5k rows at sf=0.01), and this query is the bounded-input
-        # streaming ORACLE lane, not the production path.
-        rows = out.orderBy("user_id", "session_seq").collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    halves = []
+    for mode in ("sentinel", "timeout"):
+        work = tempfile.mkdtemp(prefix=f"stream-sess-{mode}-")
+        try:
+            out = streaming_sessionize(
+                spark, f"{sf_dir}/events.parquet", work, flush=mode)
+            # fully materialize BEFORE the temp inputs/outputs are
+            # deleted — a cache() can be evicted and would recompute from
+            # removed files. Driver-side collect is safe here: the
+            # session table is one row per (user, session), orders of
+            # magnitude smaller than events (9.5k rows at sf=0.01), and
+            # this query is the bounded-input streaming ORACLE lane, not
+            # the production path.
+            out = out.withColumn("flush", F.lit(mode))
+            rows = out.orderBy("user_id", "session_seq").collect()
+            halves.append(spark.createDataFrame(rows, out.schema))
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    return halves[0].unionByName(halves[1])
 
 
 def _q_streaming_kg_quads(spark, sf_dir):
@@ -1110,11 +1122,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_spark_pipeline.py). Ordering stays changed-first as
     # belt-and-braces. The two consolidation-freed slots hold the r7
     # additions text_repetition + kg_nquads_roundtrip — registry is at
-    # exactly 50.
+    # exactly 50. streaming_sessionize is REDEFINED in r7: it now runs
+    # both tail-flush mechanisms (sentinel + EventTimeTimeout eviction)
+    # under a flush discriminator column.
     return {
         # -- changed/merged this round (r7) --
         "text_repetition": _q_text_repetition,
         "kg_nquads_roundtrip": _q_kg_nquads_roundtrip,
+        "streaming_sessionize": _q_streaming_sessionize,
         "kg_quads_memo": _q_kg_quads_memo,
         "kg_error_channels": _q_kg_error_channels,
         "kg_quads_by_predicate": _q_kg_quads_by_predicate,
@@ -1162,7 +1177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_orders": _q_window_top_orders,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
-        "streaming_sessionize": _q_streaming_sessionize,
         "streaming_kg_quads": _q_streaming_kg_quads,
     }
 
@@ -2393,7 +2407,13 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        round(sum(value), 2) AS sum_value
 FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""
 
-    oracles["streaming_sessionize"] = oracles["events_sessionize"]
+    # both flush mechanisms must reproduce the batch session table; the
+    # lane unions them under a flush discriminator (hash compare is
+    # order-insensitive, so UNION ALL of the twin halves is safe)
+    oracles["streaming_sessionize"] = f"""
+SELECT 'sentinel' AS flush, t.* FROM ({oracles['events_sessionize']}) t
+UNION ALL
+SELECT 'timeout' AS flush, t.* FROM ({oracles['events_sessionize']}) t"""
     # the streaming KG lane must produce byte-identical quads to batch
     oracles["streaming_kg_quads"] = oracles["kg_quads"]
 

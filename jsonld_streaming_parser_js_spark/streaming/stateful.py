@@ -88,6 +88,10 @@ SESSION_GAP_S = 1800
 # a sentinel row (event_id = -1) closes the user's open session at
 # end-of-input — the bounded-input analog of a state timeout
 _SENTINEL_EVENT = -1
+# flush='timeout' watermark-advancer pseudo-user; its open session is
+# never emitted (filtered from the result) and is the one state row a
+# bounded run leaves behind
+_ADVANCER_USER = -1
 
 
 def _sess_update(key, pdfs: Iterator[pd.DataFrame],
@@ -122,27 +126,94 @@ def _sess_update(key, pdfs: Iterator[pd.DataFrame],
     yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA])
 
 
+def _sess_update_timeout(key, pdfs: Iterator[pd.DataFrame],
+                         state: GroupState) -> Iterator[pd.DataFrame]:
+    """Session update with EVENT-TIME TIMEOUT eviction — the unbounded-
+    stream form of ``_sess_update``. No sentinel rows exist: a user's
+    open tail session is evicted by the state store when the watermark
+    passes ``last_event + gap`` (the group is then invoked with
+    ``state.hasTimedOut`` and an empty batch). This is the production
+    pattern for an endless crawl stream — state size stays O(open
+    sessions) regardless of stream length, and eviction needs no
+    end-of-input knowledge.
+    """
+    cols = [f.name for f in SESSION_SCHEMA]
+    if state.hasTimedOut:
+        last_epoch, seq, start, n, sv = state.get
+        state.remove()
+        yield pd.DataFrame([(key[0], seq, n, start, sv)], columns=cols)
+        return
+    if state.exists:
+        last_epoch, seq, start, n, sv = state.get
+    else:
+        last_epoch, seq, start, n, sv = None, 0, None, 0, 0.0
+    closed: list[tuple] = []
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["epoch", "event_id"])
+    for epoch, event_id, start_str, value in zip(
+            rows["epoch"].tolist(), rows["event_id"].tolist(),
+            rows["start_str"].tolist(), rows["value"].tolist()):
+        if last_epoch is None or epoch - last_epoch > SESSION_GAP_S:
+            if n:
+                closed.append((key[0], seq, n, start, sv))
+            seq += 1
+            start, n, sv = start_str, 0, 0.0
+        last_epoch = epoch
+        n += 1
+        sv += float(value)
+    # a group invoked with data always ends with an open session (n >= 1)
+    state.update((int(last_epoch), int(seq), start, int(n), float(sv)))
+    # evict once the watermark proves no event can extend this session.
+    # last_epoch >= this batch's min event time > watermark (slices are
+    # ordered + delay 0), so the +gap timestamp is always legal to set.
+    state.setTimeoutTimestamp((int(last_epoch) + SESSION_GAP_S + 1) * 1000)
+    yield pd.DataFrame(closed, columns=cols)
+
+
 def streaming_sessionize(spark, events_path: str, work_dir: str,
-                         n_slices: int = 4) -> "DataFrame":
+                         n_slices: int = 4, flush: str = "sentinel"
+                         ) -> "DataFrame":
     """Run the stateful sessionization as a REAL file-source streaming job
     over bounded input, returning the final session table.
 
     Input is sliced into ``n_slices`` disjoint, increasing epoch ranges —
     one file per slice with increasing mtimes, so the file source
     (maxFilesPerTrigger=1) feeds them as ordered micro-batches and sessions
-    genuinely straddle batch boundaries through the state store. A final
-    sentinel file flushes every user's open session. The epoch/start-string
-    precompute runs JVM-side so no timestamp ever crosses into Python
-    (timezone-proof; matches the batch twin's NTZ epoch math).
+    genuinely straddle batch boundaries through the state store. The
+    epoch/start-string precompute runs JVM-side so no timestamp ever
+    crosses into Python (timezone-proof; matches the batch twin's NTZ
+    epoch math).
+
+    ``flush`` picks how open tail sessions are finalized:
+
+    - ``'sentinel'``: a final file carries one sentinel row PER USER
+      (O(users) rows); the update fn closes the session on seeing it.
+      Simple, but only expressible on bounded input.
+    - ``'timeout'``: the production pattern for an UNBOUNDED stream —
+      ``GroupStateTimeout.EventTimeTimeout`` + a watermark on event time.
+      A session's timeout fires once the watermark passes
+      ``last_event + gap``, so idle sessions are evicted by the state
+      store itself with no end-of-input knowledge. Stream-end flush needs
+      only ONE O(1) watermark-advancer row (a synthetic user whose own
+      never-emitted session is the single state row left behind),
+      vs O(users) sentinels — at web scale the sentinel set would itself
+      be a corpus-sized shuffle.
+
+    Both modes are value-hash-checked against the same DuckDB oracle.
     """
     import os
 
+    if flush not in ("sentinel", "timeout"):
+        raise ValueError(f"unknown flush mode: {flush!r}")
     ev = spark.read.parquet(events_path)
     epoch = F.expr(
         "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    # wts: event time for the watermark, rebuilt from the NTZ epoch so
+    # watermark arithmetic (epoch-based internally) is timezone-proof
     base = ev.select("user_id", "event_id", epoch.alias("epoch"),
                      F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
-                     .alias("start_str"), "value")
+                     .alias("start_str"), "value",
+                     F.timestamp_seconds(epoch).alias("wts"))
     lo, hi = base.agg(F.min("epoch"), F.max("epoch")).first()
     if lo is None:
         return spark.createDataFrame([], SESSION_SCHEMA)
@@ -150,27 +221,48 @@ def streaming_sessionize(spark, events_path: str, work_dir: str,
 
     step = max((hi - lo) // n_slices + 1, 1)
     in_dir = os.path.join(work_dir, "input")
-    sentinels = (base.select("user_id").distinct()
-                 .select("user_id",
-                         F.lit(_SENTINEL_EVENT).cast("long")
-                         .alias("event_id"),
-                         F.lit(int(hi + SESSION_GAP_S + 1))
-                         .alias("epoch"),
-                         F.lit("").alias("start_str"),
-                         F.lit(0.0).alias("value")))
+    flush_epoch = F.lit(int(hi + SESSION_GAP_S + 2)).cast("long")
+    if flush == "sentinel":
+        tail = (base.select("user_id").distinct()
+                .select("user_id",
+                        F.lit(_SENTINEL_EVENT).cast("long")
+                        .alias("event_id"),
+                        flush_epoch.alias("epoch"),
+                        F.lit("").alias("start_str"),
+                        F.lit(0.0).alias("value"),
+                        F.timestamp_seconds(flush_epoch).alias("wts")))
+    else:
+        # one advancer row pushes the watermark past every real
+        # session's last_event + gap; the final no-data micro-batch then
+        # fires all pending event-time timeouts
+        tail = spark.range(1).select(
+            F.lit(_ADVANCER_USER).cast("long").alias("user_id"),
+            F.lit(0).cast("long").alias("event_id"),
+            flush_epoch.alias("epoch"),
+            F.lit("").alias("start_str"),
+            F.lit(0.0).alias("value"),
+            F.timestamp_seconds(flush_epoch).alias("wts"))
     write_ordered_slices(
         [base.where((F.col("epoch") >= lo + i * step)
                     & (F.col("epoch") < lo + (i + 1) * step))
-         for i in range(n_slices)] + [sentinels],
+         for i in range(n_slices)] + [tail],
         work_dir, in_dir)
 
     stream = (spark.readStream.schema(base.schema)
               .option("maxFilesPerTrigger", 1)
               .parquet(in_dir))
-    sessions = stream.groupBy("user_id").applyInPandasWithState(
-        _sess_update, SESSION_SCHEMA, _SESS_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout)
+    if flush == "sentinel":
+        sessions = stream.groupBy("user_id").applyInPandasWithState(
+            _sess_update, SESSION_SCHEMA, _SESS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    else:
+        sessions = (stream.withWatermark("wts", "0 seconds")
+                    .groupBy("user_id").applyInPandasWithState(
+                        _sess_update_timeout, SESSION_SCHEMA,
+                        _SESS_STATE_SCHEMA,
+                        outputMode="update",
+                        timeoutConf=GroupStateTimeout.EventTimeTimeout))
     out_dir = os.path.join(work_dir, "out")
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
@@ -185,5 +277,21 @@ def streaming_sessionize(spark, events_path: str, work_dir: str,
     # round in Spark SQL (HALF_UP), matching the batch twin's F.round and
     # the DuckDB oracle — Python round() is half-to-even and diverges at
     # .xx5 tie sums
-    return (spark.read.parquet(out_dir)
-            .withColumn("sum_value", F.round("sum_value", 2)))
+    out = (spark.read.parquet(out_dir)
+           .withColumn("sum_value", F.round("sum_value", 2)))
+    if flush == "timeout":
+        from pyspark.sql import Window
+
+        # A mid-stream timeout removes the group's state, so the in-stream
+        # seq counter restarts when an idle user returns — sessions are
+        # therefore identified by (user_id, session_start), the natural
+        # key on an unbounded stream, and the bounded harness assigns
+        # session_seq from start order (unique per user: sessions are
+        # disjoint time ranges). The advancer's session can never emit
+        # (its timeout exceeds the final watermark) — the filter is
+        # belt-and-braces.
+        w = Window.partitionBy("user_id").orderBy("session_start")
+        out = (out.where(F.col("user_id") != _ADVANCER_USER)
+               .withColumn("session_seq",
+                           F.row_number().over(w).cast("long")))
+    return out

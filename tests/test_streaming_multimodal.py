@@ -247,6 +247,99 @@ def test_stateful_running_site_totals(spark):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def test_sessionize_timeout_evicts_midstream_and_at_watermark_end(spark):
+    """EventTimeTimeout eviction fires in BOTH regimes: mid-stream (an
+    idle user's open session is evicted by a later batch's watermark
+    without that group receiving any data) and at stream end (the final
+    no-data micro-batch fires every pending timeout once the O(1)
+    advancer row pushes the watermark past last_event + gap). Batch ids
+    are captured per emission so each claim is asserted, not assumed."""
+    import os
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from jsonld_streaming_parser_js_spark.streaming import stateful
+    from jsonld_streaming_parser_js_spark.streaming.filesource import (
+        write_ordered_slices)
+
+    work = tempfile.mkdtemp(prefix="sess-timeout-")
+    try:
+        def mk(rows):
+            df = spark.createDataFrame(
+                rows, "user_id long, event_id long, epoch long, "
+                      "start_str string, value double")
+            return df.withColumn("wts", F.timestamp_seconds("epoch"))
+
+        # slice 0: user 1's whole session + user 2's first event
+        f0 = mk([(1, 1, 1000, "s1000", 1.0), (1, 2, 1060, "s1060", 1.0),
+                 (2, 3, 2000, "s2000", 1.0)])
+        # slice 1: user 2 returns after > gap (closes s2000 via gap logic)
+        f1 = mk([(2, 4, 10000, "s10000", 1.0)])
+        # slice 2: user 2 continues (gap 1000 <= 1800, same session).
+        # While this batch runs, the watermark (10000 from slice 1)
+        # exceeds user 1's timeout (1060 + 1801) -> mid-stream eviction.
+        f2 = mk([(2, 5, 11000, "s11000", 1.0)])
+        # advancer: ONE row, watermark -> 20000 > 11000 + 1801
+        adv = mk([(stateful._ADVANCER_USER, 0, 20000, "", 0.0)])
+        in_dir = os.path.join(work, "input")
+        write_ordered_slices([f0, f1, f2, adv], work, in_dir)
+
+        stream = (spark.readStream.schema(f0.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        sessions = (stream.withWatermark("wts", "0 seconds")
+                    .groupBy("user_id").applyInPandasWithState(
+                        stateful._sess_update_timeout,
+                        stateful.SESSION_SCHEMA,
+                        stateful._SESS_STATE_SCHEMA,
+                        outputMode="update",
+                        timeoutConf=GroupStateTimeout.EventTimeTimeout))
+        got: list[tuple] = []
+
+        def cap(bdf, bid):
+            for r in bdf.collect():
+                got.append((int(bid), r.user_id, r.session_start,
+                            r.n_events, r.sum_value))
+
+        q = (sessions.writeStream.foreachBatch(cap)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .trigger(availableNow=True).outputMode("update").start())
+        q.awaitTermination(180)
+
+        assert {t[1:] for t in got} == {
+            (1, "s1000", 2, 2.0), (2, "s2000", 1, 1.0),
+            (2, "s10000", 2, 2.0)}
+        emit_batch = {(u, s): b for (b, u, s, _n, _v) in got}
+        adv_batch = 3  # maxFilesPerTrigger=1: batches 0..3 are the files
+        # mid-stream: user 1 evicted while only user 2's data flowed
+        assert emit_batch[(1, "s1000")] < adv_batch
+        # gap-close still happens in the data path, not via timeout
+        assert emit_batch[(2, "s2000")] < adv_batch
+        # stream end: final open session evicted AFTER the advancer file,
+        # in the no-data micro-batch — no per-user sentinel anywhere
+        assert emit_batch[(2, "s10000")] > adv_batch
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_sessionize_flush_modes_agree_on_fixture(spark):
+    """flush='timeout' (EventTimeTimeout eviction) and flush='sentinel'
+    produce the identical session table on the events fixture."""
+    from jsonld_streaming_parser_js_spark.streaming.stateful import (
+        streaming_sessionize)
+
+    outs = {}
+    for mode in ("sentinel", "timeout"):
+        work = tempfile.mkdtemp(prefix=f"sess-{mode}-")
+        try:
+            out = streaming_sessionize(
+                spark, f"{SF}/events.parquet", work, flush=mode)
+            outs[mode] = sorted(map(tuple, out.collect()))
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    assert len(outs["sentinel"]) > 0
+    assert outs["sentinel"] == outs["timeout"]
+
+
 # --- real codecs: WAV (RIFF/PCM) + PPM (P6) ----------------------------------
 
 def test_wav_roundtrip_exact_stats():
