@@ -94,31 +94,41 @@ _SENTINEL_EVENT = -1
 _ADVANCER_USER = -1
 
 
-def _sess_update(key, pdfs: Iterator[pd.DataFrame],
-                 state: GroupState) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        last_epoch, seq, start, n, sv = state.get
-    else:
-        last_epoch, seq, start, n, sv = None, 0, None, 0, 0.0
+def _fold_sessions(key0, pdfs: Iterator[pd.DataFrame], st: tuple,
+                   handle_sentinel: bool) -> tuple[list[tuple], tuple]:
+    """Shared gap-fold over one group's batch rows: closes sessions on a
+    > SESSION_GAP_S gap, accumulates (n, sum) on the open one. The ONLY
+    semantic divergence between the two flush modes is the sentinel
+    branch, gated by ``handle_sentinel`` — both update fns call this so
+    gap/tie-break/accumulation logic cannot drift between them."""
+    last_epoch, seq, start, n, sv = st
     closed: list[tuple] = []
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows.sort_values(["epoch", "event_id"])
     for epoch, event_id, start_str, value in zip(
             rows["epoch"].tolist(), rows["event_id"].tolist(),
             rows["start_str"].tolist(), rows["value"].tolist()):
-        if event_id == _SENTINEL_EVENT:
+        if handle_sentinel and event_id == _SENTINEL_EVENT:
             if n:
-                closed.append((key[0], seq, n, start, sv))
+                closed.append((key0, seq, n, start, sv))
             last_epoch, start, n, sv = None, None, 0, 0.0
             continue
         if last_epoch is None or epoch - last_epoch > SESSION_GAP_S:
             if n:
-                closed.append((key[0], seq, n, start, sv))
+                closed.append((key0, seq, n, start, sv))
             seq += 1
             start, n, sv = start_str, 0, 0.0
         last_epoch = epoch
         n += 1
         sv += float(value)
+    return closed, (last_epoch, seq, start, n, sv)
+
+
+def _sess_update(key, pdfs: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    st = state.get if state.exists else (None, 0, None, 0, 0.0)
+    closed, (last_epoch, seq, start, n, sv) = _fold_sessions(
+        key[0], pdfs, st, handle_sentinel=True)
     if n:
         state.update((int(last_epoch), int(seq), start, int(n), float(sv)))
     else:
@@ -143,24 +153,9 @@ def _sess_update_timeout(key, pdfs: Iterator[pd.DataFrame],
         state.remove()
         yield pd.DataFrame([(key[0], seq, n, start, sv)], columns=cols)
         return
-    if state.exists:
-        last_epoch, seq, start, n, sv = state.get
-    else:
-        last_epoch, seq, start, n, sv = None, 0, None, 0, 0.0
-    closed: list[tuple] = []
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    rows = rows.sort_values(["epoch", "event_id"])
-    for epoch, event_id, start_str, value in zip(
-            rows["epoch"].tolist(), rows["event_id"].tolist(),
-            rows["start_str"].tolist(), rows["value"].tolist()):
-        if last_epoch is None or epoch - last_epoch > SESSION_GAP_S:
-            if n:
-                closed.append((key[0], seq, n, start, sv))
-            seq += 1
-            start, n, sv = start_str, 0, 0.0
-        last_epoch = epoch
-        n += 1
-        sv += float(value)
+    st = state.get if state.exists else (None, 0, None, 0, 0.0)
+    closed, (last_epoch, seq, start, n, sv) = _fold_sessions(
+        key[0], pdfs, st, handle_sentinel=False)
     # a group invoked with data always ends with an open session (n >= 1)
     state.update((int(last_epoch), int(seq), start, int(n), float(sv)))
     # evict once the watermark proves no event can extend this session.
@@ -214,9 +209,18 @@ def streaming_sessionize(spark, events_path: str, work_dir: str,
                      F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
                      .alias("start_str"), "value",
                      F.timestamp_seconds(epoch).alias("wts"))
-    lo, hi = base.agg(F.min("epoch"), F.max("epoch")).first()
+    lo, hi, advancer_clash = base.agg(
+        F.min("epoch"), F.max("epoch"),
+        F.max(F.when(F.col("user_id") == _ADVANCER_USER, 1)
+              .otherwise(0))).first()
     if lo is None:
         return spark.createDataFrame([], SESSION_SCHEMA)
+    if flush == "timeout" and advancer_clash:
+        # a real user_id equal to the advancer's would have its sessions
+        # silently dropped by the result filter — fail loudly instead
+        raise ValueError(
+            f"events contain user_id == {_ADVANCER_USER}, which collides "
+            "with the watermark-advancer pseudo-user of flush='timeout'")
     from .filesource import write_ordered_slices
 
     step = max((hi - lo) // n_slices + 1, 1)

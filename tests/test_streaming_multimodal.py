@@ -305,6 +305,9 @@ def test_sessionize_timeout_evicts_midstream_and_at_watermark_end(spark):
              .trigger(availableNow=True).outputMode("update").start())
         q.awaitTermination(180)
 
+        # exactly-once: len check catches double emission the set- and
+        # dict-based assertions below would silently dedup away
+        assert len(got) == 3
         assert {t[1:] for t in got} == {
             (1, "s1000", 2, 2.0), (2, "s2000", 1, 1.0),
             (2, "s10000", 2, 2.0)}
