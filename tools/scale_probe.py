@@ -21,6 +21,7 @@ Prints one JSON line; BENCH.md quotes it.
 
 from __future__ import annotations
 
+import importlib.util
 import json
 import os
 import sys
@@ -157,6 +158,50 @@ def decon_leg(spark, eval_amplify: int) -> dict:
             "shuffle_write_bytes": _delta(sw0, sw1)}
 
 
+def pagerank_leg(spark, amplify: int) -> dict:
+    """PageRank at an amplified graph (probe rotation, r7): the real KG
+    edge list is replicated with a per-replica node-suffix rename, so
+    every replica is a disjoint copy of the real topology — node and
+    edge counts grow linearly while degree distribution and diameter
+    stay exactly the crawl's. 5 fixed iterations as in the lane; the
+    scale claim under test is wall ~ O(edges) per iteration (each
+    iteration is one equi-join + one groupBy on uniform node ids)."""
+    from pyspark.sql import functions as F
+
+    from jsonld_streaming_parser_js_spark.operators import graphalgo
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__spark_entry__.py"))
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    q = entry._quads(spark, SF_DIR)
+    base = (q.where(~F.col("obj").startswith('"'))
+            .select(F.col("subj").alias("src"),
+                    F.col("obj").alias("dst"))
+            # parse once; the probe times the GRAPH algorithm, not the
+            # kernel (the parse path has its own headline bench)
+            .localCheckpoint())
+    edges = (base.withColumn("rep", F.explode(
+                 F.sequence(F.lit(0), F.lit(amplify - 1))))
+             .select(F.concat("src", F.lit("#r"),
+                              F.col("rep").cast("string")).alias("src"),
+                     F.concat("dst", F.lit("#r"),
+                              F.col("rep").cast("string")).alias("dst")))
+    sw0 = _shuffle_write_bytes(spark)
+    t0 = time.time()
+    pr = graphalgo.pagerank(edges, iterations=5)
+    n_nodes = pr.count()
+    wall = time.time() - t0
+    sw1 = _shuffle_write_bytes(spark)
+    return {"amplify": amplify,
+            "n_edges": base.count() * amplify,
+            "n_nodes": n_nodes,
+            "iterations": 5,
+            "wall_sec": round(wall, 1),
+            "shuffle_write_bytes": _delta(sw0, sw1)}
+
+
 def main() -> None:
     import argparse
     p = argparse.ArgumentParser()
@@ -164,6 +209,8 @@ def main() -> None:
     p.add_argument("--memo", type=int, default=1000)
     p.add_argument("--decon", default="",
                    help="comma-separated eval_amplify values, e.g. 40,500")
+    p.add_argument("--pagerank", default="",
+                   help="comma-separated amplify values, e.g. 1,10,50")
     args = p.parse_args()
 
     from jsonld_streaming_parser_js_spark.sources.session import get_spark
@@ -174,6 +221,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     out: dict = {"sf": SF_DIR, "fuzzy": [], "memo": None, "decon": [],
+                 "pagerank": [],
                  "load_avg_1m": round(os.getloadavg()[0], 2)}
     for amp in [int(a) for a in args.fuzzy.split(",") if a]:
         leg = fuzzy_leg(spark, amp)
@@ -184,6 +232,11 @@ def main() -> None:
         leg = decon_leg(spark, amp)
         out["decon"].append(leg)
         print(f"# decon x{amp}: {leg}", file=sys.stderr)
+
+    for amp in [int(a) for a in args.pagerank.split(",") if a]:
+        leg = pagerank_leg(spark, amp)
+        out["pagerank"].append(leg)
+        print(f"# pagerank x{amp}: {leg}", file=sys.stderr)
 
     if args.memo:
         sw0 = _shuffle_write_bytes(spark)
