@@ -943,9 +943,26 @@ def _q_window_top_orders(spark, sf_dir):
 
 
 def _q_events_sessionize(spark, sf_dir):
-    """Per-user sessionization (30-min inactivity gap): the batch twin of
-    the stateful-streaming session operator — lag + gap-flag + running sum
-    assigns session ids, then per-session aggregates."""
+    """Per-user sessionization (30-min inactivity gap) by TWO methods
+    under a ``method`` discriminator, each half hash-checked against the
+    same oracle:
+
+    - ``lag``: lag + gap-flag + running sum assigns session ids, then
+      per-session aggregates — two window passes over one sort.
+    - ``native``: Spark's built-in ``session_window`` gap aggregation —
+      ONE shuffle and JVM-side session assignment inside the aggregate
+      (no window sort pass), the plan of choice at 100 TB and the same
+      operator the streaming engine uses for watermarked session aggs.
+
+    Semantics pinned to the oracle's whole-second gap > 1800: the native
+    half truncates ts to seconds (every fixture event has sub-second
+    precision, so this is load-bearing) and uses the 1800 s gap —
+    ``session_window`` merges at diff <= gap (measured on this cluster:
+    a 1801 s whole-second pair merges under gap 1801, i.e. the window
+    end is inclusive), so gap 1800 on truncated seconds == "same session
+    iff whole-second diff <= 1800" exactly. session_seq is row_number
+    over session start (sessions are disjoint time ranges, so start
+    order is the lag twin's id order)."""
     from pyspark.sql import Window
     ev = _tbl(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -961,12 +978,28 @@ def _q_events_sessionize(spark, sf_dir):
             .withColumn("session_seq",
                         F.sum("new_sess").over(
                             w.rowsBetween(Window.unboundedPreceding, 0))))
-    return (sess.groupBy("user_id", "session_seq")
-            .agg(F.count("*").alias("n_events"),
-                 F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
-                 .alias("session_start"),
-                 F.round(F.sum("value"), 2).alias("sum_value"))
-            .orderBy("user_id", "session_seq"))
+    lag_half = (sess.groupBy("user_id", "session_seq")
+                .agg(F.count("*").alias("n_events"),
+                     F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+                     .alias("session_start"),
+                     F.round(F.sum("value"), 2).alias("sum_value"))
+                .withColumn("method", F.lit("lag")))
+    tss = F.date_trunc("second", "ts")
+    sw = Window.partitionBy("user_id").orderBy(F.col("sw.start"))
+    native_half = (
+        ev.select("user_id", tss.alias("tss"), "value")
+        .groupBy("user_id",
+                 F.session_window("tss", "1800 seconds").alias("sw"))
+        .agg(F.count("*").alias("n_events"),
+             F.date_format(F.min("tss"), "yyyy-MM-dd HH:mm:ss")
+             .alias("session_start"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("user_id",
+                F.row_number().over(sw).cast("long").alias("session_seq"),
+                "n_events", "session_start", "sum_value",
+                F.lit("native").alias("method")))
+    return (lag_half.unionByName(native_half)
+            .orderBy("method", "user_id", "session_seq"))
 
 
 def _q_streaming_sessionize(spark, sf_dir):
@@ -2385,7 +2418,10 @@ WHERE round(({dot_ab}) / greatest(({norm.format(side='a')})
       * ({norm.format(side='b')}), 1e-12), 6) >= 0.4
 ) ORDER BY method, id_a, id_b"""
 
-    oracles["events_sessionize"] = """
+    # shared session CTE: the single definition of the 30-min-gap
+    # semantics that the batch lane (both methods), the streaming lane
+    # (both flush mechanisms) and their Spark twins all reproduce
+    sessionize_cte = """
 WITH g AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -2407,13 +2443,19 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        round(sum(value), 2) AS sum_value
 FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""
 
-    # both flush mechanisms must reproduce the batch session table; the
-    # lane unions them under a flush discriminator (hash compare is
+    # the batch lane computes the table twice (lag windows vs native
+    # session_window); each half must match the one CTE (hash compare is
     # order-insensitive, so UNION ALL of the twin halves is safe)
-    oracles["streaming_sessionize"] = f"""
-SELECT 'sentinel' AS flush, t.* FROM ({oracles['events_sessionize']}) t
+    oracles["events_sessionize"] = f"""
+SELECT 'lag' AS method, t.* FROM ({sessionize_cte}) t
 UNION ALL
-SELECT 'timeout' AS flush, t.* FROM ({oracles['events_sessionize']}) t"""
+SELECT 'native' AS method, t.* FROM ({sessionize_cte}) t"""
+
+    # both streaming flush mechanisms must reproduce the same table
+    oracles["streaming_sessionize"] = f"""
+SELECT 'sentinel' AS flush, t.* FROM ({sessionize_cte}) t
+UNION ALL
+SELECT 'timeout' AS flush, t.* FROM ({sessionize_cte}) t"""
     # the streaming KG lane must produce byte-identical quads to batch
     oracles["streaming_kg_quads"] = oracles["kg_quads"]
 

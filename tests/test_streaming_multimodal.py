@@ -324,6 +324,26 @@ def test_sessionize_timeout_evicts_midstream_and_at_watermark_end(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_session_window_gap_boundary_semantics(spark):
+    """Pins the native session_window merge rule the events_sessionize
+    lane depends on: Spark merges at whole-second diff == gap (inclusive
+    window end), so gap 1800 reproduces the oracle's 'new session iff
+    diff > 1800' exactly. A Spark upgrade flipping the boundary to
+    exclusive would fail here loudly instead of as a one-row lane-hash
+    mismatch (which is how the wrong 1801 s gap first surfaced)."""
+    df = (spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00"),
+             (2, "2024-01-01 00:00:00"), (2, "2024-01-01 00:30:01")],
+            "user_id long, t string")
+          .select("user_id", F.to_timestamp("t").alias("tss")))
+    n = (df.groupBy("user_id",
+                    F.session_window("tss", "1800 seconds").alias("sw"))
+         .count().groupBy("user_id")
+         .agg(F.count("*").alias("n_sessions")))
+    got = {r.user_id: r.n_sessions for r in n.collect()}
+    assert got == {1: 1, 2: 2}  # diff 1800 merges, diff 1801 splits
+
+
 def test_sessionize_flush_modes_agree_on_fixture(spark):
     """flush='timeout' (EventTimeTimeout eviction) and flush='sentinel'
     produce the identical session table on the events fixture."""

@@ -374,6 +374,24 @@ def main() -> None:
           f"FileScan x{p.count('FileScan')}, joins "
           f"x{p.count('Join')}, Exchange x{p.count('Exchange')}")
 
+    # native session_window half of events_sessionize: session assignment
+    # happens INSIDE the aggregate (partial agg -> one Exchange ->
+    # MergingSessions), no lag/running-sum Window pass — the one-shuffle
+    # plan the 100 TB sessionization should run
+    from pyspark.sql import functions as F
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    p = plan_of(
+        ev.select("user_id", F.date_trunc("second", "ts").alias("tss"),
+                  "value")
+        .groupBy("user_id",
+                 F.session_window("tss", "1800 seconds").alias("sw"))
+        .agg(F.count("*").alias("n_events")))
+    check("sessionize native: MergingSessions agg, one Exchange, no Window",
+          "MergingSessions" in p and p.count("Exchange") == 1
+          and "\nWindow" not in p and "+- Window" not in p,
+          f"MergingSessions x{p.count('MergingSessions')}, Exchange "
+          f"x{p.count('Exchange')}, window-op x{p.count('+- Window')}")
+
     with open(os.path.join(ROOT, "EXPLAIN.md"), "w") as f:
         f.write("# EXPLAIN audit — physical-plan invariants\n\n")
         f.write("Generated by `python tools/explain_audit.py`; re-run "
