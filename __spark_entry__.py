@@ -984,9 +984,22 @@ def _q_events_sessionize(spark, sf_dir):
                      .alias("session_start"),
                      F.round(F.sum("value"), 2).alias("sum_value"))
                 .withColumn("method", F.lit("lag")))
+    native_half = _sessionize_native(ev).withColumn(
+        "method", F.lit("native"))
+    return (lag_half.unionByName(native_half)
+            .orderBy("method", "user_id", "session_seq"))
+
+
+def _sessionize_native(ev):
+    """The session_window half of events_sessionize, factored out so the
+    EXPLAIN audit plans the SHIPPED query (tools/explain_audit.py), not a
+    stand-in. The seq-assignment Window runs over the already-collapsed
+    session table (one row per session), so its extra shuffle moves
+    sessions, not events."""
+    from pyspark.sql import Window
     tss = F.date_trunc("second", "ts")
     sw = Window.partitionBy("user_id").orderBy(F.col("sw.start"))
-    native_half = (
+    return (
         ev.select("user_id", tss.alias("tss"), "value")
         .groupBy("user_id",
                  F.session_window("tss", "1800 seconds").alias("sw"))
@@ -996,10 +1009,7 @@ def _q_events_sessionize(spark, sf_dir):
              F.round(F.sum("value"), 2).alias("sum_value"))
         .select("user_id",
                 F.row_number().over(sw).cast("long").alias("session_seq"),
-                "n_events", "session_start", "sum_value",
-                F.lit("native").alias("method")))
-    return (lag_half.unionByName(native_half)
-            .orderBy("method", "user_id", "session_seq"))
+                "n_events", "session_start", "sum_value"))
 
 
 def _q_streaming_sessionize(spark, sf_dir):

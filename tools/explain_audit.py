@@ -374,23 +374,22 @@ def main() -> None:
           f"FileScan x{p.count('FileScan')}, joins "
           f"x{p.count('Join')}, Exchange x{p.count('Exchange')}")
 
-    # native session_window half of events_sessionize: session assignment
-    # happens INSIDE the aggregate (partial agg -> one Exchange ->
-    # MergingSessions), no lag/running-sum Window pass — the one-shuffle
-    # plan the 100 TB sessionization should run
-    from pyspark.sql import functions as F
+    # native session_window half of events_sessionize (the SHIPPED
+    # query, via the factored helper): session assignment happens INSIDE
+    # the aggregate (partial agg -> Exchange -> MergingSessions), no
+    # lag/running-sum pass over events. The session agg shuffles on
+    # user_id ALONE (all of a user's events must colocate to merge), so
+    # the seq-assignment Window's required distribution is already
+    # satisfied and the WHOLE query runs on ONE Exchange — one shuffle
+    # end-to-end vs the lag twin's sort-window passes
     ev = spark.read.parquet(f"{sf}/events.parquet")
-    p = plan_of(
-        ev.select("user_id", F.date_trunc("second", "ts").alias("tss"),
-                  "value")
-        .groupBy("user_id",
-                 F.session_window("tss", "1800 seconds").alias("sw"))
-        .agg(F.count("*").alias("n_events")))
-    check("sessionize native: MergingSessions agg, one Exchange, no Window",
+    p = plan_of(e._sessionize_native(ev))
+    check("sessionize native: MergingSessions agg, ONE Exchange end-to-end",
           "MergingSessions" in p and p.count("Exchange") == 1
-          and "\nWindow" not in p and "+- Window" not in p,
+          and p.count("Window") == 1 and "lag(" not in p,
           f"MergingSessions x{p.count('MergingSessions')}, Exchange "
-          f"x{p.count('Exchange')}, window-op x{p.count('+- Window')}")
+          f"x{p.count('Exchange')}, Window x{p.count('Window')}, "
+          f"lag x{p.count('lag(')}")
 
     with open(os.path.join(ROOT, "EXPLAIN.md"), "w") as f:
         f.write("# EXPLAIN audit — physical-plan invariants\n\n")

@@ -21,7 +21,6 @@ Prints one JSON line; BENCH.md quotes it.
 
 from __future__ import annotations
 
-import importlib.util
 import json
 import os
 import sys
@@ -158,7 +157,25 @@ def decon_leg(spark, eval_amplify: int) -> dict:
             "shuffle_write_bytes": _delta(sw0, sw1)}
 
 
-def pagerank_leg(spark, amplify: int) -> dict:
+def pagerank_base_edges(spark):
+    """The real KG edge list, parsed ONCE and deduped to the simple
+    directed pairs pagerank actually iterates (graphalgo dedupes
+    internally; counting pre-dedup rows would overstate B/edge).
+    localCheckpoint'd so every probe leg amplifies the same
+    materialization instead of re-running the parse."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+
+    q = entry._quads(spark, SF_DIR)
+    return (q.where(~F.col("obj").startswith('"'))
+            .select(F.col("subj").alias("src"),
+                    F.col("obj").alias("dst"))
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint())
+
+
+def pagerank_leg(spark, amplify: int, base) -> dict:
     """PageRank at an amplified graph (probe rotation, r7): the real KG
     edge list is replicated with a per-replica node-suffix rename, so
     every replica is a disjoint copy of the real topology — node and
@@ -170,18 +187,6 @@ def pagerank_leg(spark, amplify: int) -> dict:
 
     from jsonld_streaming_parser_js_spark.operators import graphalgo
 
-    spec = importlib.util.spec_from_file_location(
-        "entry", os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "__spark_entry__.py"))
-    entry = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(entry)
-    q = entry._quads(spark, SF_DIR)
-    base = (q.where(~F.col("obj").startswith('"'))
-            .select(F.col("subj").alias("src"),
-                    F.col("obj").alias("dst"))
-            # parse once; the probe times the GRAPH algorithm, not the
-            # kernel (the parse path has its own headline bench)
-            .localCheckpoint())
     edges = (base.withColumn("rep", F.explode(
                  F.sequence(F.lit(0), F.lit(amplify - 1))))
              .select(F.concat("src", F.lit("#r"),
@@ -233,10 +238,14 @@ def main() -> None:
         out["decon"].append(leg)
         print(f"# decon x{amp}: {leg}", file=sys.stderr)
 
-    for amp in [int(a) for a in args.pagerank.split(",") if a]:
-        leg = pagerank_leg(spark, amp)
-        out["pagerank"].append(leg)
-        print(f"# pagerank x{amp}: {leg}", file=sys.stderr)
+    pr_amps = [int(a) for a in args.pagerank.split(",") if a]
+    if pr_amps:
+        pr_base = pagerank_base_edges(spark)
+        for amp in pr_amps:
+            leg = pagerank_leg(spark, amp, pr_base)
+            out["pagerank"].append(leg)
+            print(f"# pagerank x{amp}: {leg}", file=sys.stderr)
+        pr_base.unpersist()
 
     if args.memo:
         sw0 = _shuffle_write_bytes(spark)
