@@ -657,6 +657,9 @@ NEGATIVE_CASES = [
     ("invalid set or list object",
      {"@id": "http://e/s",
       "http://e/p": {"@list": ["x"], "@id": "http://e/o"}}),
+    ("invalid set or list object",  # r7 probe: @annotation beside @list
+     {"@id": "http://e/s",
+      "http://e/p": {"@list": [1, 2], "@annotation": {"http://e/q": "v"}}}),
     ("keyword redefinition",
      {"@context": {"@id": "http://e/x"}, "http://e/p": "v"}),
     ("cyclic IRI mapping",

@@ -344,6 +344,73 @@ def test_session_window_gap_boundary_semantics(spark):
     assert got == {1: 1, 2: 2}  # diff 1800 merges, diff 1801 splits
 
 
+def test_streaming_native_session_window_matches_batch(spark):
+    """The fully JVM-native streaming sessionization: session_window +
+    watermark in APPEND mode — no Python state, no applyInPandasWithState;
+    the streaming engine merges sessions in the state store and emits
+    each exactly once when the watermark passes its close. One O(1)
+    advancer row flushes the tail (same pattern as flush='timeout').
+    Must equal the batch session_window aggregation on the same events."""
+    import os
+
+    from jsonld_streaming_parser_js_spark.streaming.filesource import (
+        write_ordered_slices)
+
+    work = tempfile.mkdtemp(prefix="sess-native-stream-")
+    try:
+        ev = (spark.read.parquet(f"{SF}/events.parquet")
+              .select("user_id", F.date_trunc("second", "ts").alias("tss"),
+                      "value"))
+        bounds = ev.agg(F.min("tss").cast("long"),
+                        F.max("tss").cast("long")).first()
+        lo_s, hi_s = int(bounds[0]), int(bounds[1])
+        step = max((hi_s - lo_s) // 4 + 1, 1)
+        epoch = F.col("tss").cast("long")
+        adv = spark.range(1).select(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.timestamp_seconds(F.lit(hi_s + 1802)).alias("tss"),
+            F.lit(0.0).alias("value"))
+        write_ordered_slices(
+            [ev.where((epoch >= lo_s + i * step)
+                      & (epoch < lo_s + (i + 1) * step)) for i in range(4)]
+            + [adv],
+            work, os.path.join(work, "input"))
+
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(work, "input")))
+        agg = (stream.withWatermark("tss", "0 seconds")
+               .groupBy("user_id",
+                        F.session_window("tss", "1800 seconds").alias("sw"))
+               .agg(F.count("*").alias("n_events"),
+                    F.round(F.sum("value"), 2).alias("sum_value"))
+               .select("user_id", F.col("sw.start").alias("start"),
+                       "n_events", "sum_value"))
+        out_dir = os.path.join(work, "out")
+        q = (agg.writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .trigger(availableNow=True).outputMode("append").start())
+        q.awaitTermination(300)
+
+        got = sorted(map(tuple,
+                         spark.read.parquet(out_dir)
+                         .where("user_id >= 0").collect()))
+        want = sorted(map(tuple,
+                          ev.groupBy("user_id",
+                                     F.session_window("tss", "1800 seconds")
+                                     .alias("sw"))
+                          .agg(F.count("*").alias("n_events"),
+                               F.round(F.sum("value"), 2).alias("sum_value"))
+                          .select("user_id",
+                                  F.col("sw.start").alias("start"),
+                                  "n_events", "sum_value").collect()))
+        assert len(got) > 0
+        assert got == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_sessionize_flush_modes_agree_on_fixture(spark):
     """flush='timeout' (EventTimeTimeout eviction) and flush='sentinel'
     produce the identical session table on the events fixture."""
