@@ -950,9 +950,13 @@ def _q_events_sessionize(spark, sf_dir):
     - ``lag``: lag + gap-flag + running sum assigns session ids, then
       per-session aggregates — two window passes over one sort.
     - ``native``: Spark's built-in ``session_window`` gap aggregation —
-      ONE shuffle and JVM-side session assignment inside the aggregate
-      (no window sort pass), the plan of choice at 100 TB and the same
-      operator the streaming engine uses for watermarked session aggs.
+      JVM-side session assignment inside the aggregate with map-side
+      partial sessions, and the same operator the streaming engine uses
+      for watermarked session aggs. Both halves are ONE-Exchange plans;
+      which is faster depends on data shape (BENCH.md "method A/B":
+      at 10M events with ~3 events/user/partition the lag twin wins
+      ~2x because partial sessions compress nothing; time-clustered
+      input and streaming favor native).
 
     Semantics pinned to the oracle's whole-second gap > 1800: the native
     half truncates ts to seconds (every fixture event has sub-second
