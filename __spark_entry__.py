@@ -654,21 +654,35 @@ def _q_kg_block_templates(spark, sf_dir):
 
 
 def _q_kg_upsert_wave(spark, sf_dir):
-    """MERGE-style re-crawl upsert (plans/lineage.upsert_quads): a wave
-    re-crawls every doc_id%3==0 page with changed content (Article name
-    gains ' v2'); the store must show the wave's quads for those urls
-    and the original quads for the rest — delete-then-insert at document
-    granularity. The physical twin (upsert_wave) rewrites only affected
-    bucket partitions; tests assert untouched bucket files are not
-    rewritten."""
+    """MERGE-style re-crawl upsert PLUS the change feed, under a
+    ``change`` discriminator (r7 merge):
+
+    - ``store`` rows (plans/lineage.upsert_quads): a wave re-crawls
+      every doc_id%3==0 page with changed content (Article name gains
+      ' v2'); the store must show the wave's quads for those urls and
+      the original quads for the rest — delete-then-insert at document
+      granularity. The physical twin (upsert_wave) rewrites only
+      affected bucket partitions; tests assert untouched bucket files
+      are not rewritten.
+    - ``added``/``removed`` rows (plans/lineage.wave_diff): the
+      crawl-to-crawl KG diff for the re-crawled urls — O(wave)
+      semi-join + multiset EXCEPTs; deterministic skolemization keeps
+      unchanged blocks byte-identical so only real content changes
+      surface (here: exactly the Article-name literals).
+
+    base and wave are localCheckpoint'd once and shared by both views
+    (two consumers would otherwise re-run the parse pipeline — the memo
+    lesson)."""
     from jsonld_streaming_parser_js_spark.plans.lineage import (
-        upsert_quads)
-    base = _quads(spark, sf_dir)
+        upsert_quads, wave_diff)
+    base = _quads(spark, sf_dir).localCheckpoint()
     wave = pages_to_quads(
         pages_from_documents(spark, sf_dir, doc_filter="doc_id % 3 = 0",
                              name_suffix=" v2"),
-        CONTEXTS)
-    return upsert_quads(base, wave).orderBy("url", "blk", "pred", "obj")
+        CONTEXTS).localCheckpoint()
+    store = upsert_quads(base, wave).withColumn("change", F.lit("store"))
+    return (store.unionByName(wave_diff(base, wave))
+            .orderBy("change", "url", "blk", "pred", "obj"))
 
 
 def _q_approx_distinct_hll(spark, sf_dir):
@@ -1177,6 +1191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "kg_nquads_roundtrip": _q_kg_nquads_roundtrip,
         "streaming_sessionize": _q_streaming_sessionize,
+        "kg_upsert_wave": _q_kg_upsert_wave,
+        "events_sessionize": _q_events_sessionize,
         "kg_quads_memo": _q_kg_quads_memo,
         "kg_error_channels": _q_kg_error_channels,
         "kg_quads_by_predicate": _q_kg_quads_by_predicate,
@@ -1198,7 +1214,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_quads_canonical": _q_kg_quads_canonical,
         "kg_canonical_fuzzy": _q_kg_canonical_fuzzy,
         "approx_distinct_hll": _q_approx_distinct_hll,
-        "kg_upsert_wave": _q_kg_upsert_wave,
         "kg_block_templates": _q_kg_block_templates,
         "kg_pagerank": _q_kg_pagerank,
         "text_sample_stratified": _q_text_sample_stratified,
@@ -1223,7 +1238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "window_top_orders": _q_window_top_orders,
         "events_hourly": _q_events_hourly,
-        "events_sessionize": _q_events_sessionize,
         "streaming_kg_quads": _q_streaming_kg_quads,
     }
 
@@ -1449,10 +1463,20 @@ ORDER BY url, blk, subj, pred, obj, graph""")
         f"WITH {_D_CTE}, {_expected_quads_cte()},\n"
         "dw AS (SELECT * FROM d WHERE doc_id % 3 = 0),\n"
         + _expected_quads_cte(name="qw", src="dw", name_sfx=" v2")
-        + "\nSELECT url, blk, subj, pred, obj, graph FROM ("
-          " SELECT * FROM q WHERE url NOT IN (SELECT url FROM dw)"
-          " UNION ALL SELECT * FROM qw)"
-          " ORDER BY url, blk, pred, obj")
+        + """,
+bw AS (SELECT url, blk, subj, pred, obj, graph FROM q
+       WHERE url IN (SELECT url FROM dw)),
+wv AS (SELECT url, blk, subj, pred, obj, graph FROM qw)
+SELECT 'store' AS change, url, blk, subj, pred, obj, graph FROM (
+  SELECT * FROM q WHERE url NOT IN (SELECT url FROM dw)
+  UNION ALL SELECT * FROM qw)
+UNION ALL
+SELECT 'added' AS change, * FROM (
+  SELECT * FROM wv EXCEPT ALL SELECT * FROM bw)
+UNION ALL
+SELECT 'removed' AS change, * FROM (
+  SELECT * FROM bw EXCEPT ALL SELECT * FROM wv)
+ORDER BY change, url, blk, pred, obj""")
 
     # memoized parse must be indistinguishable from the plain parse
     # (corpus='pages' replays the kg_quads expected-quads CTE); the

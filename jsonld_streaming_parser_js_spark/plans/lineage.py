@@ -168,6 +168,31 @@ def upsert_quads(base: DataFrame, wave: DataFrame,
             .unionByName(wave))
 
 
+def wave_diff(base: DataFrame, wave: DataFrame,
+              key: str = "url") -> DataFrame:
+    """Crawl-to-crawl KG diff at document granularity: for the urls the
+    wave re-crawled, which quads appeared and which disappeared?
+    Returns quad rows tagged ``change`` in {'added', 'removed'} — the
+    change feed a downstream incremental consumer (index refresh, cache
+    invalidation, embedding re-compute) subscribes to instead of
+    re-reading the store.
+
+    Scale design: base is first semi-joined to the wave's url set, so
+    the multiset EXCEPTs that follow cost O(wave), not O(store) — the
+    same O(wave) principle as the physical upsert. Deterministic
+    skolemization is what makes the diff MEANINGFUL: a re-crawled
+    page's unchanged blocks reproduce byte-identical quads (blank-node
+    labels included), so only real content changes surface."""
+    cols = [c for c in wave.columns]
+    wave_urls = wave.select(key).distinct()
+    base_w = base.join(wave_urls, key, "left_semi").select(*cols)
+    added = (wave.exceptAll(base_w)
+             .withColumn("change", F.lit("added")))
+    removed = (base_w.exceptAll(wave.select(*cols))
+               .withColumn("change", F.lit("removed")))
+    return added.unionByName(removed)
+
+
 def upsert_wave(spark: SparkSession, out_dir: str,
                 wave_parsed: DataFrame, buckets: int,
                 snapshot_id: str = "", quad_sink=None) -> None:
