@@ -183,12 +183,13 @@ def wave_diff(base: DataFrame, wave: DataFrame,
     skolemization is what makes the diff MEANINGFUL: a re-crawled
     page's unchanged blocks reproduce byte-identical quads (blank-node
     labels included), so only real content changes surface."""
-    cols = [c for c in wave.columns]
     wave_urls = wave.select(key).distinct()
-    base_w = base.join(wave_urls, key, "left_semi").select(*cols)
+    # normalize base to wave's column order once; both EXCEPTs then
+    # operate on identically-ordered relations
+    base_w = base.join(wave_urls, key, "left_semi").select(*wave.columns)
     added = (wave.exceptAll(base_w)
              .withColumn("change", F.lit("added")))
-    removed = (base_w.exceptAll(wave.select(*cols))
+    removed = (base_w.exceptAll(wave)
                .withColumn("change", F.lit("removed")))
     return added.unionByName(removed)
 

@@ -164,26 +164,30 @@ def test_wave_diff_change_feed(spark, pages):
         spark, SF, doc_filter="doc_id % 31 = 0", name_suffix=" v2")
     wave = pages_to_quads(wave_pages, CONTEXTS)
     diff = lin.wave_diff(base, wave).cache()
-    rows = diff.collect()
-    assert rows  # the name change must surface
-    wave_urls = {r["url"] for r in wave.select("url").distinct().collect()}
-    assert {r["url"] for r in rows} <= wave_urls
-    added = {tuple(r) for r in rows if r["change"] == "added"}
-    removed = {tuple(r) for r in rows if r["change"] == "removed"}
-    # every added quad carries the new literal; every removed its twin
-    assert added and len(added) == len(removed)
-    assert all(t[4].endswith(' v2"') for t in added
-               if t[3].endswith('name>'))
-    # the diff is consistent with the declarative upsert: applying
-    # removals then additions to the wave-url slice of base yields the
-    # wave slice of the upserted store
-    base_w = {tuple(r) for r in
-              base.join(wave.select("url").distinct(), "url",
-                        "left_semi").collect()}
-    got = (base_w - {t[:-1] for t in removed}) | {t[:-1] for t in added}
-    want = {tuple(r) for r in wave.collect()}
-    assert got == want
-    diff.unpersist()
+    try:
+        rows = diff.collect()
+        assert rows  # the name change must surface
+        wave_urls = {r["url"]
+                     for r in wave.select("url").distinct().collect()}
+        assert {r["url"] for r in rows} <= wave_urls
+        added = {tuple(r) for r in rows if r["change"] == "added"}
+        removed = {tuple(r) for r in rows if r["change"] == "removed"}
+        # every added quad carries the new literal; every removed its twin
+        assert added and len(added) == len(removed)
+        assert all(t[4].endswith(' v2"') for t in added
+                   if t[3].endswith('name>'))
+        # the diff is consistent with the declarative upsert: applying
+        # removals then additions to the wave-url slice of base yields
+        # the wave slice of the upserted store
+        base_w = {tuple(r) for r in
+                  base.join(wave.select("url").distinct(), "url",
+                            "left_semi").collect()}
+        got = ((base_w - {t[:-1] for t in removed})
+               | {t[:-1] for t in added})
+        want = {tuple(r) for r in wave.collect()}
+        assert got == want
+    finally:
+        diff.unpersist()
 
 
 def test_quad_sink_swap_is_config_only(spark, pages):
