@@ -374,6 +374,24 @@ def main() -> None:
           f"FileScan x{p.count('FileScan')}, joins "
           f"x{p.count('Join')}, Exchange x{p.count('Exchange')}")
 
+    # wave_diff change feed: O(wave) by plan — base is cut to the wave's
+    # url set with a LeftSemi join BEFORE the multiset EXCEPT
+    # aggregation, and nothing goes cartesian
+    from jsonld_streaming_parser_js_spark.plans.lineage import wave_diff
+    _quads_df = e._quads(spark, sf).localCheckpoint()
+    from jsonld_streaming_parser_js_spark.sources.pages import (
+        pages_from_documents as _pfd)
+    _wave_df = pages_to_quads(
+        _pfd(spark, sf, doc_filter="doc_id % 3 = 0", name_suffix=" v2"),
+        CONTEXTS).localCheckpoint()
+    p = plan_of(wave_diff(_quads_df, _wave_df))
+    check("wave_diff: semi-join cuts base to wave urls, no cartesian",
+          "LeftSemi" in p and "Cartesian" not in p
+          and "BroadcastNestedLoopJoin" not in p,
+          f"LeftSemi x{p.count('LeftSemi')}, cartesian "
+          f"x{p.count('Cartesian')}, BNLJ "
+          f"x{p.count('BroadcastNestedLoopJoin')}")
+
     # native session_window half of events_sessionize (the SHIPPED
     # query, via the factored helper): session assignment happens INSIDE
     # the aggregate (partial agg -> Exchange -> MergingSessions), no
