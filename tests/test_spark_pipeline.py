@@ -190,6 +190,48 @@ def test_wave_diff_change_feed(spark, pages):
         diff.unpersist()
 
 
+def test_streaming_change_feed_composes_wave_diff(spark, pages):
+    """Continuous change feed: re-crawl files land as micro-batches and
+    each batch emits its wave_diff against the standing store via
+    foreachBatch — the streaming x batch-operator composition (same
+    pattern as memo x streaming). Because the diff is document-granular
+    and batch urls are disjoint, the appended feed must equal the
+    one-shot diff of the whole wave."""
+    from jsonld_streaming_parser_js_spark.sources.pages import (
+        pages_from_documents)
+    from jsonld_streaming_parser_js_spark.streaming import stream as strm
+
+    work = tempfile.mkdtemp(prefix="kg_feed_")
+    try:
+        base = pages_to_quads(pages, CONTEXTS).localCheckpoint()
+        wave_pages = pages_from_documents(
+            spark, SF, doc_filter="doc_id % 31 = 0", name_suffix=" v2")
+        # two disjoint url slices land as separate crawl files
+        for i in range(2):
+            (wave_pages.where(F.pmod(F.xxhash64("url"), F.lit(2)) == i)
+             .write.mode("append").parquet(f"{work}/pages"))
+        feed_dir = f"{work}/feed"
+
+        def emit_diff(batch_pages, _bid):
+            wave_q = pages_to_quads(batch_pages, CONTEXTS)
+            lin.wave_diff(base, wave_q).write.mode("append").parquet(
+                feed_dir)
+
+        q = (strm.read_pages_stream(spark, f"{work}/pages",
+                                    max_files_per_trigger=1)
+             .writeStream.foreachBatch(emit_diff)
+             .option("checkpointLocation", f"{work}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+        got = {tuple(r) for r in spark.read.parquet(feed_dir).collect()}
+        want = {tuple(r) for r in lin.wave_diff(
+            base, pages_to_quads(wave_pages, CONTEXTS)).collect()}
+        assert got == want and got
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_quad_sink_swap_is_config_only(spark, pages):
     """Iceberg abstraction contract: the sink is the ONLY format-specific
     step. A recording sink slotted where iceberg_quad_sink would go must
