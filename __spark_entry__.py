@@ -676,12 +676,17 @@ def _q_kg_upsert_wave(spark, sf_dir):
     from jsonld_streaming_parser_js_spark.plans.lineage import (
         upsert_quads, wave_diff)
     base = _quads(spark, sf_dir).localCheckpoint()
-    wave = pages_to_quads(
-        pages_from_documents(spark, sf_dir, doc_filter="doc_id % 3 = 0",
-                             name_suffix=" v2"),
-        CONTEXTS).localCheckpoint()
-    store = upsert_quads(base, wave).withColumn("change", F.lit("store"))
-    return (store.unionByName(wave_diff(base, wave))
+    wave_pages = pages_from_documents(
+        spark, sf_dir, doc_filter="doc_id % 3 = 0", name_suffix=" v2")
+    wave = pages_to_quads(wave_pages, CONTEXTS).localCheckpoint()
+    # wave_keys = the CRAWLED url set (not the quads' urls): a re-crawled
+    # page that now yields zero quads must still delete from the store
+    # and emit 'removed' rows — the oracle's dw url set has exactly
+    # these semantics
+    keys = wave_pages.select("url")
+    store = (upsert_quads(base, wave, wave_keys=keys)
+             .withColumn("change", F.lit("store")))
+    return (store.unionByName(wave_diff(base, wave, wave_keys=keys))
             .orderBy("change", "url", "blk", "pred", "obj"))
 
 
@@ -981,13 +986,26 @@ def _q_events_sessionize(spark, sf_dir):
     iff whole-second diff <= 1800" exactly. session_seq is row_number
     over session start (sessions are disjoint time ranges, so start
     order is the lag twin's id order)."""
-    from pyspark.sql import Window
     ev = _tbl(spark, sf_dir, "events")
+    lag_half = _sessionize_lag(ev).withColumn("method", F.lit("lag"))
+    native_half = _sessionize_native(ev).withColumn(
+        "method", F.lit("native"))
+    return (lag_half.unionByName(native_half)
+            .orderBy("method", "user_id", "session_seq"))
+
+
+def _sessionize_lag(ev):
+    """The lag+running-sum half of events_sessionize, factored out so
+    the EXPLAIN audit plans the SHIPPED query. One Exchange: the window
+    shuffles on user_id, and the groupBy's (user_id, session_seq)
+    clustering is satisfied by that partitioning (subset rule), so the
+    aggregate reuses it."""
+    from pyspark.sql import Window
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # tz-free epoch for TIMESTAMP_NTZ: an NTZ-to-NTZ timestampdiff never
-    # consults the session timezone (a cast via TIMESTAMP would shift by a
-    # DST-dependent offset that does NOT cancel across transitions), and
-    # whole-second truncation matches the oracle's floor(epoch(ts))
+    # consults the session timezone (a cast via TIMESTAMP would shift by
+    # a DST-dependent offset that does NOT cancel across transitions),
+    # and whole-second truncation matches the oracle's floor(epoch(ts))
     epoch = F.expr(
         "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     gap = epoch - F.lag(epoch).over(w)
@@ -996,16 +1014,11 @@ def _q_events_sessionize(spark, sf_dir):
             .withColumn("session_seq",
                         F.sum("new_sess").over(
                             w.rowsBetween(Window.unboundedPreceding, 0))))
-    lag_half = (sess.groupBy("user_id", "session_seq")
-                .agg(F.count("*").alias("n_events"),
-                     F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
-                     .alias("session_start"),
-                     F.round(F.sum("value"), 2).alias("sum_value"))
-                .withColumn("method", F.lit("lag")))
-    native_half = _sessionize_native(ev).withColumn(
-        "method", F.lit("native"))
-    return (lag_half.unionByName(native_half)
-            .orderBy("method", "user_id", "session_seq"))
+    return (sess.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_start"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
 
 
 def _sessionize_native(ev):

@@ -158,18 +158,28 @@ def write_bucketed(parsed_with_bucket: DataFrame, out_dir: str,
 
 
 def upsert_quads(base: DataFrame, wave: DataFrame,
-                 key: str = "url") -> DataFrame:
+                 key: str = "url",
+                 wave_keys: DataFrame | None = None) -> DataFrame:
     """Declarative MERGE at document granularity: a re-crawl wave
     REPLACES every quad of the urls it contains (delete-then-insert —
     the semantics of `MERGE ... WHEN MATCHED DELETE+INSERT` keyed by
     url). left_anti + union keeps the whole expression oracle-checkable;
-    the physical twin below rewrites only affected bucket partitions."""
-    return (base.join(wave.select(key).distinct(), key, "left_anti")
-            .unionByName(wave))
+    the physical twin below rewrites only affected bucket partitions.
+
+    ``wave_keys``: the CRAWLED url set (one ``key`` column). Pass it
+    whenever the wave may contain pages that now yield ZERO quads (no
+    JSON-LD blocks anymore, parse failure): deriving urls from the wave
+    QUADS would silently keep such a page's stale quads in the store.
+    Defaults to the wave quads' urls — sound only when every re-crawled
+    page still emits quads."""
+    keys = (wave_keys.select(key) if wave_keys is not None
+            else wave.select(key)).distinct()
+    return base.join(keys, key, "left_anti").unionByName(wave)
 
 
 def wave_diff(base: DataFrame, wave: DataFrame,
-              key: str = "url") -> DataFrame:
+              key: str = "url",
+              wave_keys: DataFrame | None = None) -> DataFrame:
     """Crawl-to-crawl KG diff at document granularity: for the urls the
     wave re-crawled, which quads appeared and which disappeared?
     Returns quad rows tagged ``change`` in {'added', 'removed'} — the
@@ -177,16 +187,25 @@ def wave_diff(base: DataFrame, wave: DataFrame,
     invalidation, embedding re-compute) subscribes to instead of
     re-reading the store.
 
-    Scale design: base is first semi-joined to the wave's url set, so
-    the multiset EXCEPTs that follow cost O(wave), not O(store) — the
-    same O(wave) principle as the physical upsert. Deterministic
-    skolemization is what makes the diff MEANINGFUL: a re-crawled
-    page's unchanged blocks reproduce byte-identical quads (blank-node
-    labels included), so only real content changes surface."""
-    wave_urls = wave.select(key).distinct()
-    # normalize base to wave's column order once; both EXCEPTs then
-    # operate on identically-ordered relations
-    base_w = base.join(wave_urls, key, "left_semi").select(*wave.columns)
+    ``wave_keys`` (the CRAWLED url set): pass it whenever a re-crawled
+    page may now yield zero quads — such a page's old quads must emit
+    as 'removed', but its url never appears in the wave QUADS, so the
+    default (urls derived from wave) would silently drop the deletion
+    from the feed and a subscriber would serve stale content forever.
+
+    Scale design: base is first semi-joined to the wave's url set and
+    the cut is localCheckpoint'd (both EXCEPT legs read it — without
+    materialization the store scan would run twice per diff, per
+    micro-batch in the continuous-feed pattern), so the multiset
+    EXCEPTs cost O(wave), not O(store) — the same O(wave) principle as
+    the physical upsert. Deterministic skolemization is what makes the
+    diff MEANINGFUL: a re-crawled page's unchanged blocks reproduce
+    byte-identical quads (blank-node labels included), so only real
+    content changes surface."""
+    # the cut is materialized ONCE (both EXCEPT legs read it); the
+    # uncheckpointed expression is exposed as _wave_url_cut so the
+    # EXPLAIN audit can assert the semi-join shape of the shipped query
+    base_w = _wave_url_cut(base, wave, key, wave_keys).localCheckpoint()
     added = (wave.exceptAll(base_w)
              .withColumn("change", F.lit("added")))
     removed = (base_w.exceptAll(wave)
@@ -194,9 +213,20 @@ def wave_diff(base: DataFrame, wave: DataFrame,
     return added.unionByName(removed)
 
 
+def _wave_url_cut(base: DataFrame, wave: DataFrame, key: str = "url",
+                  wave_keys: DataFrame | None = None) -> DataFrame:
+    """base restricted to the wave's (crawled or quad-derived) url set —
+    the O(wave) cut wave_diff materializes; normalized to wave's column
+    order so the multiset EXCEPTs operate on identical relations."""
+    keys = (wave_keys.select(key) if wave_keys is not None
+            else wave.select(key)).distinct()
+    return base.join(keys, key, "left_semi").select(*wave.columns)
+
+
 def upsert_wave(spark: SparkSession, out_dir: str,
                 wave_parsed: DataFrame, buckets: int,
-                snapshot_id: str = "", quad_sink=None) -> None:
+                snapshot_id: str = "", quad_sink=None,
+                wave_keys: DataFrame | None = None) -> None:
     """Physical MERGE into the bucketed quad store: only the url-buckets
     the wave touches are recomputed and dynamically overwritten —
     untouched bucket partitions are NOT rewritten (asserted by file
@@ -206,11 +236,19 @@ def upsert_wave(spark: SparkSession, out_dir: str,
     buckets' lineage rows are REPLACED (compacted), not appended — this
     is the one writer that re-commits a committed bucket, and duplicate
     per-bucket rows would break verify_lineage and double-count resume
-    stats."""
+    stats.
+
+    ``wave_keys``: the CRAWLED url set (one ``url`` column). Required
+    for deletion-correctness when a re-crawled page can yield ZERO
+    parsed rows (no JSON-LD blocks anymore — extract emits nothing for
+    such a page, so its url is absent from ``wave_parsed`` and the
+    default url derivation would leave its stale quads in the store)."""
     check_snapshot(spark, out_dir, snapshot_id)
     wave_b = with_bucket(wave_parsed, buckets).persist()
     try:
-        affected = wave_b.select("bucket").distinct()
+        keys = (wave_keys.select("url") if wave_keys is not None
+                else wave_b.select("url")).distinct()
+        affected = with_bucket(keys, buckets).select("bucket").distinct()
         cols = ["url", "blk", "subj", "pred", "obj", "graph", "error",
                 "bucket"]
         stored = (spark.read.parquet(f"{out_dir}/quads")
@@ -218,7 +256,7 @@ def upsert_wave(spark: SparkSession, out_dir: str,
                   .select(*cols))
         keep = (stored
                 .join(F.broadcast(affected), "bucket", "left_semi")
-                .join(wave_b.select("url").distinct(), "url", "left_anti"))
+                .join(keys, "url", "left_anti"))
         # localCheckpoint (eager), NOT persist: the sink below OVERWRITES
         # the very parquet path `keep` reads from, so the plan must be
         # cut to a materialized RDD first — a mere cache can be evicted /

@@ -209,9 +209,11 @@ def streaming_sessionize(spark, events_path: str, work_dir: str,
                      F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
                      .alias("start_str"), "value",
                      F.timestamp_seconds(epoch).alias("wts"))
-    lo, hi, advancer_clash = base.agg(
+    lo, hi, advancer_clash, sentinel_clash = base.agg(
         F.min("epoch"), F.max("epoch"),
         F.max(F.when(F.col("user_id") == _ADVANCER_USER, 1)
+              .otherwise(0)),
+        F.max(F.when(F.col("event_id") == _SENTINEL_EVENT, 1)
               .otherwise(0))).first()
     if lo is None:
         return spark.createDataFrame([], SESSION_SCHEMA)
@@ -221,6 +223,12 @@ def streaming_sessionize(spark, events_path: str, work_dir: str,
         raise ValueError(
             f"events contain user_id == {_ADVANCER_USER}, which collides "
             "with the watermark-advancer pseudo-user of flush='timeout'")
+    if flush == "sentinel" and sentinel_clash:
+        # a real event_id equal to the sentinel's would silently close
+        # its user's session mid-stream and discard the row's value
+        raise ValueError(
+            f"events contain event_id == {_SENTINEL_EVENT}, which "
+            "collides with the flush='sentinel' end-of-input marker")
     from .filesource import write_ordered_slices
 
     step = max((hi - lo) // n_slices + 1, 1)

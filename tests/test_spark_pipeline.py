@@ -190,6 +190,46 @@ def test_wave_diff_change_feed(spark, pages):
         diff.unpersist()
 
 
+def test_wave_keys_delete_zero_quad_pages(spark, pages):
+    """Deletion-correctness for pages whose re-crawl yields ZERO quads
+    (no JSON-LD blocks anymore / parse failure — extract emits nothing,
+    so their urls never appear in the wave QUADS): with wave_keys (the
+    CRAWLED url set) the declarative upsert drops their stale quads,
+    wave_diff emits them as 'removed', and the physical upsert_wave
+    rewrites them out of the bucketed store."""
+    base = pages_to_quads(pages, CONTEXTS)
+    gone_url = base.select("url").first()["url"]
+    empty_wave = base.limit(0)
+    keys = spark.createDataFrame([(gone_url,)], "url string")
+
+    # declarative: the url's quads vanish only when keys are passed
+    with_keys = lin.upsert_quads(base, empty_wave, wave_keys=keys)
+    assert with_keys.where(F.col("url") == gone_url).count() == 0
+    without = lin.upsert_quads(base, empty_wave)
+    assert without.where(F.col("url") == gone_url).count() > 0
+
+    # change feed: every old quad of the url emits as 'removed'
+    d = lin.wave_diff(base, empty_wave, wave_keys=keys)
+    n_old = base.where(F.col("url") == gone_url).count()
+    assert (d.where("change = 'removed'").count() == n_old
+            and d.where("change = 'added'").count() == 0)
+
+    # physical: the bucketed store really deletes the url's rows
+    out = tempfile.mkdtemp(prefix="kg_zero_upsert_")
+    try:
+        parsed = extract_and_parse(pages, CONTEXTS)
+        lin.write_bucketed(lin.with_bucket(parsed, 8), out,
+                           snapshot_id="snap-Z")
+        lin.upsert_wave(spark, out, parsed.limit(0), 8,
+                        snapshot_id="snap-Z", wave_keys=keys)
+        stored = spark.read.parquet(f"{out}/quads")
+        assert stored.where(F.col("url") == gone_url).count() == 0
+        assert stored.count() > 0  # other urls untouched
+        assert lin.verify_lineage(spark, out).count() == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_streaming_change_feed_composes_wave_diff(spark, pages):
     """Continuous change feed: re-crawl files land as micro-batches and
     each batch emits its wave_diff against the standing store via

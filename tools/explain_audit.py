@@ -374,23 +374,30 @@ def main() -> None:
           f"FileScan x{p.count('FileScan')}, joins "
           f"x{p.count('Join')}, Exchange x{p.count('Exchange')}")
 
-    # wave_diff change feed: O(wave) by plan — base is cut to the wave's
-    # url set with a LeftSemi join BEFORE the multiset EXCEPT
-    # aggregation, and nothing goes cartesian
-    from jsonld_streaming_parser_js_spark.plans.lineage import wave_diff
-    _quads_df = e._quads(spark, sf).localCheckpoint()
+    # wave_diff change feed: O(wave) by plan — (a) the cut expression
+    # (the SHIPPED _wave_url_cut, pre-checkpoint) restricts base to the
+    # wave's url set with a LeftSemi join; (b) the final diff plan reads
+    # the cut from its ONE materialization (ExistingRDD — both EXCEPT
+    # legs share it, the store is scanned once per diff) and nothing
+    # goes cartesian
+    from jsonld_streaming_parser_js_spark.plans.lineage import (
+        _wave_url_cut, wave_diff)
     from jsonld_streaming_parser_js_spark.sources.pages import (
-        pages_from_documents as _pfd)
-    _wave_df = pages_to_quads(
-        _pfd(spark, sf, doc_filter="doc_id % 3 = 0", name_suffix=" v2"),
-        CONTEXTS).localCheckpoint()
-    p = plan_of(wave_diff(_quads_df, _wave_df))
-    check("wave_diff: semi-join cuts base to wave urls, no cartesian",
-          "LeftSemi" in p and "Cartesian" not in p
+        pages_from_documents)
+    _quads_df = e._quads(spark, sf).localCheckpoint()
+    _wave_pages = pages_from_documents(
+        spark, sf, doc_filter="doc_id % 3 = 0", name_suffix=" v2")
+    _wave_df = pages_to_quads(_wave_pages, CONTEXTS).localCheckpoint()
+    _keys = _wave_pages.select("url")
+    p_cut = plan_of(_wave_url_cut(_quads_df, _wave_df, wave_keys=_keys))
+    p = plan_of(wave_diff(_quads_df, _wave_df, wave_keys=_keys))
+    check("wave_diff: semi-join cut, one materialization, no cartesian",
+          "LeftSemi" in p_cut and "ExistingRDD" in p
+          and "Cartesian" not in p
           and "BroadcastNestedLoopJoin" not in p,
-          f"LeftSemi x{p.count('LeftSemi')}, cartesian "
-          f"x{p.count('Cartesian')}, BNLJ "
-          f"x{p.count('BroadcastNestedLoopJoin')}")
+          f"cut LeftSemi x{p_cut.count('LeftSemi')}, final ExistingRDD="
+          f"{'ExistingRDD' in p}, cartesian x{p.count('Cartesian')}, "
+          f"BNLJ x{p.count('BroadcastNestedLoopJoin')}")
 
     # native session_window half of events_sessionize (the SHIPPED
     # query, via the factored helper): session assignment happens INSIDE
@@ -408,6 +415,18 @@ def main() -> None:
           f"MergingSessions x{p.count('MergingSessions')}, Exchange "
           f"x{p.count('Exchange')}, Window x{p.count('Window')}, "
           f"lag x{p.count('lag(')}")
+
+    # lag half of events_sessionize: also ONE Exchange — the window
+    # shuffles on user_id and the groupBy's (user_id, session_seq)
+    # clustering is satisfied by that partitioning (subset rule), so the
+    # per-session aggregate reuses it. This is the invariant the
+    # BENCH.md method-A/B narrative ('both are one-shuffle plans')
+    # rests on for the lag side
+    p = plan_of(e._sessionize_lag(ev))
+    check("sessionize lag: window + aggregate share ONE Exchange",
+          p.count("Exchange") == 1 and "MergingSessions" not in p,
+          f"Exchange x{p.count('Exchange')}, Window "
+          f"x{p.count('Window')}")
 
     with open(os.path.join(ROOT, "EXPLAIN.md"), "w") as f:
         f.write("# EXPLAIN audit — physical-plan invariants\n\n")
