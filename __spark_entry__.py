@@ -969,13 +969,17 @@ def _q_events_sessionize(spark, sf_dir):
     - ``lag``: lag + gap-flag + running sum assigns session ids, then
       per-session aggregates — two window passes over one sort.
     - ``native``: Spark's built-in ``session_window`` gap aggregation —
-      JVM-side session assignment inside the aggregate with map-side
-      partial sessions, and the same operator the streaming engine uses
-      for watermarked session aggs. Both halves are ONE-Exchange plans;
-      which is faster depends on data shape (BENCH.md "method A/B":
-      at 10M events with ~3 events/user/partition the lag twin wins
-      ~2x because partial sessions compress nothing; time-clustered
-      input and streaming favor native).
+      JVM-side session assignment merged inside the aggregate
+      (post-shuffle MergingSessions), the same operator the streaming
+      engine uses for watermarked session aggs. Both halves are
+      ONE-Exchange plans; which is faster depends on data shape
+      (BENCH.md "method A/B", three corpora measured). Note the
+      measured anti-claim: map-side combine can NEVER compress session
+      windows (the partial agg keys on the per-event window struct,
+      distinct per event), so native always shuffles >= the event
+      count plus struct overhead (+19% bytes on the long-session
+      corpus) — its edge is the single post-shuffle merge pass and
+      streaming, not shuffle reduction.
 
     Semantics pinned to the oracle's whole-second gap > 1800: the native
     half truncates ts to seconds (every fixture event has sub-second
