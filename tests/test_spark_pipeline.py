@@ -272,6 +272,87 @@ def test_streaming_change_feed_composes_wave_diff(spark, pages):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_streaming_diff_then_upsert_against_live_store(spark, pages):
+    """The full continuous-maintenance loop: each micro-batch emits its
+    wave_diff against the CURRENT bucketed store and then upserts the
+    store, so a url re-crawled in two waves diffs the second time
+    against the FIRST wave's version, not the original — the invariant
+    that makes the feed a faithful incremental log. Two waves hit the
+    same urls (' v2' then ' v3'); asserted: the second batch removes the
+    v2 literals (live-store evidence), and the final store equals the
+    declaratively chained upserts."""
+    from jsonld_streaming_parser_js_spark.sources.pages import (
+        pages_from_documents)
+    from jsonld_streaming_parser_js_spark.streaming import stream as strm
+    from jsonld_streaming_parser_js_spark.streaming.filesource import (
+        write_ordered_slices)
+
+    work = tempfile.mkdtemp(prefix="kg_live_feed_")
+    out = os.path.join(work, "store")
+    try:
+        parsed = extract_and_parse(pages, CONTEXTS)
+        lin.write_bucketed(lin.with_bucket(parsed, 8), out,
+                           snapshot_id="snap-L")
+        wave_a = pages_from_documents(
+            spark, SF, doc_filter="doc_id % 31 = 0", name_suffix=" v2")
+        wave_b = pages_from_documents(
+            spark, SF, doc_filter="doc_id % 31 = 0", name_suffix=" v3")
+        in_dir = os.path.join(work, "input")
+        write_ordered_slices([wave_a, wave_b], work, in_dir)
+        feed_dir = os.path.join(work, "feed")
+        quad_cols = ["url", "blk", "subj", "pred", "obj", "graph"]
+
+        def diff_then_upsert(batch_pages, bid):
+            keys = batch_pages.select("url").distinct().localCheckpoint()
+            wave_q = pages_to_quads(batch_pages, CONTEXTS)
+            current = (spark.read.parquet(f"{out}/quads")
+                       .where(F.col("error").isNull())
+                       .select(*quad_cols).dropDuplicates(quad_cols)
+                       .localCheckpoint())  # cut BEFORE the overwrite
+            (lin.wave_diff(current, wave_q, wave_keys=keys)
+             .withColumn("batch", F.lit(int(bid)))
+             .write.mode("append").parquet(feed_dir))
+            lin.upsert_wave(spark, out,
+                            extract_and_parse(batch_pages, CONTEXTS), 8,
+                            snapshot_id="snap-L", wave_keys=keys)
+
+        q = (strm.read_pages_stream(spark, in_dir, max_files_per_trigger=1)
+             .writeStream.foreachBatch(diff_then_upsert)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(240)
+
+        feed = spark.read.parquet(feed_dir).cache()
+        try:
+            last_bid = feed.agg(F.max("batch")).first()[0]
+            last = feed.where(F.col("batch") == last_bid)
+            rem_names = [r["obj"] for r in
+                         last.where("change = 'removed'")
+                         .where(F.col("pred").endswith('name>')).collect()]
+            add_names = [r["obj"] for r in
+                         last.where("change = 'added'")
+                         .where(F.col("pred").endswith('name>')).collect()]
+            # the second diff ran against the LIVE (v2) store
+            assert rem_names and all(o.endswith(' v2"')
+                                     for o in rem_names)
+            assert add_names and all(o.endswith(' v3"')
+                                     for o in add_names)
+        finally:
+            feed.unpersist()
+
+        got = set(map(tuple, (spark.read.parquet(f"{out}/quads")
+                              .where(F.col("error").isNull())
+                              .select(*quad_cols).dropDuplicates(quad_cols)
+                              .collect())))
+        base_q = pages_to_quads(pages, CONTEXTS)
+        want = set(map(tuple, lin.upsert_quads(
+            lin.upsert_quads(base_q, pages_to_quads(wave_a, CONTEXTS)),
+            pages_to_quads(wave_b, CONTEXTS)).collect()))
+        assert got == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_quad_sink_swap_is_config_only(spark, pages):
     """Iceberg abstraction contract: the sink is the ONLY format-specific
     step. A recording sink slotted where iceberg_quad_sink would go must
