@@ -1200,9 +1200,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_spark_pipeline.py). Ordering stays changed-first as
     # belt-and-braces. The two consolidation-freed slots hold the r7
     # additions text_repetition + kg_nquads_roundtrip — registry is at
-    # exactly 50. streaming_sessionize is REDEFINED in r7: it now runs
-    # both tail-flush mechanisms (sentinel + EventTimeTimeout eviction)
-    # under a flush discriminator column.
+    # exactly 50. Three lanes are REDEFINED late in r7 (each a
+    # discriminator-column union, ordered changed-first):
+    # streaming_sessionize (flush = sentinel | EventTimeTimeout
+    # eviction), events_sessionize (method = lag | native
+    # session_window), kg_upsert_wave (change = store | added |
+    # removed via wave_diff with crawled-url wave_keys).
     return {
         # -- changed/merged this round (r7) --
         "text_repetition": _q_text_repetition,
