@@ -207,6 +207,77 @@ def pagerank_leg(spark, amplify: int, base) -> dict:
             "shuffle_write_bytes": _delta(sw0, sw1)}
 
 
+def cc_chain_leg(spark, n_chain: int) -> dict:
+    """Two-phase CC at pathological diameter (BENCH.md "diameter
+    100,000" table): ONE n_chain-node chain (diameter = n_chain) plus
+    10k disjoint 10-node chains. hash-min needs ~n_chain rounds here;
+    large-star/small-star must stay O(log n). Component structure is
+    exact-checked (count + the long chain's tail maps to its min)."""
+    from pyspark.sql import functions as F
+
+    from jsonld_streaming_parser_js_spark.operators.canonicalize import (
+        connected_components_two_phase)
+
+    def chain(n, offset):
+        return (spark.range(n - 1).select(
+            F.format_string("n%012d", F.col("id") + offset).alias("src"),
+            F.format_string("n%012d",
+                            F.col("id") + offset + 1).alias("dst")))
+    small = (spark.range(10_000)
+             .select(F.explode(F.sequence(F.lit(0), F.lit(8)))
+                     .alias("i"),
+                     (F.col("id") * 10 + 2 * n_chain).alias("b"))
+             .select(F.format_string("n%012d",
+                                     F.col("b") + F.col("i")).alias("src"),
+                     F.format_string("n%012d", F.col("b") + F.col("i") + 1)
+                     .alias("dst")))
+    edges = chain(n_chain, 0).union(small).localCheckpoint()
+    n_edges = edges.count()
+    stats: dict = {}
+    t0 = time.time()
+    cc = connected_components_two_phase(edges, max_iter=60, stats=stats)
+    n_comp = cc.select("component").distinct().count()
+    wall = time.time() - t0
+    tail = cc.where(F.col("node") == F.format_string(
+        "n%012d", F.lit(n_chain - 1))).first()
+    return {"n_chain": n_chain, "n_edges": n_edges,
+            "rounds": stats.get("iterations"),
+            "components": n_comp,
+            "components_ok": n_comp == 10_001,
+            "tail_maps_to_min": tail["component"] == "n%012d" % 0,
+            "wall_sec": round(wall, 1)}
+
+
+def hll_leg(spark, n_distinct: int, dup: int = 3) -> dict:
+    """md5-HLL error realization at high cardinality (BENCH.md "5M
+    distinct" table). md5 is ONE fixed hash, so each population yields
+    a single error draw, not an ensemble average — a ~2-sigma row is
+    expected once per ~20 populations."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from jsonld_streaming_parser_js_spark.operators.sketch import (
+        hll_distinct)
+    df = (spark.range(n_distinct * dup)
+          .select(F.concat(F.lit("key"),
+                           (F.col("id") % n_distinct).cast("string"))
+                  .alias("k")))
+    rows = []
+    for b in (8, 10, 12):
+        t0 = time.time()
+        r = hll_distinct(df, "k", b=b).first()
+        rows.append({
+            "b": b, "m": r["m"], "exact": r["n_exact"],
+            "estimate": round(r["hll_estimate"], 1),
+            "rel_err_pct": round(100.0 * abs(r["hll_estimate"]
+                                             - r["n_exact"])
+                                 / r["n_exact"], 2),
+            "expected_rsd_pct": round(104.0 / math.sqrt(1 << b), 2),
+            "wall_sec": round(time.time() - t0, 1)})
+    return {"n_distinct": n_distinct, "dup": dup, "rows": rows}
+
+
 def main() -> None:
     import argparse
     p = argparse.ArgumentParser()
@@ -216,6 +287,10 @@ def main() -> None:
                    help="comma-separated eval_amplify values, e.g. 40,500")
     p.add_argument("--pagerank", default="",
                    help="comma-separated amplify values, e.g. 1,10,50")
+    p.add_argument("--ccchain", type=int, default=0,
+                   help="two-phase CC chain length, e.g. 100000")
+    p.add_argument("--hll", type=int, default=0,
+                   help="HLL distinct-key count, e.g. 5000000")
     args = p.parse_args()
 
     from jsonld_streaming_parser_js_spark.sources.session import get_spark
@@ -246,6 +321,14 @@ def main() -> None:
             out["pagerank"].append(leg)
             print(f"# pagerank x{amp}: {leg}", file=sys.stderr)
         pr_base.unpersist()
+
+    if args.ccchain:
+        out["cc_chain"] = cc_chain_leg(spark, args.ccchain)
+        print(f"# cc_chain: {out['cc_chain']}", file=sys.stderr)
+
+    if args.hll:
+        out["hll"] = hll_leg(spark, args.hll)
+        print(f"# hll: {out['hll']}", file=sys.stderr)
 
     if args.memo:
         sw0 = _shuffle_write_bytes(spark)
