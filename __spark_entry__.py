@@ -974,12 +974,13 @@ def _q_events_sessionize(spark, sf_dir):
       engine uses for watermarked session aggs. Both halves are
       ONE-Exchange plans; which is faster depends on data shape
       (BENCH.md "method A/B", three corpora measured). Note the
-      measured anti-claim: map-side combine can NEVER compress session
-      windows (the partial agg keys on the per-event window struct,
-      distinct per event), so native always shuffles >= the event
-      count plus struct overhead (+19% bytes on the long-session
-      corpus) — its edge is the single post-shuffle merge pass and
-      streaming, not shuffle reduction.
+      measured anti-claim: the partial agg keys on the per-event
+      window struct, so map-side combine collapses only events that
+      share a (key, truncated-second) — effectively nothing unless
+      the data is burst-heavy — and the 2-timestamp struct rides
+      every shuffled row (+19% bytes on the 60 s-stride long-session
+      corpus). Native's edge is the single post-shuffle merge pass
+      and streaming, not shuffle reduction.
 
     Semantics pinned to the oracle's whole-second gap > 1800: the native
     half truncates ts to seconds (every fixture event has sub-second

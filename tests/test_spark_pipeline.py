@@ -344,10 +344,16 @@ def test_streaming_diff_then_upsert_against_live_store(spark, pages):
                               .where(F.col("error").isNull())
                               .select(*quad_cols).dropDuplicates(quad_cols)
                               .collect())))
+        # the declarative chain uses the same crawled-url wave_keys as
+        # the physical loop, so the equality does not depend on every
+        # re-crawled page yielding quads (the zero-quad asymmetry
+        # test_wave_keys_delete_zero_quad_pages demonstrates)
         base_q = pages_to_quads(pages, CONTEXTS)
         want = set(map(tuple, lin.upsert_quads(
-            lin.upsert_quads(base_q, pages_to_quads(wave_a, CONTEXTS)),
-            pages_to_quads(wave_b, CONTEXTS)).collect()))
+            lin.upsert_quads(base_q, pages_to_quads(wave_a, CONTEXTS),
+                             wave_keys=wave_a.select("url")),
+            pages_to_quads(wave_b, CONTEXTS),
+            wave_keys=wave_b.select("url")).collect()))
         assert got == want
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -16,7 +16,11 @@ amplified input sizes, recording wall time, total shuffle write bytes
     occurrences / 5k distinct (~40M quads through the plain side).
 
 Usage: python tools/scale_probe.py [--fuzzy 1,30,100] [--memo 1000]
-Prints one JSON line; BENCH.md quotes it.
+       [--decon 40,500] [--pagerank 1,10,50] [--ccchain 100000]
+       [--hll 5000000]
+Every leg is opt-in (no defaults run), so a single-leg invocation
+reproduces exactly the one BENCH.md table it names. Prints one JSON
+line; BENCH.md quotes it.
 """
 
 from __future__ import annotations
@@ -218,6 +222,10 @@ def cc_chain_leg(spark, n_chain: int) -> dict:
     from jsonld_streaming_parser_js_spark.operators.canonicalize import (
         connected_components_two_phase)
 
+    if n_chain < 2:
+        raise ValueError("--ccchain needs >= 2 (the long chain must "
+                         "contribute at least one edge)")
+
     def chain(n, offset):
         return (spark.range(n - 1).select(
             F.format_string("n%012d", F.col("id") + offset).alias("src"),
@@ -270,9 +278,8 @@ def hll_leg(spark, n_distinct: int, dup: int = 3) -> dict:
         rows.append({
             "b": b, "m": r["m"], "exact": r["n_exact"],
             "estimate": round(r["hll_estimate"], 1),
-            "rel_err_pct": round(100.0 * abs(r["hll_estimate"]
-                                             - r["n_exact"])
-                                 / r["n_exact"], 2),
+            # the operator's own rel_error column — one definition
+            "rel_err_pct": round(100.0 * r["rel_error"], 2),
             "expected_rsd_pct": round(104.0 / math.sqrt(1 << b), 2),
             "wall_sec": round(time.time() - t0, 1)})
     return {"n_distinct": n_distinct, "dup": dup, "rows": rows}
@@ -281,8 +288,10 @@ def hll_leg(spark, n_distinct: int, dup: int = 3) -> dict:
 def main() -> None:
     import argparse
     p = argparse.ArgumentParser()
-    p.add_argument("--fuzzy", default="1,30,100")
-    p.add_argument("--memo", type=int, default=1000)
+    p.add_argument("--fuzzy", default="",
+                   help="comma-separated amplify values, e.g. 1,30,100")
+    p.add_argument("--memo", type=int, default=0,
+                   help="memo-leg amplify, e.g. 1000")
     p.add_argument("--decon", default="",
                    help="comma-separated eval_amplify values, e.g. 40,500")
     p.add_argument("--pagerank", default="",
