@@ -281,6 +281,23 @@ def upsert_wave(spark: SparkSession, out_dir: str,
         wave_b.unpersist()
 
 
+def read_url_quads(spark: SparkSession, out_dir: str, url: str,
+                   buckets: int) -> DataFrame:
+    """Point lookup: one url's quads WITHOUT scanning the store. The
+    url's bucket is computed first (one 1-row JVM job — xxhash64 must
+    match the writer's, so never reimplement it driver-side), then the
+    read filters on the bucket PARTITION column + the url, so the scan
+    touches exactly one ``bucket=k`` directory (partition pruning,
+    EXPLAIN-asserted) and parquet pushes the url predicate into it. At
+    100 TB with B buckets this reads ~1/B of the store's files — the
+    access path a serving layer uses for per-document retrieval."""
+    k = (spark.range(1)
+         .select(F.pmod(F.xxhash64(F.lit(url)), F.lit(buckets))
+                 .alias("b")).first()["b"])
+    return (spark.read.parquet(f"{out_dir}/quads")
+            .where((F.col("bucket") == int(k)) & (F.col("url") == url)))
+
+
 def check_snapshot(spark: SparkSession, out_dir: str,
                    snapshot_id: str) -> None:
     """Refuse to write alongside lineage from a different input snapshot.

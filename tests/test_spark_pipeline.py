@@ -230,6 +230,33 @@ def test_wave_keys_delete_zero_quad_pages(spark, pages):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_read_url_quads_prunes_to_one_bucket(spark, pages):
+    """Point lookup reads exactly one bucket partition: the plan's
+    PartitionFilters carry the bucket equality (so only 1/B of the
+    store's directories are listed/read) and the url predicate is
+    pushed to parquet; results equal a full-scan filter."""
+    out = tempfile.mkdtemp(prefix="kg_lookup_")
+    try:
+        buckets = 16
+        parsed = extract_and_parse(pages, CONTEXTS)
+        lin.write_bucketed(lin.with_bucket(parsed, buckets), out,
+                           snapshot_id="snap-P")
+        url = pages.select("url").first()["url"]
+        got = lin.read_url_quads(spark, out, url, buckets)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan.split(
+            "PartitionFilters", 1)[1][:120]
+        assert "PushedFilters" in plan and "url" in plan.split(
+            "PushedFilters", 1)[1][:160]
+        want = (spark.read.parquet(f"{out}/quads")
+                .where(F.col("url") == url))
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect()))
+        assert got.count() > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_streaming_change_feed_composes_wave_diff(spark, pages):
     """Continuous change feed: re-crawl files land as micro-batches and
     each batch emits its wave_diff against the standing store via
