@@ -283,19 +283,39 @@ def upsert_wave(spark: SparkSession, out_dir: str,
 
 def read_url_quads(spark: SparkSession, out_dir: str, url: str,
                    buckets: int) -> DataFrame:
-    """Point lookup: one url's quads WITHOUT scanning the store. The
-    url's bucket is computed first (one 1-row JVM job — xxhash64 must
-    match the writer's, so never reimplement it driver-side), then the
-    read filters on the bucket PARTITION column + the url, so the scan
-    touches exactly one ``bucket=k`` directory (partition pruning,
-    EXPLAIN-asserted) and parquet pushes the url predicate into it. At
-    100 TB with B buckets this reads ~1/B of the store's files — the
-    access path a serving layer uses for per-document retrieval."""
-    k = (spark.range(1)
-         .select(F.pmod(F.xxhash64(F.lit(url)), F.lit(buckets))
-                 .alias("b")).first()["b"])
-    return (spark.read.parquet(f"{out_dir}/quads")
-            .where((F.col("bucket") == int(k)) & (F.col("url") == url)))
+    """Point lookup: one url's quads WITHOUT scanning the store, with
+    the store's canonical quad semantics (error rows filtered, quad
+    columns, deduplicated — matching plans/pipeline.quads_table). The
+    url's bucket is computed through the writer's OWN ``with_bucket``
+    (one 1-row JVM job — a drift between reader and writer hashing
+    would silently return empty lookups), then the read filters on the
+    bucket PARTITION column + the url, so the scan touches exactly one
+    ``bucket=k`` directory (partition pruning, plan-asserted) and
+    parquet pushes the url predicate into it. At 100 TB with B buckets
+    this reads ~1/B of the store's files — the access path a serving
+    layer uses for per-document retrieval.
+
+    ``buckets`` must be the writer's bucket count: it is validated
+    against the store's lineage row count (one row per NON-EMPTY
+    bucket — with url-hash bucketing every bucket is occupied beyond
+    trivial store sizes, so a sparse toy store trips this guard
+    loudly rather than a wrong modulus returning an empty result
+    indistinguishable from "url absent")."""
+    buckets_written = spark.read.parquet(f"{out_dir}/lineage").count()
+    if buckets != buckets_written:
+        raise ValueError(
+            f"buckets={buckets} but the store's lineage records "
+            f"{buckets_written} buckets — a mismatched modulus would "
+            "silently return empty lookups")
+    k = with_bucket(spark.createDataFrame([(url,)], "url string"),
+                    buckets).first()["bucket"]
+    from ..operators.parse import quads_only
+    return (quads_only(
+                spark.read.parquet(f"{out_dir}/quads")
+                .where((F.col("bucket") == int(k))
+                       & (F.col("url") == url)))
+            .dropDuplicates(["url", "blk", "subj", "pred", "obj",
+                             "graph"]))
 
 
 def check_snapshot(spark: SparkSession, out_dir: str,

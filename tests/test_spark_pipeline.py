@@ -244,15 +244,23 @@ def test_read_url_quads_prunes_to_one_bucket(spark, pages):
         url = pages.select("url").first()["url"]
         got = lin.read_url_quads(spark, out, url, buckets)
         plan = got._jdf.queryExecution().executedPlan().toString()
-        assert "PartitionFilters" in plan and "bucket" in plan.split(
-            "PartitionFilters", 1)[1][:120]
-        assert "PushedFilters" in plan and "url" in plan.split(
-            "PushedFilters", 1)[1][:160]
-        want = (spark.read.parquet(f"{out}/quads")
-                .where(F.col("url") == url))
-        assert sorted(map(tuple, got.collect())) == sorted(
-            map(tuple, want.collect()))
-        assert got.count() > 0
+        # assert inside the bracket CONTENTS — a windowed substring
+        # would be satisfied by the following metadata sections
+        part = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+        assert "bucket" in part, part
+        assert "url" in pushed, pushed
+        # canonical quad semantics: equals quads_table filtered to the
+        # url (error rows excluded, deduplicated)
+        from jsonld_streaming_parser_js_spark.plans.pipeline import (
+            quads_table)
+        want = quads_table(spark, out).where(F.col("url") == url)
+        rows = sorted(map(tuple, got.collect()))
+        assert rows == sorted(map(tuple, want.collect()))
+        assert len(rows) > 0
+        # a mismatched modulus fails loudly, never an empty lookup
+        with pytest.raises(ValueError, match="bucket"):
+            lin.read_url_quads(spark, out, url, buckets * 2)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
