@@ -318,6 +318,77 @@ def read_url_quads(spark: SparkSession, out_dir: str, url: str,
                              "graph"]))
 
 
+def write_subject_index(spark: SparkSession, out_dir: str,
+                        buckets: int,
+                        index_buckets: int | None = None) -> None:
+    """Secondary index for ENTITY dereference: the quad store is
+    bucketed by url (crawl-write locality), so "all quads about
+    subject S" would otherwise scan every bucket. The index is a tiny
+    (subj, url, bucket) table — distinct subject/document pairs —
+    partitioned by ``sbucket = pmod(xxhash64(subj), index_buckets)``,
+    built with ONE pass over the store. Lookup is then two pruned
+    point reads (index bucket -> url buckets), each O(1/B) of its
+    table. Index size is O(distinct subject-document pairs): orders of
+    magnitude under the quad count (subjects repeat per predicate)."""
+    idx_b = index_buckets or buckets
+    quads = (spark.read.parquet(f"{out_dir}/quads")
+             .where(F.col("error").isNull())
+             .select("subj", "url", F.col("bucket").cast("long")
+                     .alias("bucket")).distinct())
+    idx = quads.withColumn(
+        "sbucket", F.pmod(F.xxhash64("subj"), F.lit(idx_b)))
+    (idx.repartition("sbucket")
+        .sortWithinPartitions("sbucket", "subj")
+        .write.mode("overwrite").partitionBy("sbucket")
+        .parquet(f"{out_dir}/subj_index"))
+
+
+def read_subject_quads(spark: SparkSession, out_dir: str, subj: str,
+                       buckets: int,
+                       index_buckets: int | None = None,
+                       max_fanout: int = 10_000) -> DataFrame:
+    """Entity dereference via the subject index: prune ONE sbucket
+    directory for the subject's (url, bucket) pairs (a driver collect
+    bounded by ``max_fanout``), then read exactly those url-buckets
+    with the subject predicate pushed down. Canonical quad semantics
+    (error-filtered, deduplicated). Never scans the store; both reads
+    are partition-pruned.
+
+    ``max_fanout`` guards the point-lookup shape: a hub entity
+    referenced from more documents than this is not a point lookup any
+    more (the IN-lists and pruning benefit both degrade), so the
+    function raises with guidance instead of silently materializing a
+    huge url list on the driver — dereference such subjects with a
+    distributed join against the index (index.where(subj) ⋈ store)."""
+    idx_b = index_buckets or buckets
+    sb = with_bucket(spark.createDataFrame([(subj,)], "subj string"),
+                     idx_b, col="subj").first()["bucket"]
+    pruned = (spark.read.parquet(f"{out_dir}/subj_index")
+              .where((F.col("sbucket") == int(sb))
+                     & (F.col("subj") == subj))
+              .select("url", "bucket"))
+    hits = pruned.limit(max_fanout + 1).collect()
+    if len(hits) > max_fanout:
+        raise ValueError(
+            f"subject {subj!r} appears in > {max_fanout} documents — "
+            "a hub entity is not a point lookup; join the store "
+            "against the pruned index instead")
+    if not hits:
+        empty = spark.read.parquet(f"{out_dir}/quads").limit(0)
+        from ..operators.parse import quads_only
+        return quads_only(empty)
+    bucket_set = sorted({int(r["bucket"]) for r in hits})
+    url_set = sorted({r["url"] for r in hits})
+    from ..operators.parse import quads_only
+    return (quads_only(
+                spark.read.parquet(f"{out_dir}/quads")
+                .where(F.col("bucket").isin(bucket_set)
+                       & F.col("url").isin(url_set)
+                       & (F.col("subj") == subj)))
+            .dropDuplicates(["url", "blk", "subj", "pred", "obj",
+                             "graph"]))
+
+
 def check_snapshot(spark: SparkSession, out_dir: str,
                    snapshot_id: str) -> None:
     """Refuse to write alongside lineage from a different input snapshot.

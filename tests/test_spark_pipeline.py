@@ -265,6 +265,46 @@ def test_read_url_quads_prunes_to_one_bucket(spark, pages):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_subject_index_dereference(spark, pages):
+    """Entity dereference never scans the store: the subject index is
+    pruned to one sbucket, then only the subject's url-buckets are
+    read. Results equal the full-scan canonical answer; a subject
+    absent from the KG returns an empty frame with the quad schema."""
+    out = tempfile.mkdtemp(prefix="kg_subj_idx_")
+    try:
+        buckets = 16
+        parsed = extract_and_parse(pages, CONTEXTS)
+        lin.write_bucketed(lin.with_bucket(parsed, buckets), out,
+                           snapshot_id="snap-S")
+        lin.write_subject_index(spark, out, buckets)
+
+        from jsonld_streaming_parser_js_spark.plans.pipeline import (
+            quads_table)
+        # an IRI subject present in several pages makes the multi-url
+        # path real (schema.org Organization nodes repeat across a
+        # site's pages in this corpus)
+        subj = (quads_table(spark, out)
+                .where(F.col("subj").startswith("<"))
+                .groupBy("subj").count().orderBy(F.desc("count"))
+                .first()["subj"])
+        got = lin.read_subject_quads(spark, out, subj, buckets)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        part = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        assert "bucket" in part, part
+        rows = sorted(map(tuple, got.collect()))
+        want = quads_table(spark, out).where(F.col("subj") == subj)
+        assert rows == sorted(map(tuple, want.collect()))
+        assert len(rows) > 0
+        # absent subject: empty result, quad schema, no crash
+        miss = lin.read_subject_quads(
+            spark, out, "<http://nowhere.example.org/none>", buckets)
+        assert miss.count() == 0
+        assert miss.columns == ["url", "blk", "subj", "pred", "obj",
+                                "graph"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_streaming_change_feed_composes_wave_diff(spark, pages):
     """Continuous change feed: re-crawl files land as micro-batches and
     each batch emits its wave_diff against the standing store via
