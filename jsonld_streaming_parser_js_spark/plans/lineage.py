@@ -24,8 +24,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def bucket_expr(col: str, buckets: int):
+    """THE bucketing formula — every writer and reader must route
+    through this one definition (a reader re-spelling it that later
+    drifts silently returns empty lookups)."""
+    return F.pmod(F.xxhash64(col), F.lit(buckets))
+
+
 def with_bucket(df: DataFrame, buckets: int, col: str = "url") -> DataFrame:
-    return df.withColumn("bucket", F.pmod(F.xxhash64(col), F.lit(buckets)))
+    return df.withColumn("bucket", bucket_expr(col, buckets))
 
 
 def bucket_lineage(parsed: DataFrame,
@@ -318,6 +325,17 @@ def read_url_quads(spark: SparkSession, out_dir: str, url: str,
                              "graph"]))
 
 
+def _store_fingerprint(spark: SparkSession, out_dir: str) -> str:
+    """Cheap content identity of the committed store, derived from the
+    lineage table (rows are REPLACED on upsert, so any mutation moves
+    this): row count, xor of per-bucket checksums, total quads."""
+    r = (spark.read.parquet(f"{out_dir}/lineage")
+         .agg(F.count("*").alias("n"),
+              F.expr("bit_xor(checksum)").alias("x"),
+              F.sum("n_quads").alias("q")).first())
+    return f"{r['n']}:{r['x']}:{r['q']}"
+
+
 def write_subject_index(spark: SparkSession, out_dir: str,
                         buckets: int,
                         index_buckets: int | None = None) -> None:
@@ -325,27 +343,34 @@ def write_subject_index(spark: SparkSession, out_dir: str,
     bucketed by url (crawl-write locality), so "all quads about
     subject S" would otherwise scan every bucket. The index is a tiny
     (subj, url, bucket) table — distinct subject/document pairs —
-    partitioned by ``sbucket = pmod(xxhash64(subj), index_buckets)``,
-    built with ONE pass over the store. Lookup is then two pruned
-    point reads (index bucket -> url buckets), each O(1/B) of its
-    table. Index size is O(distinct subject-document pairs): orders of
-    magnitude under the quad count (subjects repeat per predicate)."""
+    partitioned by ``sbucket`` (the shared :func:`bucket_expr` over
+    subj), built with ONE pass over the store. Lookup is then two
+    pruned point reads (index bucket -> url buckets), each O(1/B) of
+    its table. Index size is O(distinct subject-document pairs):
+    orders of magnitude under the quad count (subjects repeat per
+    predicate).
+
+    A meta row (index modulus + store fingerprint) is written beside
+    the index; the reader derives its modulus from it and REFUSES a
+    stale index (store mutated since the build) — both failure modes
+    would otherwise be silent empty/incomplete dereferences."""
     idx_b = index_buckets or buckets
     quads = (spark.read.parquet(f"{out_dir}/quads")
              .where(F.col("error").isNull())
              .select("subj", "url", F.col("bucket").cast("long")
                      .alias("bucket")).distinct())
-    idx = quads.withColumn(
-        "sbucket", F.pmod(F.xxhash64("subj"), F.lit(idx_b)))
+    idx = quads.withColumn("sbucket", bucket_expr("subj", idx_b))
     (idx.repartition("sbucket")
         .sortWithinPartitions("sbucket", "subj")
         .write.mode("overwrite").partitionBy("sbucket")
         .parquet(f"{out_dir}/subj_index"))
+    (spark.createDataFrame(
+        [(idx_b, _store_fingerprint(spark, out_dir))],
+        "index_buckets long, store_fingerprint string")
+     .write.mode("overwrite").parquet(f"{out_dir}/subj_index_meta"))
 
 
 def read_subject_quads(spark: SparkSession, out_dir: str, subj: str,
-                       buckets: int,
-                       index_buckets: int | None = None,
                        max_fanout: int = 10_000) -> DataFrame:
     """Entity dereference via the subject index: prune ONE sbucket
     directory for the subject's (url, bucket) pairs (a driver collect
@@ -354,13 +379,29 @@ def read_subject_quads(spark: SparkSession, out_dir: str, subj: str,
     (error-filtered, deduplicated). Never scans the store; both reads
     are partition-pruned.
 
+    The index modulus comes from the index's own meta row (never a
+    caller guess — a wrong modulus would prune the wrong directory and
+    return empty), and the meta's store fingerprint must match the
+    current lineage: a store mutated after the index build (upsert
+    wave, resume) raises STALE instead of silently omitting the new
+    documents' quads.
+
     ``max_fanout`` guards the point-lookup shape: a hub entity
     referenced from more documents than this is not a point lookup any
     more (the IN-lists and pruning benefit both degrade), so the
     function raises with guidance instead of silently materializing a
     huge url list on the driver — dereference such subjects with a
     distributed join against the index (index.where(subj) ⋈ store)."""
-    idx_b = index_buckets or buckets
+    from ..operators.parse import quads_only
+
+    meta = spark.read.parquet(f"{out_dir}/subj_index_meta").first()
+    fp = _store_fingerprint(spark, out_dir)
+    if meta["store_fingerprint"] != fp:
+        raise ValueError(
+            "subject index is STALE (store fingerprint "
+            f"{fp} != indexed {meta['store_fingerprint']}) — rebuild "
+            "with write_subject_index after mutating the store")
+    idx_b = int(meta["index_buckets"])
     sb = with_bucket(spark.createDataFrame([(subj,)], "subj string"),
                      idx_b, col="subj").first()["bucket"]
     pruned = (spark.read.parquet(f"{out_dir}/subj_index")
@@ -374,12 +415,10 @@ def read_subject_quads(spark: SparkSession, out_dir: str, subj: str,
             "a hub entity is not a point lookup; join the store "
             "against the pruned index instead")
     if not hits:
-        empty = spark.read.parquet(f"{out_dir}/quads").limit(0)
-        from ..operators.parse import quads_only
-        return quads_only(empty)
+        return quads_only(
+            spark.read.parquet(f"{out_dir}/quads").limit(0))
     bucket_set = sorted({int(r["bucket"]) for r in hits})
     url_set = sorted({r["url"] for r in hits})
-    from ..operators.parse import quads_only
     return (quads_only(
                 spark.read.parquet(f"{out_dir}/quads")
                 .where(F.col("bucket").isin(bucket_set)

@@ -280,14 +280,22 @@ def test_subject_index_dereference(spark, pages):
 
         from jsonld_streaming_parser_js_spark.plans.pipeline import (
             quads_table)
-        # an IRI subject present in several pages makes the multi-url
-        # path real (schema.org Organization nodes repeat across a
-        # site's pages in this corpus)
-        subj = (quads_table(spark, out)
-                .where(F.col("subj").startswith("<"))
-                .groupBy("subj").count().orderBy(F.desc("count"))
-                .first()["subj"])
-        got = lin.read_subject_quads(spark, out, subj, buckets)
+        # pick a subject that genuinely spans MULTIPLE documents so the
+        # multi-url-bucket path is exercised, and prove it
+        subj, n_urls = (quads_table(spark, out)
+                        .where(F.col("subj").startswith("<"))
+                        .groupBy("subj")
+                        .agg(F.countDistinct("url").alias("n"))
+                        .orderBy(F.desc("n")).first())
+        assert n_urls > 1, "fixture lost its cross-page subjects"
+        # index read is sbucket-pruned (assert on the pruned index
+        # scan's own plan, bracket contents)
+        idx = (spark.read.parquet(f"{out}/subj_index")
+               .where((F.col("sbucket") == 0) & (F.col("subj") == "x")))
+        iplan = idx._jdf.queryExecution().executedPlan().toString()
+        ipart = iplan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        assert "sbucket" in ipart, ipart
+        got = lin.read_subject_quads(spark, out, subj)
         plan = got._jdf.queryExecution().executedPlan().toString()
         part = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
         assert "bucket" in part, part
@@ -295,12 +303,23 @@ def test_subject_index_dereference(spark, pages):
         want = quads_table(spark, out).where(F.col("subj") == subj)
         assert rows == sorted(map(tuple, want.collect()))
         assert len(rows) > 0
+        # hub-entity guard raises instead of a driver-side blowup
+        with pytest.raises(ValueError, match="point lookup"):
+            lin.read_subject_quads(spark, out, subj, max_fanout=1)
         # absent subject: empty result, quad schema, no crash
         miss = lin.read_subject_quads(
-            spark, out, "<http://nowhere.example.org/none>", buckets)
+            spark, out, "<http://nowhere.example.org/none>")
         assert miss.count() == 0
         assert miss.columns == ["url", "blk", "subj", "pred", "obj",
                                 "graph"]
+        # a store mutation after the index build must raise STALE, not
+        # silently omit the new documents' quads
+        wave = extract_and_parse(
+            pages.limit(0), CONTEXTS)  # even an EMPTY wave recommits
+        lin.upsert_wave(spark, out, wave, buckets, snapshot_id="snap-S",
+                        wave_keys=pages.select("url").limit(1))
+        with pytest.raises(ValueError, match="STALE"):
+            lin.read_subject_quads(spark, out, subj)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
