@@ -411,6 +411,54 @@ def test_streaming_native_session_window_matches_batch(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_sessionize_guards_fail_loudly(spark):
+    """The two marker-collision guards and the flush validator raise
+    instead of silently corrupting sessions: a real event_id equal to
+    the sentinel marker would close a session mid-stream and drop the
+    row's value; a real user_id equal to the advancer pseudo-user
+    would have its sessions filtered from the result."""
+    import os
+
+    from jsonld_streaming_parser_js_spark.streaming import stateful
+
+    work = tempfile.mkdtemp(prefix="sess-guards-")
+    try:
+        def write_events(rows, name):
+            path = os.path.join(work, name)
+            (spark.createDataFrame(
+                rows, "user_id long, event_id long, ts timestamp_ntz, "
+                      "value double")
+             .write.mode("overwrite").parquet(path))
+            return path
+
+        import datetime as dt
+        t = dt.datetime(2024, 1, 1)
+        clean = write_events([(1, 5, t, 1.0)], "clean")
+        with pytest.raises(ValueError, match="unknown flush"):
+            stateful.streaming_sessionize(spark, clean, work,
+                                          flush="bogus")
+        sentinel_clash = write_events(
+            [(1, stateful._SENTINEL_EVENT, t, 1.0)], "sclash")
+        with pytest.raises(ValueError, match="sentinel"):
+            stateful.streaming_sessionize(
+                spark, sentinel_clash, os.path.join(work, "w1"),
+                flush="sentinel")
+        advancer_clash = write_events(
+            [(stateful._ADVANCER_USER, 5, t, 1.0)], "aclash")
+        with pytest.raises(ValueError, match="advancer"):
+            stateful.streaming_sessionize(
+                spark, advancer_clash, os.path.join(work, "w2"),
+                flush="timeout")
+        # and the colliding values are FINE in the mode they don't
+        # collide with (the guards are mode-scoped, not blanket)
+        out = stateful.streaming_sessionize(
+            spark, sentinel_clash, os.path.join(work, "w3"),
+            flush="timeout")
+        assert out.count() == 1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_sessionize_flush_modes_agree_on_fixture(spark):
     """flush='timeout' (EventTimeTimeout eviction) and flush='sentinel'
     produce the identical session table on the events fixture."""
