@@ -37,8 +37,10 @@ from jsonld_streaming_parser_js_spark.operators.parse import (
     pages_to_quads,
     quads_only,
 )
+from jsonld_streaming_parser_js_spark.operators import bgp
 from jsonld_streaming_parser_js_spark.operators import canonicalize as canon
 from jsonld_streaming_parser_js_spark.operators import dedup
+from jsonld_streaming_parser_js_spark.operators import inference
 from jsonld_streaming_parser_js_spark.operators import similarity
 from jsonld_streaming_parser_js_spark.operators import skew
 from jsonld_streaming_parser_js_spark.operators import stats
@@ -366,6 +368,32 @@ def _q_dedup_simhash(spark, sf_dir):
             .orderBy("doc_a", "doc_b"))
 
 
+def _q_dedup_neardup(spark, sf_dir):
+    """All three TEXT near-dup detectors in ONE lane (r7 registry
+    consolidation — frees slots for the entailment/BGP lanes while the
+    oracle still checks the UNION of the three former lanes'
+    assertions):
+
+    - method='ngram':   token-set Jaccard >= 0.1 within prefix blocks
+    - method='minhash': banded MinHash-LSH candidates, est_jaccard >= 0.5
+    - method='simhash': 64-bit SimHash pairs at Hamming distance <= 3
+
+    ``score`` is the method's own measure cast to double (jaccard |
+    est_jaccard | hamming) — the per-method value assertions are
+    unchanged, only stacked."""
+    ng = (_q_dedup_ngram_jaccard(spark, sf_dir)
+          .select(F.lit("ngram").alias("method"), "doc_a", "doc_b",
+                  F.col("jaccard").cast("double").alias("score")))
+    mh = (_q_dedup_minhash_lsh(spark, sf_dir)
+          .select(F.lit("minhash").alias("method"), "doc_a", "doc_b",
+                  F.col("est_jaccard").cast("double").alias("score")))
+    sh = (_q_dedup_simhash(spark, sf_dir)
+          .select(F.lit("simhash").alias("method"), "doc_a", "doc_b",
+                  F.col("hamming").cast("double").alias("score")))
+    return (ng.unionByName(mh).unionByName(sh)
+            .orderBy("method", "doc_a", "doc_b"))
+
+
 def _q_text_stats(spark, sf_dir):
     """Token counts + language-ID + fingerprint in ONE scan (r7 merge of
     the token_count / lang_id / fingerprint lanes; the oracle checks all
@@ -626,6 +654,53 @@ def _q_kg_pagerank(spark, sf_dir):
     pr = graphalgo.pagerank(edges, iterations=5)
     return (pr.select("node", F.round("rank", 6).alias("rank"))
             .orderBy("node"))
+
+
+def _q_kg_rdfs_entailment(spark, sf_dir):
+    """RDFS forward-chaining materialization (operators/inference.py):
+    the constructed KG closed under subClassOf / subPropertyOf /
+    domain / range — the inference step every KG-construction pipeline
+    runs between extraction and serving. The fixture ontology
+    (inference.DEFAULT_ONTOLOGY, the SAME constant the oracle renders
+    into its VALUES clause) exercises every rule plus their
+    compositions: a two-level class chain on the asserted Article type,
+    a class chain reachable only via the range rule (author IRIs ->
+    Person -> Agent -> Thing), a two-level property chain
+    (author -> contributor -> dcterms:contributor), and a range
+    declaration on a literal-valued predicate (inLanguage) that the
+    rdfs3 literal guard must fully suppress. The oracle replays the
+    closure with a recursive CTE; src tags provenance
+    ('asserted' | 'inferred') via the same min-tag groupBy."""
+    ent = inference.rdfs_entailment(
+        _quads(spark, sf_dir), inference.DEFAULT_ONTOLOGY)
+    return ent.orderBy("subj", "pred", "obj", "graph")
+
+
+def _q_kg_bgp_query(spark, sf_dir):
+    """SPARQL-style basic-graph-pattern query (operators/bgp.py) — the
+    serving-path conjunctive query over the constructed KG: articles
+    with their author entity and the author's name
+    (``?a rdf:type schema:Article . ?a schema:author ?p .
+    ?p schema:name ?n``). Patterns compile to predicate-pushed scans +
+    equi-joins on the shared variables (subject-subject AND
+    object-subject joins both exercised). The input is the DISTINCT
+    fact set (the materialized KG a serving layer stores — author
+    facts repeat across pages), so bindings are exact, not
+    multiplicity-dependent."""
+    # the computed KG feeds three pattern legs — materialize it once
+    # (EAGER localCheckpoint: lazy only helps from the second action,
+    # the legs fan out inside the first; shared-base rule); a
+    # parquet-backed store would instead rely on per-leg predicate
+    # pushdown (test_bgp_constants_push_to_parquet_scan)
+    kg = (_quads(spark, sf_dir)
+          .select("subj", "pred", "obj", "graph").distinct()
+          .localCheckpoint())
+    out = bgp.bgp_match(kg, [
+        ("?a", f"<{RDF_NS}type>", "<http://schema.org/Article>"),
+        ("?a", "<http://schema.org/author>", "?p"),
+        ("?p", "<http://schema.org/name>", "?n"),
+    ])
+    return out.orderBy("a", "p", "n")
 
 
 def _q_kg_block_templates(spark, sf_dir):
@@ -1207,8 +1282,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # eviction), events_sessionize (method = lag | native
     # session_window), kg_upsert_wave (change = store | added |
     # removed via wave_diff with crawled-url wave_keys).
+    # Late-r7 session 3: the three text near-dup lanes (ngram/minhash/
+    # simhash) merged into dedup_neardup (method discriminator,
+    # score = each method's own measure as double) to free two slots
+    # for the KG-tier additions kg_rdfs_entailment (RDFS forward
+    # chaining, operators/inference.py) and kg_bgp_query
+    # (triple-pattern conjunctive query, operators/bgp.py) — the
+    # registry stays at exactly 50.
     return {
         # -- changed/merged this round (r7) --
+        "kg_rdfs_entailment": _q_kg_rdfs_entailment,
+        "kg_bgp_query": _q_kg_bgp_query,
+        "dedup_neardup": _q_dedup_neardup,
         "text_repetition": _q_text_repetition,
         "kg_nquads_roundtrip": _q_kg_nquads_roundtrip,
         "streaming_sessionize": _q_streaming_sessionize,
@@ -1246,9 +1331,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_blocks": _q_kg_extract_blocks,
         "kg_author_labels": _q_kg_author_labels,
         "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_simhash": _q_dedup_simhash,
         "text_boilerplate": _q_text_boilerplate,
         "text_pii": _q_text_pii,
         "pipeline_clean_corpus": _q_pipeline_clean_corpus,
@@ -1478,6 +1560,67 @@ ORDER BY url, blk, subj, pred, obj, graph""")
     oracles["kg_pagerank"] = pagerank_oracle_sql(
         _with_quads("SELECT subj AS src, obj AS dst FROM q"
                     " WHERE substr(obj, 1, 1) <> '\"'"), iterations=5)
+
+    # RDFS entailment: recursive-CTE closure of the two hierarchies
+    # over the SAME ontology constant the Spark operator consumes
+    # (inference.ontology_values_sql), then the four rule joins and the
+    # same min-tag dedupe/provenance groupBy as the operator
+    _TYPE = inference.RDF_TYPE
+    oracles["kg_rdfs_entailment"] = f"""
+WITH RECURSIVE {_D_CTE}, {_expected_quads_cte()},
+ont AS (SELECT * FROM {inference.ontology_values_sql()}),
+scd AS (SELECT s AS sub, o AS sup FROM ont
+        WHERE p = '{inference.RDFS_SUBCLASS}'),
+scc AS (SELECT sub, sup FROM scd
+        UNION
+        SELECT d2.sub, c2.sup FROM scd d2 JOIN scc c2 ON d2.sup = c2.sub),
+spd AS (SELECT s AS sub, o AS sup FROM ont
+        WHERE p = '{inference.RDFS_SUBPROP}'),
+spc AS (SELECT sub, sup FROM spd
+        UNION
+        SELECT d2.sub, c2.sup FROM spd d2 JOIN spc c2 ON d2.sup = c2.sub),
+dmr AS (SELECT s AS dp, o AS dc FROM ont
+        WHERE p = '{inference.RDFS_DOMAIN}'),
+rgr AS (SELECT s AS rp, o AS rc FROM ont
+        WHERE p = '{inference.RDFS_RANGE}'),
+qd AS (SELECT subj, pred, obj, graph FROM q),
+spq AS (SELECT qd.subj, spc.sup AS pred, qd.obj, qd.graph
+        FROM qd JOIN spc ON qd.pred = spc.sub),
+allp AS (SELECT * FROM qd UNION ALL SELECT * FROM spq),
+domq AS (SELECT allp.subj, '{_TYPE}' AS pred, dmr.dc AS obj, allp.graph
+         FROM allp JOIN dmr ON allp.pred = dmr.dp),
+rngq AS (SELECT allp.obj AS subj, '{_TYPE}' AS pred, rgr.rc AS obj,
+                allp.graph
+         FROM allp JOIN rgr ON allp.pred = rgr.rp
+         WHERE NOT starts_with(allp.obj, '"')),
+typq AS (SELECT subj, obj, graph FROM allp WHERE pred = '{_TYPE}'
+         UNION ALL SELECT subj, obj, graph FROM domq
+         UNION ALL SELECT subj, obj, graph FROM rngq),
+scq AS (SELECT t2.subj, '{_TYPE}' AS pred, scc.sup AS obj, t2.graph
+        FROM typq t2 JOIN scc ON t2.obj = scc.sub),
+tagged AS (SELECT subj, pred, obj, graph, 0 AS tag FROM qd
+           UNION ALL SELECT subj, pred, obj, graph, 1 FROM spq
+           UNION ALL SELECT subj, pred, obj, graph, 1 FROM domq
+           UNION ALL SELECT subj, pred, obj, graph, 1 FROM rngq
+           UNION ALL SELECT subj, pred, obj, graph, 1 FROM scq)
+SELECT subj, pred, obj, graph,
+       CASE WHEN min(tag) = 0 THEN 'asserted' ELSE 'inferred' END AS src
+FROM tagged GROUP BY subj, pred, obj, graph
+ORDER BY subj, pred, obj, graph"""
+
+    # BGP: the same three-pattern conjunction as three self-joins of
+    # the DISTINCT fact set, default graph only
+    oracles["kg_bgp_query"] = _with_quads(f"""
+, kg AS (SELECT DISTINCT subj, pred, obj, graph FROM q)
+SELECT p1.subj AS a, p2.obj AS p, p3.obj AS n
+FROM kg p1
+JOIN kg p2 ON p2.subj = p1.subj
+JOIN kg p3 ON p3.subj = p2.obj
+WHERE p1.pred = '{_TYPE}' AND p1.obj = '<http://schema.org/Article>'
+  AND p1.graph = ''
+  AND p2.pred = '<http://schema.org/author>' AND p2.graph = ''
+  AND p3.pred = '<http://schema.org/name>' AND p3.graph = ''
+ORDER BY a, p, n""")
 
     # upsert: wave quads (changed names) replace their urls' quads wholesale
     oracles["kg_upsert_wave"] = (
@@ -1911,23 +2054,15 @@ SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
        count(*) AS n_dups
 FROM documents GROUP BY md5(text) ORDER BY text_md5"""
 
-    oracles["dedup_ngram_jaccard"] = """
-WITH t AS (
+    # ngram-Jaccard CTE, shared by the dedup_neardup merged oracle
+    # (the former standalone dedup_ngram_jaccard oracle, CTE renamed)
+    _ngram_cte = """ng_t AS (
   SELECT doc_id, md5(substr(text, 1, 32)) AS blk_key,
          list_filter(list_sort(list_distinct(
            string_split_regex(lower(text), '[^a-z0-9]+'))),
            x -> x <> '') AS toks
   FROM documents
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.toks, b.toks))
-             / greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1),
-             6) AS jaccard
-FROM t a JOIN t b ON a.blk_key = b.blk_key AND a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.toks, b.toks))
-            / greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1),
-            6) >= 0.1
-ORDER BY doc_a, doc_b"""
+)"""
 
 
     # quality features for every doc + the composite filter verdict
@@ -2321,9 +2456,55 @@ mh AS (
          >= {threshold}
 )"""
 
-    oracles["dedup_minhash_lsh"] = f"""
-WITH {minhash_ctes('documents', 0.5)}
-SELECT doc_a, doc_b, est_jaccard FROM mh ORDER BY doc_a, doc_b"""
+    # merged near-dup oracle (r7 consolidation): one WITH holding the
+    # three former lanes' CTEs (ngram CTE renamed ng_t, simhash CTEs
+    # prefixed sh_ to avoid hv/sig collisions with minhash_ctes), then
+    # the UNION ALL of the three former SELECTs with a method
+    # discriminator — the per-method assertions are unchanged
+    oracles["dedup_neardup"] = f"""
+WITH {_ngram_cte},
+{minhash_ctes('documents', 0.5)},
+sh_tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+           AS t
+  FROM documents
+),
+sh_hv AS (  -- 64-bit token hash: first 8 md5 bytes, big-endian
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM sh_tok
+),
+sh_votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM sh_hv CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sh_sig0 AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << bit)
+                     ELSE 0::UBIGINT END) AS s
+  FROM sh_votes GROUP BY doc_id
+),
+sh_sig AS (  -- docs with zero tokens get signature 0, like the Spark kernel
+  SELECT d.doc_id, coalesce(sh_sig0.s, 0::UBIGINT) AS s
+  FROM documents d LEFT JOIN sh_sig0 ON d.doc_id = sh_sig0.doc_id
+)
+SELECT 'ngram' AS method, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.toks, b.toks))
+             / greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1),
+             6) AS score
+FROM ng_t a JOIN ng_t b ON a.blk_key = b.blk_key AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.toks, b.toks))
+            / greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1),
+            6) >= 0.1
+UNION ALL
+SELECT 'minhash', doc_a, doc_b, est_jaccard FROM mh
+UNION ALL
+SELECT 'simhash', a.doc_id, b.doc_id,
+       CAST(bit_count(xor(a.s, b.s)) AS DOUBLE)
+FROM sh_sig a JOIN sh_sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+ORDER BY method, doc_a, doc_b"""
 
     # the cleaning chain: all four gates replayed in SQL over the same
     # injected corpus (see _chain_corpus / _NEAR/_PII/_TINY_TEXT_SQL)
@@ -2367,38 +2548,6 @@ FROM s2
 WHERE doc_id NOT IN (SELECT doc_id FROM drops)
   AND NOT ({pii_any})
 ORDER BY doc_id"""
-
-    oracles["dedup_simhash"] = """
-WITH tok AS (
-  SELECT doc_id,
-         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
-           AS t
-  FROM documents
-),
-hv AS (  -- 64-bit token hash: first 8 md5 bytes, big-endian
-  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok
-),
-votes AS (
-  SELECT doc_id, b.bit,
-         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-  FROM hv CROSS JOIN (SELECT unnest(range(64)) AS bit) b
-  GROUP BY doc_id, b.bit
-),
-sig0 AS (
-  SELECT doc_id,
-         bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << bit)
-                     ELSE 0::UBIGINT END) AS s
-  FROM votes GROUP BY doc_id
-),
-sig AS (  -- docs with zero tokens get signature 0, like the Spark kernel
-  SELECT d.doc_id, coalesce(sig0.s, 0::UBIGINT) AS s
-  FROM documents d LEFT JOIN sig0 ON d.doc_id = sig0.doc_id
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.s, b.s)) <= 3
-ORDER BY doc_a, doc_b"""
 
     def duck_bucket(n_planes: int, seed: int) -> str:
         """DuckDB twin of similarity.hyperplane_bucket_sql: identical plane

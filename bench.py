@@ -211,11 +211,12 @@ def main() -> None:
     spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
     headline = ["kg_quads", "kg_quads_by_predicate", "kg_canonical_clusters",
                 "kg_canonical_fuzzy",
-                "dedup_exact", "dedup_minhash_lsh", "sim_topk",
+                "dedup_exact", "dedup_neardup", "sim_topk",
                 "text_quality", "tpch_q1", "events_hourly",
                 "pipeline_clean_corpus", "kg_skew_salted_join",
                 "kg_pagerank", "text_decontaminate",
-                "approx_distinct_hll"]
+                "approx_distinct_hll", "kg_rdfs_entailment",
+                "kg_bgp_query"]
     qs = entry.queries()
     timings: dict[str, float] = {}
     for name in headline:

@@ -1,0 +1,124 @@
+"""Basic-graph-pattern (BGP) matching over the KG quad set.
+
+The SPARQL-core serving path: a conjunction of triple patterns with
+shared variables, compiled to filtered scans + equi-joins — i.e. the
+query a KG consumer actually runs against the constructed graph
+(``SELECT ?a ?p ?n WHERE { ?a rdf:type schema:Article . ?a schema:author
+?p . ?p schema:name ?n }``).
+
+Compilation model (declarative, Catalyst-friendly):
+
+- each pattern becomes ONE filtered projection of the quad frame:
+  constants turn into equality predicates (pushed to the scan —
+  ``PushedFilters`` on a parquet-backed store, pytest-checked),
+  variables turn into renamed columns;
+- patterns join left-to-right on their shared variables. A pattern
+  sharing no variable with the accumulated prefix would require a
+  cartesian product — that is an ERROR by default (``allow_product``)
+  rather than a silent 100 TB blow-up;
+- repeated variables inside one pattern (e.g. ``(?x ?p ?x)``) become a
+  self-equality predicate on that pattern's scan.
+
+Semantics: SPARQL BGP *bag* matching over the selected graph. The
+default-graph selection (``graph=''``) mirrors the engine's convention
+that top-level triples carry an empty graph label. Pass ``graph=None``
+to match across all graphs (the union graph) — the graph column then
+participates as a hidden per-pattern constraint only if a pattern
+binds it via ``graph_var``... deliberately NOT implemented: named-graph
+patterns (SPARQL ``GRAPH ?g``) are out of scope for the core BGP
+operator; callers filter/group on the quad frame directly for that.
+
+Scale design (100 TB): no driver-side data movement at all; every
+pattern is a predicate-pushed scan of the same store, so a
+pred-partitioned or bucketed quad layout prunes to the touched
+predicates. Join order is the caller's pattern order; AQE picks
+broadcast vs shuffle per join at runtime (selective patterns — type +
+constant — collapse to broadcast sides). Variable columns are term
+strings (high-cardinality, uniform) so shuffle keys don't skew.
+
+Reference scope note: the reference (jsonld-streaming-parser.js)
+produces quads and stops; BGP querying is the downstream capability
+that makes the constructed KG consumable. Pattern semantics follow
+W3C SPARQL 1.1 section 18.3 (basic graph pattern matching).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POSITIONS = ("subj", "pred", "obj")
+
+
+def is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?") and len(term) > 1
+
+
+def bgp_match(quads: DataFrame,
+              patterns: Sequence[tuple[str, str, str]],
+              graph: str | None = "",
+              allow_product: bool = False,
+              distinct: bool = False) -> DataFrame:
+    """Match a conjunction of triple patterns against the quad frame.
+
+    ``patterns``: (s, p, o) tuples; elements starting with ``?`` are
+    variables, everything else is a constant term in the engine's
+    N-Triples lexical form (``<iri>``, ``_:b0``, ``"lit"...``).
+    Returns one column per distinct variable, named without the ``?``.
+
+    ``graph``: quad-graph label to match in ('' = default graph, the
+    engine's top-level convention); None = union graph (all quads).
+    ``allow_product``: permit patterns that share no variable with the
+    prefix already joined (an explicit cartesian opt-in; default
+    raises, because an accidental product at corpus scale is a job
+    killer, not a query).
+    ``distinct``: apply set semantics to the final bindings (SPARQL
+    SELECT DISTINCT); default is bag semantics like SPARQL SELECT.
+    """
+    if not patterns:
+        raise ValueError("bgp_match needs at least one triple pattern")
+    base = quads.select("subj", "pred", "obj", "graph")
+    if graph is not None:
+        base = base.where(F.col("graph") == graph)
+
+    out: DataFrame | None = None
+    bound: set[str] = set()
+    for idx, pat in enumerate(patterns):
+        if len(pat) != 3:
+            raise ValueError(f"pattern {idx} is not a triple: {pat!r}")
+        cond = None
+        var_cols: dict[str, str] = {}  # var name -> first position col
+        for pos, term in zip(_POSITIONS, pat):
+            if is_var(term):
+                name = term[1:]
+                if name in var_cols:
+                    # repeated variable inside one pattern: equality
+                    # between the two positions of the same scan row
+                    c = F.col(pos) == F.col(var_cols[name])
+                    cond = c if cond is None else (cond & c)
+                else:
+                    var_cols[name] = pos
+            else:
+                c = F.col(pos) == F.lit(term)
+                cond = c if cond is None else (cond & c)
+        leg = base.where(cond) if cond is not None else base
+        leg = leg.select(
+            *[F.col(pos).alias(name) for name, pos in var_cols.items()])
+
+        if out is None:
+            out, bound = leg, set(var_cols)
+            continue
+        keys = sorted(bound & set(var_cols))
+        if not keys:
+            if not allow_product:
+                raise ValueError(
+                    f"pattern {idx} {pat!r} shares no variable with the "
+                    "patterns before it — this is a cartesian product; "
+                    "reorder the BGP or pass allow_product=True")
+            out = out.crossJoin(leg)
+        else:
+            out = out.join(leg, on=keys, how="inner")
+        bound |= set(var_cols)
+    return out.distinct() if distinct else out

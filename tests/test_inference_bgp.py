@@ -1,0 +1,208 @@
+"""RDFS entailment (operators/inference.py) + BGP matching
+(operators/bgp.py) unit tests on hand-built quad frames — exact row
+assertions, independent of the synthetic corpus (the corpus-level value
+check is the kg_rdfs_entailment / kg_bgp_query oracle lanes)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonld_streaming_parser_js_spark.operators import bgp, inference
+from jsonld_streaming_parser_js_spark.operators.inference import (
+    DEFAULT_ONTOLOGY,
+    RDF_TYPE,
+    RDFS_DOMAIN,
+    RDFS_LABEL,
+    RDFS_SUBCLASS,
+    rdfs_entailment,
+    split_ontology,
+    transitive_closure,
+)
+
+S = "http://schema.org/"
+QUAD_SCHEMA = "subj string, pred string, obj string, graph string"
+
+
+def _quads_df(spark, rows):
+    return spark.createDataFrame(rows, schema=QUAD_SCHEMA)
+
+
+HAND_QUADS = [
+    (f"<a>", RDF_TYPE, f"<{S}Article>", ""),
+    (f"<a>", f"<{S}author>", "<p1>", ""),
+    ("<p1>", f"<{S}name>", '"P1"', ""),
+    ("<x>", f"<{S}inLanguage>", '"en"', ""),
+    # named graph: inferred label must stay in <g>
+    ("<p1>", f"<{S}name>", '"G"@en', "<g>"),
+]
+
+
+def _entailed(spark, quads_rows=HAND_QUADS, ontology=DEFAULT_ONTOLOGY):
+    df = rdfs_entailment(_quads_df(spark, quads_rows), ontology)
+    return {(r.subj, r.pred, r.obj, r.graph): r.src for r in df.collect()}
+
+
+# ---------------------------------------------------------------- closure
+
+def test_transitive_closure_chain_and_cycle():
+    assert transitive_closure([("a", "b"), ("b", "c"), ("c", "d")]) == {
+        ("a", "b"), ("b", "c"), ("c", "d"),
+        ("a", "c"), ("b", "d"), ("a", "d")}
+    # cycle-safe: fixpoint terminates, includes the self-loops the
+    # cycle entails
+    cyc = transitive_closure([("a", "b"), ("b", "a")])
+    assert cyc == {("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")}
+
+
+def test_split_ontology_rejects_instance_triples():
+    with pytest.raises(ValueError, match="non-RDFS"):
+        split_ontology([("<a>", RDF_TYPE, f"<{S}Article>")])
+
+
+# ----------------------------------------------------------- entailment
+
+def test_rdfs_rules_and_compositions(spark):
+    got = _entailed(spark)
+    # rdfs9 chain on the asserted type
+    assert got[("<a>", RDF_TYPE, f"<{S}CreativeWork>", "")] == "inferred"
+    assert got[("<a>", RDF_TYPE, f"<{S}Thing>", "")] == "inferred"
+    # rdfs3 -> rdfs9 composition: range gives Person, closure lifts it
+    assert got[("<p1>", RDF_TYPE, f"<{S}Person>", "")] == "inferred"
+    assert got[("<p1>", RDF_TYPE, f"<{S}Agent>", "")] == "inferred"
+    assert got[("<p1>", RDF_TYPE, f"<{S}Thing>", "")] == "inferred"
+    # rdfs7 two-level property chain
+    assert got[("<a>", f"<{S}contributor>", "<p1>", "")] == "inferred"
+    assert got[("<a>", "<http://purl.org/dc/terms/contributor>",
+                "<p1>", "")] == "inferred"
+    # rdfs7 on name -> rdfs:label, graph attribution preserved
+    assert got[("<p1>", RDFS_LABEL, '"P1"', "")] == "inferred"
+    assert got[("<p1>", RDFS_LABEL, '"G"@en', "<g>")] == "inferred"
+    # rdfs3 literal guard: inLanguage range must infer NOTHING
+    assert not any(o == f"<{S}Language>" for (_, _, o, _) in got)
+    # asserted facts keep their tag
+    assert got[("<a>", RDF_TYPE, f"<{S}Article>", "")] == "asserted"
+    # exact inventory: 5 asserted + 9 inferred
+    assert len(got) == 14
+    assert sum(1 for v in got.values() if v == "inferred") == 9
+
+
+def test_provenance_min_tag_prefers_asserted(spark):
+    rows = HAND_QUADS + [("<a>", RDF_TYPE, f"<{S}CreativeWork>", "")]
+    got = _entailed(spark, rows)
+    # derivable AND asserted -> asserted wins, exactly one row
+    assert got[("<a>", RDF_TYPE, f"<{S}CreativeWork>", "")] == "asserted"
+    assert len(got) == 15 - 1  # same fact set as before
+
+
+def test_ontology_as_dataframe_and_bound_guard(spark):
+    ont_df = spark.createDataFrame(
+        list(DEFAULT_ONTOLOGY), schema="subj string, pred string, obj string")
+    via_df = rdfs_entailment(_quads_df(spark, HAND_QUADS), ont_df)
+    via_seq = rdfs_entailment(_quads_df(spark, HAND_QUADS),
+                              DEFAULT_ONTOLOGY)
+    assert (sorted(map(tuple, via_df.collect()))
+            == sorted(map(tuple, via_seq.collect())))
+    with pytest.raises(ValueError, match="max_ontology_rows"):
+        rdfs_entailment(_quads_df(spark, HAND_QUADS), ont_df,
+                        max_ontology_rows=2)
+
+
+def test_empty_ontology_is_identity_all_asserted(spark):
+    got = _entailed(spark, ontology=[])
+    assert len(got) == len(HAND_QUADS)
+    assert set(got.values()) == {"asserted"}
+
+
+def test_duplicate_input_facts_collapse(spark):
+    rows = HAND_QUADS + [HAND_QUADS[0]]  # same fact twice (two pages)
+    got = _entailed(spark, rows)
+    assert len(got) == 14  # output is a fact SET
+
+
+# ------------------------------------------------------------------ BGP
+
+BGP_QUADS = [
+    ("<a1>", RDF_TYPE, f"<{S}Article>", ""),
+    ("<a1>", f"<{S}author>", "<p1>", ""),
+    ("<a2>", RDF_TYPE, f"<{S}Article>", ""),
+    ("<a2>", f"<{S}author>", "<p1>", ""),
+    ("<p1>", f"<{S}name>", '"P1"', ""),
+    # distractors: wrong type, named-graph fact, self-loop
+    ("<o1>", RDF_TYPE, f"<{S}Organization>", ""),
+    ("<a3>", RDF_TYPE, f"<{S}Article>", "<g>"),
+    ("<p1>", f"<{S}knows>", "<p1>", ""),
+    ("<p1>", f"<{S}knows>", "<a1>", ""),
+]
+
+
+def test_bgp_three_pattern_conjunction(spark):
+    out = bgp.bgp_match(_quads_df(spark, BGP_QUADS), [
+        ("?a", RDF_TYPE, f"<{S}Article>"),
+        ("?a", f"<{S}author>", "?p"),
+        ("?p", f"<{S}name>", "?n"),
+    ])
+    rows = {(r.a, r.p, r.n) for r in out.collect()}
+    assert rows == {("<a1>", "<p1>", '"P1"'),
+                    ("<a2>", "<p1>", '"P1"')}
+
+
+def test_bgp_repeated_variable_is_self_equality(spark):
+    out = bgp.bgp_match(_quads_df(spark, BGP_QUADS),
+                        [("?x", f"<{S}knows>", "?x")])
+    assert [r.x for r in out.collect()] == ["<p1>"]
+
+
+def test_bgp_graph_selection(spark):
+    pat = [("?a", RDF_TYPE, f"<{S}Article>")]
+    default_g = {r.a for r in
+                 bgp.bgp_match(_quads_df(spark, BGP_QUADS), pat).collect()}
+    assert default_g == {"<a1>", "<a2>"}
+    union_g = {r.a for r in
+               bgp.bgp_match(_quads_df(spark, BGP_QUADS), pat,
+                             graph=None).collect()}
+    assert union_g == {"<a1>", "<a2>", "<a3>"}
+
+
+def test_bgp_disconnected_pattern_raises_unless_opted_in(spark):
+    df = _quads_df(spark, BGP_QUADS)
+    pats = [("?a", RDF_TYPE, f"<{S}Article>"),
+            ("?x", f"<{S}name>", "?n")]
+    with pytest.raises(ValueError, match="cartesian"):
+        bgp.bgp_match(df, pats)
+    out = bgp.bgp_match(df, pats, allow_product=True)
+    assert out.count() == 2 * 1  # 2 articles x 1 name fact
+
+
+def test_bgp_bag_vs_set_semantics(spark):
+    # two articles share the author -> projecting just the author is a
+    # bag of 2 under SPARQL semantics; distinct=True collapses it
+    df = _quads_df(spark, BGP_QUADS)
+    pats = [("?a", f"<{S}author>", "?p")]
+    bag = bgp.bgp_match(df, pats).select("p")
+    assert bag.count() == 2
+    only_p = bgp.bgp_match(df, pats, distinct=True).select("p").distinct()
+    assert only_p.count() == 1
+
+
+def test_bgp_input_validation(spark):
+    df = _quads_df(spark, BGP_QUADS)
+    with pytest.raises(ValueError, match="at least one"):
+        bgp.bgp_match(df, [])
+    with pytest.raises(ValueError, match="not a triple"):
+        bgp.bgp_match(df, [("?a", "?b")])
+
+
+def test_bgp_constants_push_to_parquet_scan(spark, tmp_path):
+    """Serving path: over a parquet-backed quad store, the pattern
+    constants must reach the scan as PushedFilters (bracket-contents
+    check, not substring-after-marker)."""
+    store = str(tmp_path / "quads")
+    _quads_df(spark, BGP_QUADS).write.parquet(store)
+    out = bgp.bgp_match(spark.read.parquet(store), [
+        ("?a", RDF_TYPE, f"<{S}Article>"),
+        ("?a", f"<{S}author>", "?p"),
+    ])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "pred" in pushed and "EqualTo" in pushed
+    rows = {(r.a, r.p) for r in out.collect()}
+    assert rows == {("<a1>", "<p1>"), ("<a2>", "<p1>")}

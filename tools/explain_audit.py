@@ -428,6 +428,59 @@ def main() -> None:
           f"Exchange x{p.count('Exchange')}, Window "
           f"x{p.count('Window')}")
 
+    # RDFS entailment: every rule joins the corpus against the tiny
+    # CLOSED ontology — joins must ALL be broadcast (the corpus side is
+    # never shuffled for a rule), the base parse materializes exactly
+    # once (ExistingRDD), and the whole materialization pays ONE data
+    # shuffle (the dedupe/provenance groupBy). The plan TEXT replicates
+    # the broadcast probes across rule branches (allp feeds four legs;
+    # Spark shares exchanges, not arbitrary subplans) — every replica
+    # is a map-side hash probe over the one checkpointed base, so the
+    # BHJ count is recorded as evidence, not pinned
+    from jsonld_streaming_parser_js_spark.operators.inference import (
+        DEFAULT_ONTOLOGY, rdfs_entailment)
+    p = plan_of(rdfs_entailment(e._quads(spark, sf), DEFAULT_ONTOLOGY))
+    n_shuffle = p.count("Exchange") - p.count("BroadcastExchange")
+    check("rdfs entailment: broadcast-only rule joins, ONE data shuffle",
+          p.count("BroadcastHashJoin") >= 4 and "SortMergeJoin" not in p
+          and "Cartesian" not in p and "BroadcastNestedLoopJoin" not in p
+          and "ExistingRDD" in p and n_shuffle == 1,
+          f"BHJ x{p.count('BroadcastHashJoin')} (branch replicas), "
+          f"SMJ x{p.count('SortMergeJoin')}, shuffle Exchange "
+          f"x{n_shuffle}, base ExistingRDD={'ExistingRDD' in p}")
+
+    # BGP over a parquet-backed quad store (the serving path): each
+    # pattern leg is its own predicate-pushed scan — every scan's
+    # PushedFilters bracket must carry the pred constant (bracket
+    # CONTENTS, not substring-after-marker) — and the variable joins
+    # never degenerate to a product
+    import shutil as _sh
+    import tempfile as _tf2
+    from jsonld_streaming_parser_js_spark.operators import bgp as _bgp
+    _bgpd = _tf2.mkdtemp(prefix="audit_bgp_")
+    try:
+        (e._quads(spark, sf).select("subj", "pred", "obj", "graph")
+         .write.mode("overwrite").parquet(_bgpd))
+        q = _bgp.bgp_match(spark.read.parquet(_bgpd), [
+            ("?a", f"<{e.RDF_NS}type>", "<http://schema.org/Article>"),
+            ("?a", "<http://schema.org/author>", "?p"),
+            ("?p", "<http://schema.org/name>", "?n"),
+        ])
+        p = plan_of(q)
+        brackets = [s.split("]", 1)[0]
+                    for s in p.split("PushedFilters: [")[1:]]
+        check("bgp: constants pushed to all 3 store scans, no product",
+              len(brackets) == 3
+              and all("pred" in b for b in brackets)
+              and "Cartesian" not in p
+              and "BroadcastNestedLoopJoin" not in p,
+              f"scans with pred filter "
+              f"{sum('pred' in b for b in brackets)}/{len(brackets)}, "
+              f"cartesian x{p.count('Cartesian')}, "
+              f"BNLJ x{p.count('BroadcastNestedLoopJoin')}")
+    finally:
+        _sh.rmtree(_bgpd, ignore_errors=True)
+
     with open(os.path.join(ROOT, "EXPLAIN.md"), "w") as f:
         f.write("# EXPLAIN audit — physical-plan invariants\n\n")
         f.write("Generated by `python tools/explain_audit.py`; re-run "
