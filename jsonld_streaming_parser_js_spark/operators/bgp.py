@@ -70,10 +70,13 @@ def bgp_match(quads: DataFrame,
 
     ``graph``: quad-graph label to match in ('' = default graph, the
     engine's top-level convention); None = union graph (all quads).
-    ``allow_product``: permit patterns that share no variable with the
-    prefix already joined (an explicit cartesian opt-in; default
-    raises, because an accidental product at corpus scale is a job
-    killer, not a query).
+    ``allow_product``: permit VARIABLE-bearing patterns that share no
+    variable with the prefix already joined (an explicit cartesian
+    opt-in; default raises, because an accidental product at corpus
+    scale is a job killer, not a query). Ground (all-constant)
+    patterns never need the opt-in: they are existence filters whose
+    match count (0/1 on a distinct fact set) multiplies the bindings —
+    SPARQL bag semantics — via a bounded crossJoin.
     ``distinct``: apply set semantics to the final bindings (SPARQL
     SELECT DISTINCT); default is bag semantics like SPARQL SELECT.
     """
@@ -85,6 +88,7 @@ def bgp_match(quads: DataFrame,
 
     out: DataFrame | None = None
     bound: set[str] = set()
+    markers: list[str] = []  # ground-pattern placeholder columns
     for idx, pat in enumerate(patterns):
         if len(pat) != 3:
             raise ValueError(f"pattern {idx} is not a triple: {pat!r}")
@@ -104,21 +108,38 @@ def bgp_match(quads: DataFrame,
                 c = F.col(pos) == F.lit(term)
                 cond = c if cond is None else (cond & c)
         leg = base.where(cond) if cond is not None else base
-        leg = leg.select(
-            *[F.col(pos).alias(name) for name, pos in var_cols.items()])
+        ground = not var_cols
+        if ground:
+            # all-constant pattern: a highly selective existence
+            # filter (bag semantics: k matching quads multiply the
+            # bindings by k — 0 or 1 on a distinct fact set). A
+            # placeholder column keeps the DataFrame non-degenerate;
+            # it is dropped before returning.
+            marker = f"__ground_{idx}"
+            markers.append(marker)
+            leg = leg.select(F.lit(True).alias(marker))
+        else:
+            leg = leg.select(
+                *[F.col(pos).alias(name) for name, pos in var_cols.items()])
 
         if out is None:
             out, bound = leg, set(var_cols)
             continue
         keys = sorted(bound & set(var_cols))
-        if not keys:
-            if not allow_product:
-                raise ValueError(
-                    f"pattern {idx} {pat!r} shares no variable with the "
-                    "patterns before it — this is a cartesian product; "
-                    "reorder the BGP or pass allow_product=True")
-            out = out.crossJoin(leg)
-        else:
+        if keys:
             out = out.join(leg, on=keys, how="inner")
+        elif ground or not bound:
+            # a ground leg (or a prefix that is ONLY ground legs) is a
+            # bounded multiplier, not a data-sized product — no opt-in
+            # needed
+            out = out.crossJoin(leg)
+        elif not allow_product:
+            raise ValueError(
+                f"pattern {idx} {pat!r} shares no variable with the "
+                "patterns before it — this is a cartesian product; "
+                "reorder the BGP or pass allow_product=True")
+        else:
+            out = out.crossJoin(leg)
         bound |= set(var_cols)
+    out = out.drop(*markers) if markers else out
     return out.distinct() if distinct else out

@@ -19,7 +19,15 @@ ontology — the schema-is-small assumption every RDFS-on-Spark design
 makes), then the rules compose in one pass because the rule dependency
 graph is acyclic: subPropertyOf produces property assertions, which
 feed domain/range, which produce type assertions, which feed
-subClassOf — and nothing feeds back into subPropertyOf. So the
+subClassOf — and nothing feeds back into subPropertyOf. Acyclicity
+REQUIRES that the ontology never constrains ``rdf:type`` itself (no
+``rdf:type rdfs:subPropertyOf ...``, no domain/range ON ``rdf:type``)
+— such an ontology would route inferred type triples back into the
+property rules, which a single pass cannot honor, so
+``split_ontology`` rejects it loudly (same guard pattern as the
+non-RDFS-predicate check). ``... rdfs:subPropertyOf rdf:type`` (a
+property whose assertions ARE type assertions) is fine: sp-lifted
+rows flow into the subClassOf leg like any other type row. So the
 materialization is exactly four broadcast joins over ONE scan of the
 quad set, never an iterate-until-fixpoint over 100 TB.
 
@@ -126,6 +134,20 @@ def split_ontology(ontology: Sequence[tuple[str, str, str]]) -> dict:
             f"ontology contains non-RDFS predicates {extra}; "
             "rdfs_entailment handles subClassOf/subPropertyOf/domain/"
             "range only — strip instance triples before passing")
+    # acyclicity guard: constraining rdf:type itself (as a subProperty
+    # SOURCE or as the predicate of a domain/range) would feed inferred
+    # type triples BACK into the property rules, which the single-pass
+    # composition cannot honor — reject loudly instead of silently
+    # under-entailing (``p subPropertyOf rdf:type`` is fine: sp-lifted
+    # rows land in the subClassOf leg like any asserted type row)
+    if any(sub == RDF_TYPE for sub, _ in sp) \
+            or any(p == RDF_TYPE for p, _ in dom | rng):
+        raise ValueError(
+            "ontology constrains rdf:type itself (rdf:type as a "
+            "subPropertyOf source, or domain/range declared on "
+            "rdf:type); the single-pass rule composition would be "
+            "incomplete for it — rewrite the ontology without "
+            "rdf:type meta-constraints")
     return {"sc": sc, "sp": sp, "dom": dom, "rng": rng}
 
 
@@ -152,7 +174,7 @@ def rdfs_entailment(quads: DataFrame,
     quad frame from ~6 plan branches; on a COMPUTED input (the parse
     pipeline) that would re-run the upstream job per branch (the
     shared-base lesson of connected_components / pagerank), so the
-    base projection is lazily localCheckpoint'd once. Pass False when
+    base projection is EAGERLY localCheckpoint'd once. Pass False when
     ``quads`` is a cheap columnar store scan — there, re-scanning with
     per-leg predicate pushdown beats materializing the full frame.
     """

@@ -58,6 +58,36 @@ def test_split_ontology_rejects_instance_triples():
         split_ontology([("<a>", RDF_TYPE, f"<{S}Article>")])
 
 
+def test_split_ontology_rejects_rdf_type_meta_constraints():
+    """Constraining rdf:type itself would feed inferred type triples
+    back into the property rules — single-pass composition would
+    silently under-entail, so the guard must raise."""
+    from jsonld_streaming_parser_js_spark.operators.inference import (
+        RDFS_RANGE, RDFS_SUBPROP)
+    with pytest.raises(ValueError, match="rdf:type"):
+        split_ontology([(RDF_TYPE, RDFS_SUBPROP, f"<{S}isA>")])
+    with pytest.raises(ValueError, match="rdf:type"):
+        split_ontology([(RDF_TYPE, RDFS_RANGE, f"<{S}Class>")])
+    with pytest.raises(ValueError, match="rdf:type"):
+        split_ontology([(RDF_TYPE, RDFS_DOMAIN, f"<{S}Thing>")])
+    # the SAFE direction (p subPropertyOf rdf:type) stays allowed:
+    # sp-lifted rows land in the subClassOf leg like asserted types
+    parts = split_ontology([(f"<{S}isA>", RDFS_SUBPROP, RDF_TYPE)])
+    assert parts["sp"] == {(f"<{S}isA>", RDF_TYPE)}
+
+
+def test_sp_into_rdf_type_feeds_subclass_rule(spark):
+    """(isA subPropertyOf rdf:type): isA assertions become type
+    assertions, which must then flow through the subClassOf closure."""
+    ont = [(f"<{S}isA>", "<http://www.w3.org/2000/01/rdf-schema#"
+            "subPropertyOf>", RDF_TYPE),
+           (f"<{S}Article>", RDFS_SUBCLASS, f"<{S}CreativeWork>")]
+    rows = [("<a>", f"<{S}isA>", f"<{S}Article>", "")]
+    got = _entailed(spark, rows, ont)
+    assert got[("<a>", RDF_TYPE, f"<{S}Article>", "")] == "inferred"
+    assert got[("<a>", RDF_TYPE, f"<{S}CreativeWork>", "")] == "inferred"
+
+
 # ----------------------------------------------------------- entailment
 
 def test_rdfs_rules_and_compositions(spark):
@@ -173,14 +203,32 @@ def test_bgp_disconnected_pattern_raises_unless_opted_in(spark):
 
 
 def test_bgp_bag_vs_set_semantics(spark):
-    # two articles share the author -> projecting just the author is a
-    # bag of 2 under SPARQL semantics; distinct=True collapses it
-    df = _quads_df(spark, BGP_QUADS)
+    # duplicated input fact -> the SAME binding twice under bag
+    # semantics; distinct=True (and only it) collapses the duplicate
+    df = _quads_df(spark, BGP_QUADS + [("<a1>", f"<{S}author>", "<p1>", "")])
     pats = [("?a", f"<{S}author>", "?p")]
-    bag = bgp.bgp_match(df, pats).select("p")
-    assert bag.count() == 2
-    only_p = bgp.bgp_match(df, pats, distinct=True).select("p").distinct()
-    assert only_p.count() == 1
+    bag = sorted((r.a, r.p) for r in bgp.bgp_match(df, pats).collect())
+    assert bag == [("<a1>", "<p1>"), ("<a1>", "<p1>"), ("<a2>", "<p1>")]
+    dis = sorted((r.a, r.p) for r in
+                 bgp.bgp_match(df, pats, distinct=True).collect())
+    assert dis == [("<a1>", "<p1>"), ("<a2>", "<p1>")]
+
+
+def test_bgp_ground_pattern_is_existence_filter(spark):
+    """All-constant patterns are valid SPARQL: they gate the other
+    bindings on the triple's existence (no cartesian opt-in needed),
+    in any position in the pattern list."""
+    df = _quads_df(spark, BGP_QUADS)
+    hit = [("?a", RDF_TYPE, f"<{S}Article>"),
+           ("<p1>", f"<{S}name>", '"P1"')]  # exists -> pass-through
+    assert bgp.bgp_match(df, hit).count() == 2
+    miss = [("?a", RDF_TYPE, f"<{S}Article>"),
+            ("<p1>", f"<{S}name>", '"NOPE"')]  # absent -> empty
+    assert bgp.bgp_match(df, miss).count() == 0
+    # ground-first prefix then variables: same gating, columns intact
+    first = bgp.bgp_match(df, [("<p1>", f"<{S}name>", '"P1"'),
+                               ("?a", RDF_TYPE, f"<{S}Article>")])
+    assert first.columns == ["a"] and first.count() == 2
 
 
 def test_bgp_input_validation(spark):
@@ -202,7 +250,11 @@ def test_bgp_constants_push_to_parquet_scan(spark, tmp_path):
         ("?a", f"<{S}author>", "?p"),
     ])
     plan = out._jdf.queryExecution().executedPlan().toString()
-    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
-    assert "pred" in pushed and "EqualTo" in pushed
+    brackets = [s.split("]", 1)[0]
+                for s in plan.split("PushedFilters: [")[1:]]
+    # EVERY pattern leg's scan must carry its pred constant — checking
+    # only the first bracket would let the second leg regress silently
+    assert len(brackets) == 2
+    assert all("pred" in b and "EqualTo" in b for b in brackets)
     rows = {(r.a, r.p) for r in out.collect()}
     assert rows == {("<a1>", "<p1>"), ("<a2>", "<p1>")}

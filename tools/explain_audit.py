@@ -440,7 +440,12 @@ def main() -> None:
     from jsonld_streaming_parser_js_spark.operators.inference import (
         DEFAULT_ONTOLOGY, rdfs_entailment)
     p = plan_of(rdfs_entailment(e._quads(spark, sf), DEFAULT_ONTOLOGY))
-    n_shuffle = p.count("Exchange") - p.count("BroadcastExchange")
+    # count real shuffle nodes only: 'Exchange hashpartitioning' lines
+    # that are not Reused* references (a ReusedExchange of a broadcast
+    # probe must not count as a data shuffle)
+    n_shuffle = sum(1 for ln in p.splitlines()
+                    if "Exchange hashpartitioning" in ln
+                    and "Reused" not in ln)
     check("rdfs entailment: broadcast-only rule joins, ONE data shuffle",
           p.count("BroadcastHashJoin") >= 4 and "SortMergeJoin" not in p
           and "Cartesian" not in p and "BroadcastNestedLoopJoin" not in p
