@@ -17,7 +17,7 @@ amplified input sizes, recording wall time, total shuffle write bytes
 
 Usage: python tools/scale_probe.py [--fuzzy 1,30,100] [--memo 1000]
        [--decon 40,500] [--pagerank 1,10,50] [--ccchain 100000]
-       [--hll 5000000]
+       [--hll 5000000] [--rdfs 1,10,50]
 Every leg is opt-in (no defaults run), so a single-leg invocation
 reproduces exactly the one BENCH.md table it names. Prints one JSON
 line; BENCH.md quotes it.
@@ -211,6 +211,50 @@ def pagerank_leg(spark, amplify: int, base) -> dict:
             "shuffle_write_bytes": _delta(sw0, sw1)}
 
 
+def rdfs_leg(spark, amplify: int, base) -> dict:
+    """RDFS entailment at an amplified KG: the real quad set is
+    replicated with a per-replica suffix on INSTANCE terms only
+    (subjects, bnodes, entity objects) while vocabulary IRIs
+    (schema.org classes/properties, rdf:/rdfs: terms) and literals are
+    left intact — every replica is a disjoint instance graph over the
+    SAME ontology, so rule hits (and the inferred fact count) grow
+    exactly linearly. The scale claim under test: wall ~ O(quads) —
+    the rule legs are broadcast probes over one materialized base and
+    the only shuffle is the final dedupe/provenance groupBy on uniform
+    quad keys."""
+    from pyspark.sql import functions as F
+
+    from jsonld_streaming_parser_js_spark.operators.inference import (
+        DEFAULT_ONTOLOGY, rdfs_entailment)
+
+    sfx = F.concat(F.lit("#r"), F.col("rep").cast("string"))
+
+    def rename(col: str):
+        keep = (F.col(col).startswith('"')
+                | F.col(col).startswith("<http://schema.org/")
+                | F.col(col).startswith("<http://www.w3.org")
+                | (F.col(col) == F.lit("")))
+        return F.when(keep, F.col(col)).otherwise(F.concat(F.col(col), sfx))
+
+    rep = base.withColumn("rep", F.explode(
+        F.sequence(F.lit(0), F.lit(amplify - 1))))
+    quads = rep.select(rename("subj").alias("subj"), "pred",
+                       rename("obj").alias("obj"),
+                       rename("graph").alias("graph"))
+    sw0 = _shuffle_write_bytes(spark)
+    t0 = time.time()
+    ent = rdfs_entailment(quads, DEFAULT_ONTOLOGY)
+    by_src = dict(ent.groupBy("src").count().collect())
+    wall = time.time() - t0
+    sw1 = _shuffle_write_bytes(spark)
+    return {"amplify": amplify,
+            "n_quads_in": base.count() * amplify,
+            "n_asserted": by_src.get("asserted", 0),
+            "n_inferred": by_src.get("inferred", 0),
+            "wall_sec": round(wall, 1),
+            "shuffle_write_bytes": _delta(sw0, sw1)}
+
+
 def cc_chain_leg(spark, n_chain: int) -> dict:
     """Two-phase CC at pathological diameter (BENCH.md "diameter
     100,000" table): ONE n_chain-node chain (diameter = n_chain) plus
@@ -296,6 +340,8 @@ def main() -> None:
                    help="comma-separated eval_amplify values, e.g. 40,500")
     p.add_argument("--pagerank", default="",
                    help="comma-separated amplify values, e.g. 1,10,50")
+    p.add_argument("--rdfs", default="",
+                   help="comma-separated amplify values, e.g. 1,10,50")
     p.add_argument("--ccchain", type=int, default=0,
                    help="two-phase CC chain length, e.g. 100000")
     p.add_argument("--hll", type=int, default=0,
@@ -330,6 +376,19 @@ def main() -> None:
             out["pagerank"].append(leg)
             print(f"# pagerank x{amp}: {leg}", file=sys.stderr)
         pr_base.unpersist()
+
+    rdfs_amps = [int(a) for a in args.rdfs.split(",") if a]
+    if rdfs_amps:
+        import __spark_entry__ as entry
+        rdfs_base = (entry._quads(spark, SF_DIR)
+                     .select("subj", "pred", "obj", "graph")
+                     .localCheckpoint())
+        out["rdfs"] = []
+        for amp in rdfs_amps:
+            leg = rdfs_leg(spark, amp, rdfs_base)
+            out["rdfs"].append(leg)
+            print(f"# rdfs x{amp}: {leg}", file=sys.stderr)
+        rdfs_base.unpersist()
 
     if args.ccchain:
         out["cc_chain"] = cc_chain_leg(spark, args.ccchain)
