@@ -677,17 +677,27 @@ def _q_kg_rdfs_entailment(spark, sf_dir):
 
 
 def _q_kg_bgp_query(spark, sf_dir):
-    """SPARQL-style basic-graph-pattern query (operators/bgp.py) — the
-    serving-path conjunctive query over the constructed KG: articles
-    with their author entity and the author's name
-    (``?a rdf:type schema:Article . ?a schema:author ?p .
-    ?p schema:name ?n``). Patterns compile to predicate-pushed scans +
-    equi-joins on the shared variables (subject-subject AND
-    object-subject joins both exercised). The input is the DISTINCT
-    fact set (the materialized KG a serving layer stores — author
-    facts repeat across pages), so bindings are exact, not
-    multiplicity-dependent."""
-    # the computed KG feeds three pattern legs — materialize it once
+    """SPARQL-style graph-pattern queries (operators/bgp.py) — the
+    serving path over the constructed KG, BOTH core evaluation modes
+    in one lane (shape discriminator; columns v1/v2/v3 are each
+    shape's bindings in pattern order):
+
+    - shape='authors': the conjunctive BGP ``?a rdf:type schema:Article
+      . ?a schema:author ?p . ?p schema:name ?n`` — predicate-pushed
+      scans + equi-joins on shared variables (subject-subject AND
+      object-subject joins), (v1, v2, v3) = (article, person, name).
+    - shape='listpath': a property PATH composed with a regular
+      pattern: ``?nav schema:crumbs ?l . ?l rdf:rest+ ?m`` over the
+      breadcrumb list chains — path_closure evaluates rdf:rest+ by
+      iterated squaring (O(log diameter) rounds), then joins the
+      crumbs pattern like any leg; (v1, v2, v3) = (nav, list head,
+      reachable tail). The oracle replays the closure with a
+      recursive CTE.
+
+    The input is the DISTINCT fact set (the materialized KG a serving
+    layer stores — author facts repeat across pages), so bindings are
+    exact, not multiplicity-dependent."""
+    # the computed KG feeds several pattern legs — materialize it once
     # (EAGER localCheckpoint: lazy only helps from the second action,
     # the legs fan out inside the first; shared-base rule); a
     # parquet-backed store would instead rely on per-leg predicate
@@ -695,12 +705,21 @@ def _q_kg_bgp_query(spark, sf_dir):
     kg = (_quads(spark, sf_dir)
           .select("subj", "pred", "obj", "graph").distinct()
           .localCheckpoint())
-    out = bgp.bgp_match(kg, [
+    authors = (bgp.bgp_match(kg, [
         ("?a", f"<{RDF_NS}type>", "<http://schema.org/Article>"),
         ("?a", "<http://schema.org/author>", "?p"),
         ("?p", "<http://schema.org/name>", "?n"),
-    ])
-    return out.orderBy("a", "p", "n")
+    ]).select(F.lit("authors").alias("shape"),
+              F.col("a").alias("v1"), F.col("p").alias("v2"),
+              F.col("n").alias("v3")))
+    lists = (bgp.bgp_match(kg, [
+        ("?nav", "<http://schema.org/crumbs>", "?l"),
+        ("?l", f"<{RDF_NS}rest>+", "?m"),
+    ]).select(F.lit("listpath").alias("shape"),
+              F.col("nav").alias("v1"), F.col("l").alias("v2"),
+              F.col("m").alias("v3")))
+    return (authors.unionByName(lists)
+            .orderBy("shape", "v1", "v2", "v3"))
 
 
 def _q_kg_block_templates(spark, sf_dir):
@@ -1608,11 +1627,20 @@ SELECT subj, pred, obj, graph,
 FROM tagged GROUP BY subj, pred, obj, graph
 ORDER BY subj, pred, obj, graph"""
 
-    # BGP: the same three-pattern conjunction as three self-joins of
-    # the DISTINCT fact set, default graph only
-    oracles["kg_bgp_query"] = _with_quads(f"""
-, kg AS (SELECT DISTINCT subj, pred, obj, graph FROM q)
-SELECT p1.subj AS a, p2.obj AS p, p3.obj AS n
+    # BGP: shape='authors' = the three-pattern conjunction as three
+    # self-joins of the DISTINCT fact set; shape='listpath' = the
+    # rdf:rest+ property path replayed as a recursive CTE, joined to
+    # the crumbs pattern. Default graph only, like the operator call.
+    oracles["kg_bgp_query"] = f"""
+WITH RECURSIVE {_D_CTE}, {_expected_quads_cte()},
+kg AS (SELECT DISTINCT subj, pred, obj, graph FROM q),
+rest_e AS (SELECT subj AS src, obj AS dst FROM kg
+           WHERE pred = '<{RDF_NS}rest>' AND graph = ''),
+rest_c AS (SELECT src, dst FROM rest_e
+           UNION
+           SELECT e2.src, c2.dst
+           FROM rest_e e2 JOIN rest_c c2 ON e2.dst = c2.src)
+SELECT 'authors' AS shape, p1.subj AS v1, p2.obj AS v2, p3.obj AS v3
 FROM kg p1
 JOIN kg p2 ON p2.subj = p1.subj
 JOIN kg p3 ON p3.subj = p2.obj
@@ -1620,7 +1648,11 @@ WHERE p1.pred = '{_TYPE}' AND p1.obj = '<http://schema.org/Article>'
   AND p1.graph = ''
   AND p2.pred = '<http://schema.org/author>' AND p2.graph = ''
   AND p3.pred = '<http://schema.org/name>' AND p3.graph = ''
-ORDER BY a, p, n""")
+UNION ALL
+SELECT 'listpath', cr.subj, cr.obj, rc.dst
+FROM kg cr JOIN rest_c rc ON rc.src = cr.obj
+WHERE cr.pred = '<http://schema.org/crumbs>' AND cr.graph = ''
+ORDER BY shape, v1, v2, v3"""
 
     # upsert: wave quads (changed names) replace their urls' quads wholesale
     oracles["kg_upsert_wave"] = (

@@ -17,7 +17,11 @@ Compilation model (declarative, Catalyst-friendly):
   cartesian product — that is an ERROR by default (``allow_product``)
   rather than a silent 100 TB blow-up;
 - repeated variables inside one pattern (e.g. ``(?x ?p ?x)``) become a
-  self-equality predicate on that pattern's scan.
+  self-equality predicate on that pattern's scan;
+- a predicate written ``"<iri>+"`` is the SPARQL one-or-more property
+  path: the leg becomes the predicate's transitive closure
+  (``path_closure``, iterated squaring — O(log diameter) shuffle
+  rounds) and composes with the other patterns like any leg.
 
 Semantics: SPARQL BGP *bag* matching over the selected graph. The
 default-graph selection (``graph=''``) mirrors the engine's convention
@@ -56,6 +60,69 @@ def is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?") and len(term) > 1
 
 
+def is_path_plus(pred: str) -> bool:
+    """SPARQL one-or-more property path: an IRI predicate suffixed with
+    ``+`` (``"<http://...rest>+"``)."""
+    return (isinstance(pred, str) and pred.endswith(">+")
+            and pred.startswith("<"))
+
+
+def path_closure(quads: DataFrame, pred: str, max_rounds: int = 20,
+                 stats: dict | None = None) -> DataFrame:
+    """Transitive closure (one or more steps) of ONE predicate's edge
+    relation — the evaluation of the SPARQL property path ``pred+``.
+
+    Returns (src, dst) pairs with SET semantics (SPARQL 18.4
+    ALP/ZeroOrMorePath-style: paths are deduplicated, so cycles are
+    safe — the closure of a finite relation is finite).
+
+    Scale design: iterated squaring, not step-at-a-time walking — each
+    round joins the closure with itself (``reach(a,c) if reach(a,b)
+    and reach(b,c)``), so reachable DISTANCE doubles per round and a
+    diameter-d relation closes in O(log d) shuffle rounds (the same
+    reasoning as the large-star/small-star CC path,
+    canonicalize.py). Per round: one equi-join + one distinct, both
+    keyed on high-cardinality node terms; the edge base and each
+    round's closure are localCheckpoint'd so plans stay flat
+    (the CC truncation lesson). Convergence is exact and cheap:
+    closure growth is monotone over a distinct relation, so an
+    unchanged COUNT is set equality (no signature needed). Raises
+    after ``max_rounds`` (diameter > 2^max_rounds) instead of silently
+    truncating; pass a ``stats`` dict to read back
+    ``stats['rounds']``.
+
+    ``quads`` must already be restricted to the graph the caller wants
+    (bgp_match passes its graph-filtered base).
+    """
+    e = (quads.where(F.col("pred") == pred)
+         .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+         .distinct().localCheckpoint())
+    clo = e
+    n = clo.count()
+    rounds = 0
+    for _ in range(max_rounds):
+        step = (clo.alias("a")
+                .join(clo.alias("b"), F.col("a.dst") == F.col("b.src"))
+                .select(F.col("a.src").alias("src"),
+                        F.col("b.dst").alias("dst")))
+        nxt = clo.unionByName(step).distinct().localCheckpoint()
+        n_nxt = nxt.count()
+        rounds += 1
+        if n_nxt == n:
+            clo = nxt
+            break
+        clo, n = nxt, n_nxt
+    else:
+        raise RuntimeError(
+            f"path_closure({pred}) did not converge in {max_rounds} "
+            f"rounds (relation diameter exceeds 2^{max_rounds}); raise "
+            "max_rounds if the graph is genuinely that deep")
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["pairs"] = n
+    return clo
+
+
 def bgp_match(quads: DataFrame,
               patterns: Sequence[tuple[str, str, str]],
               graph: str | None = "",
@@ -92,9 +159,17 @@ def bgp_match(quads: DataFrame,
     for idx, pat in enumerate(patterns):
         if len(pat) != 3:
             raise ValueError(f"pattern {idx} is not a triple: {pat!r}")
+        if is_path_plus(pat[1]):
+            # property path pred+: the leg is the closure relation
+            # (src, dst) instead of a quad scan; s/o terms bind to it
+            frame = path_closure(base, pat[1][:-1])
+            slots = (("src", pat[0]), ("dst", pat[2]))
+        else:
+            frame = base
+            slots = tuple(zip(_POSITIONS, pat))
         cond = None
         var_cols: dict[str, str] = {}  # var name -> first position col
-        for pos, term in zip(_POSITIONS, pat):
+        for pos, term in slots:
             if is_var(term):
                 name = term[1:]
                 if name in var_cols:
@@ -107,7 +182,7 @@ def bgp_match(quads: DataFrame,
             else:
                 c = F.col(pos) == F.lit(term)
                 cond = c if cond is None else (cond & c)
-        leg = base.where(cond) if cond is not None else base
+        leg = frame.where(cond) if cond is not None else frame
         ground = not var_cols
         if ground:
             # all-constant pattern: a highly selective existence

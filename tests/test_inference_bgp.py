@@ -231,6 +231,64 @@ def test_bgp_ground_pattern_is_existence_filter(spark):
     assert first.columns == ["a"] and first.count() == 2
 
 
+def test_path_closure_chain_cycle_and_rounds(spark):
+    """Iterated squaring: a depth-7 chain closes in ~log2(7) rounds,
+    not 7; cycles terminate with the finite closure."""
+    P = f"<{S}next>"
+    chain = [(f"<n{i}>", P, f"<n{i+1}>", "") for i in range(7)]
+    stats = {}
+    clo = bgp.path_closure(_quads_df(spark, chain), P, stats=stats)
+    pairs = {(r.src, r.dst) for r in clo.collect()}
+    assert pairs == {(f"<n{i}>", f"<n{j}>")
+                     for i in range(7) for j in range(i + 1, 8)}
+    assert stats["pairs"] == 28
+    # distance doubles per round: 7 hops within 3 doublings (+1
+    # convergence-confirm round)
+    assert stats["rounds"] <= 4
+    cyc = [("<a>", P, "<b>", ""), ("<b>", P, "<a>", "")]
+    got = {(r.src, r.dst)
+           for r in bgp.path_closure(_quads_df(spark, cyc), P).collect()}
+    assert got == {("<a>", "<b>"), ("<b>", "<a>"),
+                   ("<a>", "<a>"), ("<b>", "<b>")}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        bgp.path_closure(_quads_df(spark, chain), P, max_rounds=2)
+
+
+def test_bgp_path_pattern_composes_with_regular_patterns(spark):
+    """``?nav crumbs ?l . ?l rest+ ?m`` — the path leg joins the
+    regular leg on the shared variable like any other leg."""
+    R = f"<{S}rest>"
+    rows = [("<nav>", f"<{S}crumbs>", "<l0>", ""),
+            ("<l0>", R, "<l1>", ""),
+            ("<l1>", R, "<nil>", ""),
+            # distractor chain not reachable from a crumbs head
+            ("<x0>", R, "<x1>", "")]
+    out = bgp.bgp_match(_quads_df(spark, rows), [
+        ("?nav", f"<{S}crumbs>", "?l"),
+        ("?l", R + "+", "?m"),
+    ])
+    got = {(r.nav, r.l, r.m) for r in out.collect()}
+    assert got == {("<nav>", "<l0>", "<l1>"), ("<nav>", "<l0>", "<nil>")}
+
+
+def test_entailment_distributes_over_union(spark):
+    """Every rule has ONE data premise (the ontology is closed first),
+    so entailment distributes over corpus unions — the property that
+    makes incremental maintenance trivial: entail the new wave alone
+    and merge by the same min-tag groupBy."""
+    part_a = HAND_QUADS[:2]
+    part_b = HAND_QUADS[2:]
+    whole = _entailed(spark, HAND_QUADS)
+    ent_a = _entailed(spark, part_a)
+    ent_b = _entailed(spark, part_b)
+    merged: dict = {}
+    for d in (ent_a, ent_b):
+        for k, v in d.items():
+            # min-tag merge: asserted wins over inferred
+            merged[k] = v if merged.get(k) != "asserted" else "asserted"
+    assert merged == whole
+
+
 def test_bgp_input_validation(spark):
     df = _quads_df(spark, BGP_QUADS)
     with pytest.raises(ValueError, match="at least one"):
