@@ -82,31 +82,39 @@ def path_closure(quads: DataFrame, pred: str, max_rounds: int = 20,
     diameter-d relation closes in O(log d) shuffle rounds (the same
     reasoning as the large-star/small-star CC path,
     canonicalize.py). Per round: one equi-join + one distinct, both
-    keyed on high-cardinality node terms; the edge base and each
-    round's closure are localCheckpoint'd so plans stay flat
-    (the CC truncation lesson). Convergence is exact and cheap:
-    closure growth is monotone over a distinct relation, so an
-    unchanged COUNT is set equality (no signature needed). Raises
-    after ``max_rounds`` (diameter > 2^max_rounds) instead of silently
-    truncating; pass a ``stats`` dict to read back
-    ``stats['rounds']``.
+    keyed on high-cardinality node terms; each round's closure is
+    LAZILY localCheckpoint'd and materialized by the convergence count
+    — one Spark job per round, flat plans (the CC loop idiom,
+    canonicalize.py:201). Convergence is exact and cheap: closure
+    growth is monotone over a distinct relation, so an unchanged COUNT
+    is set equality (no signature needed). Detection costs one
+    confirming round on top of the doublings, so ``max_rounds``
+    GUARANTEES diameters up to 2^(max_rounds-1) (default 2^19);
+    deeper relations raise instead of silently truncating. Pass a
+    ``stats`` dict to read back ``stats['rounds']``.
+
+    For a CONSTANT-seeded path (``<c> pred+ ?m``) use
+    ``path_reachable`` instead — it walks only the reachable set; this
+    function closes the predicate's WHOLE relation, the right shape
+    only when both endpoints are variables (bgp_match dispatches
+    accordingly).
 
     ``quads`` must already be restricted to the graph the caller wants
     (bgp_match passes its graph-filtered base).
     """
     e = (quads.where(F.col("pred") == pred)
          .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
-         .distinct().localCheckpoint())
+         .distinct().localCheckpoint(eager=False))
     clo = e
-    n = clo.count()
+    n = clo.count()  # materializes the lazy checkpoint
     rounds = 0
     for _ in range(max_rounds):
         step = (clo.alias("a")
                 .join(clo.alias("b"), F.col("a.dst") == F.col("b.src"))
                 .select(F.col("a.src").alias("src"),
                         F.col("b.dst").alias("dst")))
-        nxt = clo.unionByName(step).distinct().localCheckpoint()
-        n_nxt = nxt.count()
+        nxt = clo.unionByName(step).distinct().localCheckpoint(eager=False)
+        n_nxt = nxt.count()  # one job: materialize + converge-check
         rounds += 1
         if n_nxt == n:
             clo = nxt
@@ -115,12 +123,66 @@ def path_closure(quads: DataFrame, pred: str, max_rounds: int = 20,
     else:
         raise RuntimeError(
             f"path_closure({pred}) did not converge in {max_rounds} "
-            f"rounds (relation diameter exceeds 2^{max_rounds}); raise "
-            "max_rounds if the graph is genuinely that deep")
+            f"rounds (count-based detection needs ceil(log2 d)+1 "
+            f"rounds, so diameter may exceed 2^{max_rounds - 1}); "
+            "raise max_rounds if the graph is genuinely that deep")
     if stats is not None:
         stats["rounds"] = rounds
         stats["pairs"] = n
     return clo
+
+
+def path_reachable(quads: DataFrame, pred: str, seed: str,
+                   reverse: bool = False, max_rounds: int = 10_000,
+                   stats: dict | None = None) -> DataFrame:
+    """Terms reachable from constant ``seed`` in >= 1 ``pred`` steps —
+    the constant-seeded evaluation of ``<seed> pred+ ?m`` (or, with
+    ``reverse=True``, the terms that REACH the seed: ``?x pred+
+    <seed>``). Returns a single column ``dst`` holding the reached
+    (resp. reaching) terms, set semantics.
+
+    Scale design: frontier BFS, NOT whole-relation squaring — each
+    round joins only the current frontier against the edge relation
+    and anti-joins the visited set, so per-round cost is proportional
+    to the REACHABLE set (frontier x out-degree), never to the
+    predicate's full closure (the review finding on single-source
+    queries: closing every chain in a 100 TB store to answer one is a
+    job-sized waste). O(depth) rounds — the right trade for seeded
+    queries, where depth bounds the work anyway; variable-variable
+    paths use ``path_closure``'s O(log d) squaring instead. Lazy
+    localCheckpoint + count per round (one job), the CC loop idiom.
+    """
+    e = quads.where(F.col("pred") == pred).select(
+        F.col("obj" if reverse else "subj").alias("src"),
+        F.col("subj" if reverse else "obj").alias("dst")) \
+        .distinct().localCheckpoint(eager=False)
+    frontier = (e.where(F.col("src") == seed).select("dst")
+                .distinct().localCheckpoint(eager=False))
+    visited = frontier
+    rounds = 1
+    n_front = frontier.count()
+    while n_front:
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"path_reachable({pred}) exceeded max_rounds="
+                f"{max_rounds} (path depth from the seed is larger); "
+                "raise max_rounds for genuinely deeper graphs")
+        # string aliases: frontier/visited share e's lineage, so
+        # unqualified column refs are ambiguous self-join columns
+        frontier = (frontier.alias("f")
+                    .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
+                    .select(F.col("e.dst").alias("dst")).distinct()
+                    .join(visited, on="dst", how="left_anti")
+                    .localCheckpoint(eager=False))
+        n_front = frontier.count()
+        rounds += 1
+        if n_front:
+            visited = (visited.unionByName(frontier)
+                       .localCheckpoint(eager=False))
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["reached"] = None  # caller counts if needed
+    return visited
 
 
 def bgp_match(quads: DataFrame,
@@ -153,17 +215,43 @@ def bgp_match(quads: DataFrame,
     if graph is not None:
         base = base.where(F.col("graph") == graph)
 
+    # validate the WHOLE pattern list before evaluating any leg: a
+    # path leg runs Spark jobs at build time (its fixpoint needs
+    # actions), and a later malformed/disconnected pattern must not
+    # discover its error after those jobs already burned
+    seen: set[str] = set()
+    for idx, pat in enumerate(patterns):
+        if len(pat) != 3:
+            raise ValueError(f"pattern {idx} is not a triple: {pat!r}")
+        terms = (pat[0], pat[2]) if is_path_plus(pat[1]) else pat
+        vs = {t[1:] for t in terms if is_var(t)}
+        if idx and seen and vs and not (seen & vs) and not allow_product:
+            raise ValueError(
+                f"pattern {idx} {pat!r} shares no variable with the "
+                "patterns before it — this is a cartesian product; "
+                "reorder the BGP or pass allow_product=True")
+        seen |= vs
+
     out: DataFrame | None = None
     bound: set[str] = set()
     markers: list[str] = []  # ground-pattern placeholder columns
     for idx, pat in enumerate(patterns):
-        if len(pat) != 3:
-            raise ValueError(f"pattern {idx} is not a triple: {pat!r}")
         if is_path_plus(pat[1]):
-            # property path pred+: the leg is the closure relation
-            # (src, dst) instead of a quad scan; s/o terms bind to it
-            frame = path_closure(base, pat[1][:-1])
-            slots = (("src", pat[0]), ("dst", pat[2]))
+            # property path pred+: dispatch on which endpoints are
+            # constant — a seeded path walks only the reachable set
+            # (path_reachable), a variable-variable path needs the
+            # whole relation's closure (path_closure)
+            p_iri = pat[1][:-1]
+            s_t, o_t = pat[0], pat[2]
+            if is_var(s_t) and is_var(o_t):
+                frame = path_closure(base, p_iri)
+                slots = (("src", s_t), ("dst", o_t))
+            elif not is_var(s_t):
+                frame = path_reachable(base, p_iri, s_t)
+                slots = (("dst", o_t),)
+            else:  # variable subject, constant object: reverse walk
+                frame = path_reachable(base, p_iri, o_t, reverse=True)
+                slots = (("dst", s_t),)
         else:
             frame = base
             slots = tuple(zip(_POSITIONS, pat))

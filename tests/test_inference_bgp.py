@@ -271,6 +271,67 @@ def test_bgp_path_pattern_composes_with_regular_patterns(spark):
     assert got == {("<nav>", "<l0>", "<l1>"), ("<nav>", "<l0>", "<nil>")}
 
 
+def test_path_reachable_seeded_forward_reverse_and_depth_guard(spark):
+    P = f"<{S}next>"
+    rows = ([(f"<n{i}>", P, f"<n{i+1}>", "") for i in range(5)]
+            # disjoint chain that a seeded walk must never touch
+            + [("<x0>", P, "<x1>", ""), ("<x1>", P, "<x2>", "")])
+    df = _quads_df(spark, rows)
+    fwd = {r.dst for r in bgp.path_reachable(df, P, "<n2>").collect()}
+    assert fwd == {"<n3>", "<n4>", "<n5>"}
+    rev = {r.dst for r in
+           bgp.path_reachable(df, P, "<n2>", reverse=True).collect()}
+    assert rev == {"<n0>", "<n1>"}
+    # absent seed -> empty, no error
+    assert bgp.path_reachable(df, P, "<nope>").count() == 0
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        bgp.path_reachable(df, P, "<n0>", max_rounds=2)
+
+
+def test_bgp_seeded_path_patterns_dispatch(spark):
+    """Constant-endpoint path patterns use the frontier walk, and both
+    directions bind correctly inside a BGP."""
+    R = f"<{S}rest>"
+    rows = [("<nav>", f"<{S}crumbs>", "<l0>", ""),
+            ("<l0>", R, "<l1>", ""),
+            ("<l1>", R, "<nil>", ""),
+            ("<x0>", R, "<x1>", "")]
+    df = _quads_df(spark, rows)
+    # constant source
+    out = bgp.bgp_match(df, [("<l0>", R + "+", "?m")])
+    assert {r.m for r in out.collect()} == {"<l1>", "<nil>"}
+    # constant destination (reverse walk) composed with a regular leg
+    out = bgp.bgp_match(df, [("?l", R + "+", "<nil>"),
+                             ("?nav", f"<{S}crumbs>", "?l")])
+    assert {(r.l, r.nav) for r in out.collect()} == {("<l0>", "<nav>")}
+    # both endpoints constant: existence gate over the path
+    hit = bgp.bgp_match(df, [("?nav", f"<{S}crumbs>", "?l"),
+                             ("<l0>", R + "+", "<nil>")])
+    assert hit.count() == 1
+    miss = bgp.bgp_match(df, [("?nav", f"<{S}crumbs>", "?l"),
+                              ("<l0>", R + "+", "<x1>")])
+    assert miss.count() == 0
+
+
+def test_bgp_validates_before_evaluating_path_legs(spark):
+    """A malformed/disconnected pattern AFTER a path leg must raise
+    without running the closure's Spark jobs (validate-then-evaluate)."""
+    R = f"<{S}rest>"
+    df = _quads_df(spark, [("<l0>", R, "<l1>", "")])
+    calls = []
+    orig = bgp.path_closure
+    try:
+        bgp.path_closure = lambda *a, **k: calls.append(1) or orig(*a, **k)
+        with pytest.raises(ValueError, match="cartesian"):
+            bgp.bgp_match(df, [("?a", R + "+", "?b"),
+                               ("?x", f"<{S}name>", "?y")])
+        with pytest.raises(ValueError, match="not a triple"):
+            bgp.bgp_match(df, [("?a", R + "+", "?b"), ("?x", "?y")])
+    finally:
+        bgp.path_closure = orig
+    assert calls == []  # no closure evaluated for invalid BGPs
+
+
 def test_entailment_distributes_over_union(spark):
     """Every rule has ONE data premise (the ontology is closed first),
     so entailment distributes over corpus unions — the property that
