@@ -693,6 +693,11 @@ def _q_kg_bgp_query(spark, sf_dir):
       crumbs pattern like any leg; (v1, v2, v3) = (nav, list head,
       reachable tail). The oracle replays the closure with a
       recursive CTE.
+    - shape='optional': SPARQL OPTIONAL (left-join) semantics:
+      ``?l rdf:rest ?m OPTIONAL {{ ?m rdf:first ?v }}`` — the chain
+      tail rdf:nil has no rdf:first, so its rows bind v to null
+      (reported as '' for cross-engine hashing); (v1, v2, v3) =
+      (l, m, first-value-or-empty). The oracle is the same LEFT JOIN.
 
     The input is the DISTINCT fact set (the materialized KG a serving
     layer stores — author facts repeat across pages), so bindings are
@@ -718,7 +723,12 @@ def _q_kg_bgp_query(spark, sf_dir):
     ]).select(F.lit("listpath").alias("shape"),
               F.col("nav").alias("v1"), F.col("l").alias("v2"),
               F.col("m").alias("v3")))
-    return (authors.unionByName(lists)
+    opt = (bgp.bgp_match(kg, [("?l", f"<{RDF_NS}rest>", "?m")],
+                         optional=[("?m", f"<{RDF_NS}first>", "?v")])
+           .select(F.lit("optional").alias("shape"),
+                   F.col("l").alias("v1"), F.col("m").alias("v2"),
+                   F.coalesce(F.col("v"), F.lit("")).alias("v3")))
+    return (authors.unionByName(lists).unionByName(opt)
             .orderBy("shape", "v1", "v2", "v3"))
 
 
@@ -1652,6 +1662,12 @@ UNION ALL
 SELECT 'listpath', cr.subj, cr.obj, rc.dst
 FROM kg cr JOIN rest_c rc ON rc.src = cr.obj
 WHERE cr.pred = '<http://schema.org/crumbs>' AND cr.graph = ''
+UNION ALL
+SELECT 'optional', r.subj, r.obj, coalesce(fst.obj, '')
+FROM kg r
+LEFT JOIN kg fst ON fst.subj = r.obj
+  AND fst.pred = '<{RDF_NS}first>' AND fst.graph = ''
+WHERE r.pred = '<{RDF_NS}rest>' AND r.graph = ''
 ORDER BY shape, v1, v2, v3"""
 
     # upsert: wave quads (changed names) replace their urls' quads wholesale

@@ -189,7 +189,9 @@ def bgp_match(quads: DataFrame,
               patterns: Sequence[tuple[str, str, str]],
               graph: str | None = "",
               allow_product: bool = False,
-              distinct: bool = False) -> DataFrame:
+              distinct: bool = False,
+              optional: Sequence[tuple[str, str, str]] = (),
+              filters: Sequence[str] = ()) -> DataFrame:
     """Match a conjunction of triple patterns against the quad frame.
 
     ``patterns``: (s, p, o) tuples; elements starting with ``?`` are
@@ -208,6 +210,14 @@ def bgp_match(quads: DataFrame,
     SPARQL bag semantics — via a bounded crossJoin.
     ``distinct``: apply set semantics to the final bindings (SPARQL
     SELECT DISTINCT); default is bag semantics like SPARQL SELECT.
+    ``optional``: patterns with SPARQL OPTIONAL semantics — left-joined
+    after the required block, so bindings survive a non-match with the
+    optional's new variables null. Each optional pattern must share at
+    least one variable with the patterns before it (a disconnected
+    OPTIONAL is a product; a ground OPTIONAL is a no-op — both raise).
+    ``filters``: SQL boolean expressions over the variable columns
+    (SPARQL FILTER), applied before the DISTINCT projection; Catalyst
+    pushes them into the scans where legal.
     """
     if not patterns:
         raise ValueError("bgp_match needs at least one triple pattern")
@@ -231,11 +241,29 @@ def bgp_match(quads: DataFrame,
                 "patterns before it — this is a cartesian product; "
                 "reorder the BGP or pass allow_product=True")
         seen |= vs
+    for off, pat in enumerate(optional):
+        if len(pat) != 3:
+            raise ValueError(
+                f"optional pattern {off} is not a triple: {pat!r}")
+        terms = (pat[0], pat[2]) if is_path_plus(pat[1]) else pat
+        vs = {t[1:] for t in terms if is_var(t)}
+        if not vs:
+            raise ValueError(
+                f"optional pattern {off} {pat!r} is ground — OPTIONAL "
+                "over an all-constant pattern never changes any "
+                "binding; drop it or make it a required pattern")
+        if not (seen & vs):
+            raise ValueError(
+                f"optional pattern {off} {pat!r} shares no variable "
+                "with the patterns before it — a disconnected OPTIONAL "
+                "is a product; bind at least one of its variables "
+                "earlier")
+        seen |= vs
 
-    out: DataFrame | None = None
-    bound: set[str] = set()
     markers: list[str] = []  # ground-pattern placeholder columns
-    for idx, pat in enumerate(patterns):
+
+    def build_leg(idx: int, pat) -> tuple[DataFrame, dict[str, str]]:
+        """One pattern -> (projected leg, var->position map)."""
         if is_path_plus(pat[1]):
             # property path pred+: dispatch on which endpoints are
             # constant — a seeded path walks only the reachable set
@@ -271,8 +299,7 @@ def bgp_match(quads: DataFrame,
                 c = F.col(pos) == F.lit(term)
                 cond = c if cond is None else (cond & c)
         leg = frame.where(cond) if cond is not None else frame
-        ground = not var_cols
-        if ground:
+        if not var_cols:
             # all-constant pattern: a highly selective existence
             # filter (bag semantics: k matching quads multiply the
             # bindings by k — 0 or 1 on a distinct fact set). A
@@ -284,14 +311,19 @@ def bgp_match(quads: DataFrame,
         else:
             leg = leg.select(
                 *[F.col(pos).alias(name) for name, pos in var_cols.items()])
+        return leg, var_cols
 
+    out: DataFrame | None = None
+    bound: set[str] = set()
+    for idx, pat in enumerate(patterns):
+        leg, var_cols = build_leg(idx, pat)
         if out is None:
             out, bound = leg, set(var_cols)
             continue
         keys = sorted(bound & set(var_cols))
         if keys:
             out = out.join(leg, on=keys, how="inner")
-        elif ground or not bound:
+        elif not var_cols or not bound:
             # a ground leg (or a prefix that is ONLY ground legs) is a
             # bounded multiplier, not a data-sized product — no opt-in
             # needed
@@ -304,5 +336,22 @@ def bgp_match(quads: DataFrame,
         else:
             out = out.crossJoin(leg)
         bound |= set(var_cols)
+
+    # OPTIONAL patterns: SPARQL left-join semantics — bindings survive
+    # whether or not the optional matches; its NEW variables are null
+    # on non-match. Evaluated left-to-right after the required block,
+    # each joined on its shared variables (validated non-empty above).
+    for off, pat in enumerate(optional):
+        leg, var_cols = build_leg(len(patterns) + off, pat)
+        keys = sorted(bound & set(var_cols))
+        out = out.join(leg, on=keys, how="left")
+        bound |= set(var_cols)
+
+    # FILTER expressions (SQL boolean over the variable columns),
+    # applied inside the group pattern like SPARQL FILTER — before
+    # DISTINCT projection; Catalyst pushes them down where legal
+    for f in filters:
+        out = out.where(F.expr(f))
+
     out = out.drop(*markers) if markers else out
     return out.distinct() if distinct else out

@@ -332,6 +332,46 @@ def test_bgp_validates_before_evaluating_path_legs(spark):
     assert calls == []  # no closure evaluated for invalid BGPs
 
 
+def test_bgp_optional_left_join_semantics(spark):
+    """OPTIONAL keeps bindings on non-match with null new vars; a
+    matched optional binds them; chained optionals extend left-to-right."""
+    rows = BGP_QUADS + [("<p1>", f"<{S}email>", '"p1@x"', "")]
+    df = _quads_df(spark, rows)
+    out = bgp.bgp_match(
+        df,
+        [("?a", f"<{S}author>", "?p")],
+        optional=[("?p", f"<{S}email>", "?e"),
+                  ("?p", f"<{S}phone>", "?t")])  # phone never matches
+    got = {(r.a, r.p, r.e, r.t) for r in out.collect()}
+    assert got == {("<a1>", "<p1>", '"p1@x"', None),
+                   ("<a2>", "<p1>", '"p1@x"', None)}
+    # validation: ground / disconnected optionals raise
+    with pytest.raises(ValueError, match="ground"):
+        bgp.bgp_match(df, [("?a", f"<{S}author>", "?p")],
+                      optional=[("<p1>", f"<{S}email>", '"p1@x"')])
+    with pytest.raises(ValueError, match="disconnected OPTIONAL"):
+        bgp.bgp_match(df, [("?a", f"<{S}author>", "?p")],
+                      optional=[("?x", f"<{S}email>", "?e")])
+
+
+def test_bgp_filters_restrict_bindings(spark):
+    df = _quads_df(spark, BGP_QUADS)
+    out = bgp.bgp_match(
+        df,
+        [("?a", RDF_TYPE, f"<{S}Article>"),
+         ("?a", f"<{S}author>", "?p")],
+        filters=["a > '<a1>'"])
+    assert {(r.a, r.p) for r in out.collect()} == {("<a2>", "<p1>")}
+    # a filter over an optional variable sees its nulls (three-valued
+    # logic: null comparison drops the row, the SPARQL FILTER behavior)
+    out = bgp.bgp_match(
+        df,
+        [("?a", f"<{S}author>", "?p")],
+        optional=[("?p", f"<{S}email>", "?e")],
+        filters=["e IS NOT NULL"])
+    assert out.count() == 0
+
+
 def test_entailment_distributes_over_union(spark):
     """Every rule has ONE data premise (the ontology is closed first),
     so entailment distributes over corpus unions — the property that
