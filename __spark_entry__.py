@@ -694,7 +694,7 @@ def _q_kg_bgp_query(spark, sf_dir):
       reachable tail). The oracle replays the closure with a
       recursive CTE.
     - shape='optional': SPARQL OPTIONAL (left-join) semantics:
-      ``?l rdf:rest ?m OPTIONAL {{ ?m rdf:first ?v }}`` — the chain
+      ``?l rdf:rest ?m OPTIONAL { ?m rdf:first ?v }`` — the chain
       tail rdf:nil has no rdf:first, so its rows bind v to null
       (reported as '' for cross-engine hashing); (v1, v2, v3) =
       (l, m, first-value-or-empty). The oracle is the same LEFT JOIN.

@@ -214,7 +214,11 @@ def bgp_match(quads: DataFrame,
     after the required block, so bindings survive a non-match with the
     optional's new variables null. Each optional pattern must share at
     least one variable with the patterns before it (a disconnected
-    OPTIONAL is a product; a ground OPTIONAL is a no-op — both raise).
+    OPTIONAL is a product; a ground OPTIONAL is a no-op — both raise),
+    and every SHARED variable must be bound by the required block (the
+    well-designed-pattern restriction: joining on a variable a prior
+    OPTIONAL left nullable diverges from SPARQL LeftJoin compatibility,
+    so that shape raises instead of silently mis-answering).
     ``filters``: SQL boolean expressions over the variable columns
     (SPARQL FILTER), applied before the DISTINCT projection; Catalyst
     pushes them into the scans where legal.
@@ -225,40 +229,70 @@ def bgp_match(quads: DataFrame,
     if graph is not None:
         base = base.where(F.col("graph") == graph)
 
-    # validate the WHOLE pattern list before evaluating any leg: a
-    # path leg runs Spark jobs at build time (its fixpoint needs
-    # actions), and a later malformed/disconnected pattern must not
-    # discover its error after those jobs already burned
+    # validate the WHOLE pattern list (and filters) before evaluating
+    # any leg: a path leg runs Spark jobs at build time (its fixpoint
+    # needs actions), and a later malformed/disconnected pattern or
+    # unparseable filter must not discover its error after those jobs
+    # already burned. One loop for required and optional patterns so
+    # the variable-extraction rule cannot drift between them.
     seen: set[str] = set()
-    for idx, pat in enumerate(patterns):
+    required_vars: set[str] = set()
+    for kind_idx, (is_opt, pat) in enumerate(
+            [(False, p) for p in patterns] + [(True, p) for p in optional]):
+        label = ("optional pattern" if is_opt else "pattern")
         if len(pat) != 3:
-            raise ValueError(f"pattern {idx} is not a triple: {pat!r}")
+            raise ValueError(f"{label} {kind_idx} is not a triple: {pat!r}")
         terms = (pat[0], pat[2]) if is_path_plus(pat[1]) else pat
         vs = {t[1:] for t in terms if is_var(t)}
-        if idx and seen and vs and not (seen & vs) and not allow_product:
-            raise ValueError(
-                f"pattern {idx} {pat!r} shares no variable with the "
-                "patterns before it — this is a cartesian product; "
-                "reorder the BGP or pass allow_product=True")
+        if not is_opt:
+            if (kind_idx and seen and vs and not (seen & vs)
+                    and not allow_product):
+                raise ValueError(
+                    f"pattern {kind_idx} {pat!r} shares no variable "
+                    "with the patterns before it — this is a cartesian "
+                    "product; reorder the BGP or pass allow_product=True")
+            required_vars |= vs
+        else:
+            if not vs:
+                raise ValueError(
+                    f"{label} {pat!r} is ground — OPTIONAL over an "
+                    "all-constant pattern never changes any binding; "
+                    "drop it or make it a required pattern")
+            if not (seen & vs):
+                raise ValueError(
+                    f"{label} {pat!r} shares no variable with the "
+                    "patterns before it — a disconnected OPTIONAL is a "
+                    "product; bind at least one of its variables "
+                    "earlier")
+            nullable_keys = (seen & vs) - required_vars
+            if nullable_keys:
+                # well-designed-pattern restriction (Perez et al.): a
+                # variable bound only by a PRIOR OPTIONAL is nullable,
+                # and SQL equality on a null key never matches where
+                # SPARQL's LeftJoin treats unbound as compatible-with-
+                # anything — refuse rather than silently diverge
+                raise ValueError(
+                    f"{label} {pat!r} joins on {sorted(nullable_keys)} "
+                    "bound only by a previous OPTIONAL — not a "
+                    "well-designed pattern; a left join on a nullable "
+                    "key diverges from SPARQL OPTIONAL semantics. "
+                    "Restructure so every shared variable is bound by "
+                    "the required block")
         seen |= vs
-    for off, pat in enumerate(optional):
-        if len(pat) != 3:
-            raise ValueError(
-                f"optional pattern {off} is not a triple: {pat!r}")
-        terms = (pat[0], pat[2]) if is_path_plus(pat[1]) else pat
-        vs = {t[1:] for t in terms if is_var(t)}
-        if not vs:
-            raise ValueError(
-                f"optional pattern {off} {pat!r} is ground — OPTIONAL "
-                "over an all-constant pattern never changes any "
-                "binding; drop it or make it a required pattern")
-        if not (seen & vs):
-            raise ValueError(
-                f"optional pattern {off} {pat!r} shares no variable "
-                "with the patterns before it — a disconnected OPTIONAL "
-                "is a product; bind at least one of its variables "
-                "earlier")
-        seen |= vs
+    if filters:
+        # F.expr parses LAZILY (PySpark 4), so force driver-side
+        # parse+analysis against an empty frame carrying every bound
+        # variable — a malformed filter OR one referencing an unknown
+        # variable fails here, before any path leg burns Spark jobs
+        probe = quads.sparkSession.createDataFrame(
+            [], schema=", ".join(f"`{v}` string" for v in sorted(seen)))
+        for f in filters:
+            try:
+                probe.where(F.expr(f)).schema  # .schema forces analysis
+            except Exception as ex:
+                raise ValueError(
+                    f"invalid filter {f!r} (must be a SQL boolean over "
+                    f"the bound variables {sorted(seen)}): {ex}") from ex
 
     markers: list[str] = []  # ground-pattern placeholder columns
 

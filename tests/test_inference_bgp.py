@@ -352,6 +352,30 @@ def test_bgp_optional_left_join_semantics(spark):
     with pytest.raises(ValueError, match="disconnected OPTIONAL"):
         bgp.bgp_match(df, [("?a", f"<{S}author>", "?p")],
                       optional=[("?x", f"<{S}email>", "?e")])
+    # well-designed restriction: joining on a var a prior OPTIONAL
+    # left nullable diverges from SPARQL LeftJoin -> must raise
+    with pytest.raises(ValueError, match="well-designed"):
+        bgp.bgp_match(df, [("?a", f"<{S}author>", "?p")],
+                      optional=[("?p", f"<{S}email>", "?e"),
+                                ("?e", f"<{S}mailbox>", "?x")])
+
+
+def test_bgp_malformed_filter_fails_before_path_jobs(spark):
+    df = _quads_df(spark, [("<l0>", f"<{S}rest>", "<l1>", "")])
+    calls = []
+    orig = bgp.path_closure
+    try:
+        bgp.path_closure = lambda *a, **k: calls.append(1) or orig(*a, **k)
+        with pytest.raises(ValueError, match="invalid filter"):
+            bgp.bgp_match(df, [("?a", f"<{S}rest>+", "?b")],
+                          filters=["not valid sql (("])
+        # referencing a variable the BGP never binds is also caught
+        with pytest.raises(ValueError, match="invalid filter"):
+            bgp.bgp_match(df, [("?a", f"<{S}rest>+", "?b")],
+                          filters=["nosuchvar > ''"])
+    finally:
+        bgp.path_closure = orig
+    assert calls == []
 
 
 def test_bgp_filters_restrict_bindings(spark):
