@@ -389,3 +389,63 @@ def bgp_match(quads: DataFrame,
 
     out = out.drop(*markers) if markers else out
     return out.distinct() if distinct else out
+
+
+def bgp_construct(quads: DataFrame,
+                  patterns: Sequence[tuple[str, str, str]],
+                  template: Sequence[tuple[str, str, str]],
+                  graph_out: str = "",
+                  **match_kwargs) -> DataFrame:
+    """SPARQL CONSTRUCT: evaluate the pattern block, then instantiate
+    ``template`` triples from each binding — the KG-transformation
+    query (reshape, vocabulary mapping, view materialization).
+
+    ``template``: (s, p, o) tuples over the matched variables and/or
+    constant terms; each template triple yields one output quad per
+    binding, in graph ``graph_out``. Rows where any template slot is
+    null (an unmatched OPTIONAL variable) are dropped for that triple
+    only — SPARQL 16.2's incomplete-instantiation rule. Output is the
+    DISTINCT quad frame (subj, pred, obj, graph): CONSTRUCT builds a
+    graph, and a graph is a fact set.
+
+    Scale: one bgp_match evaluation feeds all template triples
+    (union of narrow projections — no re-matching per triple), then
+    one distinct shuffle; ``match_kwargs`` pass through to bgp_match
+    (graph, optional, filters, ...).
+    """
+    if not template:
+        raise ValueError("bgp_construct needs at least one template "
+                         "triple")
+    bindings = bgp_match(quads, patterns, **match_kwargs)
+    bound = set(bindings.columns)
+    legs = []
+    for idx, tpl in enumerate(template):
+        if len(tpl) != 3:
+            raise ValueError(
+                f"template triple {idx} is not a triple: {tpl!r}")
+        cols = []
+        for term in tpl:
+            if is_var(term):
+                name = term[1:]
+                if name not in bound:
+                    raise ValueError(
+                        f"template triple {idx} {tpl!r} uses ?{name}, "
+                        f"which the pattern block never binds "
+                        f"(bound: {sorted(bound)})")
+                cols.append(F.col(name))
+            else:
+                cols.append(F.lit(term))
+        leg = bindings.select(cols[0].alias("subj"),
+                              cols[1].alias("pred"),
+                              cols[2].alias("obj"),
+                              F.lit(graph_out).alias("graph"))
+        # incomplete instantiation: a null slot (unmatched OPTIONAL
+        # var) drops the triple for that binding, not the whole row
+        leg = leg.where(F.col("subj").isNotNull()
+                        & F.col("pred").isNotNull()
+                        & F.col("obj").isNotNull())
+        legs.append(leg)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.distinct()

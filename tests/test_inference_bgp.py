@@ -396,6 +396,44 @@ def test_bgp_filters_restrict_bindings(spark):
     assert out.count() == 0
 
 
+def test_bgp_construct_reshapes_and_drops_null_slots(spark):
+    """CONSTRUCT: bindings instantiate template quads; an unmatched
+    OPTIONAL variable drops only the triples using it (SPARQL 16.2),
+    and the output is a distinct quad frame."""
+    rows = BGP_QUADS + [("<p1>", f"<{S}email>", '"p1@x"', "")]
+    out = bgp.bgp_construct(
+        _quads_df(spark, rows),
+        [("?a", f"<{S}author>", "?p")],
+        template=[("?p", f"<{S}wrote>", "?a"),
+                  ("?p", f"<{S}contact>", "?e")],
+        optional=[("?p", f"<{S}phone>", "?e")],  # never matches -> null
+        graph_out="<g:out>")
+    got = {(r.subj, r.pred, r.obj, r.graph) for r in out.collect()}
+    # the ?e triple vanished (null slot); the ?p/?a triples dedup over
+    # the two articles' shared author into two distinct facts
+    assert got == {("<p1>", f"<{S}wrote>", "<a1>", "<g:out>"),
+                   ("<p1>", f"<{S}wrote>", "<a2>", "<g:out>")}
+    with pytest.raises(ValueError, match="never binds"):
+        bgp.bgp_construct(_quads_df(spark, rows),
+                          [("?a", f"<{S}author>", "?p")],
+                          template=[("?a", f"<{S}x>", "?nope")])
+    with pytest.raises(ValueError, match="at least one template"):
+        bgp.bgp_construct(_quads_df(spark, rows),
+                          [("?a", f"<{S}author>", "?p")], template=[])
+
+
+def test_bgp_over_entailed_kg_composition(spark):
+    """The serving story end-to-end: a query for CreativeWork finds
+    nothing on the raw KG and finds the Articles after RDFS
+    entailment — inference and query compose on the same quad frame."""
+    df = _quads_df(spark, HAND_QUADS)
+    pat = [("?x", RDF_TYPE, f"<{S}CreativeWork>")]
+    assert bgp.bgp_match(df, pat).count() == 0
+    ent = rdfs_entailment(df, DEFAULT_ONTOLOGY) \
+        .select("subj", "pred", "obj", "graph")
+    assert {r.x for r in bgp.bgp_match(ent, pat).collect()} == {"<a>"}
+
+
 def test_entailment_distributes_over_union(spark):
     """Every rule has ONE data premise (the ontology is closed first),
     so entailment distributes over corpus unions — the property that
