@@ -210,12 +210,15 @@ def bgp_match(quads: DataFrame,
     SPARQL bag semantics — via a bounded crossJoin.
     ``distinct``: apply set semantics to the final bindings (SPARQL
     SELECT DISTINCT); default is bag semantics like SPARQL SELECT.
-    ``optional``: patterns with SPARQL OPTIONAL semantics — left-joined
-    after the required block, so bindings survive a non-match with the
-    optional's new variables null. Each optional pattern must share at
-    least one variable with the patterns before it (a disconnected
-    OPTIONAL is a product; a ground OPTIONAL is a no-op — both raise),
-    and every SHARED variable must be bound by the required block (the
+    ``optional``: OPTIONAL blocks with SPARQL LeftJoin semantics —
+    each entry is ONE triple pattern or a GROUP (list of triples). A
+    group is evaluated jointly (its triples inner-join like a required
+    block — ``OPTIONAL { A . B }`` matches all-or-nothing) and the
+    result left-joined, so bindings survive a non-match with the
+    block's new variables null. Each block must share at least one
+    variable with the patterns before it (a disconnected OPTIONAL is a
+    product; a ground OPTIONAL is a no-op — both raise), and every
+    SHARED variable must be bound by the required block (the
     well-designed-pattern restriction: joining on a variable a prior
     OPTIONAL left nullable diverges from SPARQL LeftJoin compatibility,
     so that shape raises instead of silently mis-answering).
@@ -235,15 +238,40 @@ def bgp_match(quads: DataFrame,
     # unparseable filter must not discover its error after those jobs
     # already burned. One loop for required and optional patterns so
     # the variable-extraction rule cannot drift between them.
+    # normalize optional entries: a bare (s, p, o) triple is a
+    # one-triple group; a list/tuple of triples is a joint group
+    opt_groups: list[list] = []
+    for entry in optional:
+        if (len(entry) == 3
+                and all(isinstance(t, str) for t in entry)):
+            opt_groups.append([tuple(entry)])
+        else:
+            opt_groups.append([tuple(p) for p in entry])
+
     seen: set[str] = set()
     required_vars: set[str] = set()
-    for kind_idx, (is_opt, pat) in enumerate(
-            [(False, p) for p in patterns] + [(True, p) for p in optional]):
+    flat: list[tuple[bool, tuple]] = [(False, p) for p in patterns]
+    for grp in opt_groups:
+        # a group validates as ONE unit: its triples' union var set
+        flat.append((True, ("__group__", grp)))
+    for kind_idx, (is_opt, pat) in enumerate(flat):
         label = ("optional pattern" if is_opt else "pattern")
-        if len(pat) != 3:
-            raise ValueError(f"{label} {kind_idx} is not a triple: {pat!r}")
-        terms = (pat[0], pat[2]) if is_path_plus(pat[1]) else pat
-        vs = {t[1:] for t in terms if is_var(t)}
+        if is_opt:
+            grp = pat[1]
+            vs: set[str] = set()
+            for p3 in grp:
+                if len(p3) != 3:
+                    raise ValueError(
+                        f"{label} {kind_idx} is not a triple: {p3!r}")
+                terms = (p3[0], p3[2]) if is_path_plus(p3[1]) else p3
+                vs |= {t[1:] for t in terms if is_var(t)}
+            pat = grp[0] if len(grp) == 1 else tuple(grp)
+        else:
+            if len(pat) != 3:
+                raise ValueError(
+                    f"{label} {kind_idx} is not a triple: {pat!r}")
+            terms = (pat[0], pat[2]) if is_path_plus(pat[1]) else pat
+            vs = {t[1:] for t in terms if is_var(t)}
         if not is_opt:
             if (kind_idx and seen and vs and not (seen & vs)
                     and not allow_product):
@@ -371,15 +399,23 @@ def bgp_match(quads: DataFrame,
             out = out.crossJoin(leg)
         bound |= set(var_cols)
 
-    # OPTIONAL patterns: SPARQL left-join semantics — bindings survive
-    # whether or not the optional matches; its NEW variables are null
-    # on non-match. Evaluated left-to-right after the required block,
-    # each joined on its shared variables (validated non-empty above).
-    for off, pat in enumerate(optional):
-        leg, var_cols = build_leg(len(patterns) + off, pat)
-        keys = sorted(bound & set(var_cols))
+    # OPTIONAL blocks: SPARQL LeftJoin semantics — bindings survive
+    # whether or not the block matches; its NEW variables are null on
+    # non-match. A multi-triple group evaluates JOINTLY (a recursive
+    # bgp_match over the same quads: all-or-nothing like SPARQL
+    # ``OPTIONAL { A . B }``), then left-joins on its shared variables
+    # (validated non-empty and required-bound above).
+    for off, grp in enumerate(opt_groups):
+        if len(grp) == 1:
+            leg, var_cols = build_leg(len(patterns) + off, grp[0])
+            leg_vars = set(var_cols)
+        else:
+            leg = bgp_match(quads, grp, graph=graph,
+                            allow_product=allow_product)
+            leg_vars = set(leg.columns)
+        keys = sorted(bound & leg_vars)
         out = out.join(leg, on=keys, how="left")
-        bound |= set(var_cols)
+        bound |= leg_vars
 
     # FILTER expressions (SQL boolean over the variable columns),
     # applied inside the group pattern like SPARQL FILTER — before

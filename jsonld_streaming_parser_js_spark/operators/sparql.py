@@ -1,0 +1,389 @@
+"""SPARQL text front-end: parse a SPARQL subset into the engine's
+pattern operators (operators/bgp.py) and execute it on the quad frame.
+
+This is the usability capstone over the query operators — a KG
+consumer writes the query they already know instead of pattern
+tuples:
+
+    sparql_query(kg, '''
+        PREFIX schema: <http://schema.org/>
+        SELECT ?a ?n WHERE {
+          ?a a schema:Article .
+          ?a schema:author ?p .
+          ?p schema:name ?n .
+          OPTIONAL { ?p schema:email ?e }
+          FILTER (?n != "Author 0")
+        } LIMIT 10
+    ''')
+
+Supported subset (documented, validated — anything else raises with
+the offending token, never silently misparses):
+
+- ``PREFIX`` declarations; prefixed names expand in patterns and
+  templates.
+- ``SELECT [DISTINCT] ?v ... | *``  /  ``CONSTRUCT { template }``.
+- ``WHERE { ... }`` group: triple patterns separated by ``.``, with
+  ``a`` for rdf:type, ``<iri>``, prefixed names, ``?vars``,
+  ``"literals"`` (with optional ``@lang`` or ``^^<dt>`` /
+  ``^^prefix:name``), and one-or-more property paths (``pred+``).
+- ``OPTIONAL { ... }`` blocks (well-designed restriction enforced by
+  bgp_match) and ``FILTER (...)`` constraints.
+- ``LIMIT n``.
+
+Out of scope (raise): UNION, GRAPH, subqueries, aggregates, ORDER BY,
+``*``/``?``/``|``/``/`` paths beyond ``+``, blank-node syntax, and
+numeric-typed FILTER arithmetic. The engine's rollup/window lanes
+cover aggregation through the DataFrame API instead.
+
+FILTER translation: SPARQL expressions become Spark SQL over the
+binding columns — ``?x`` -> column ``x``, ``&&``/``||``/``!`` ->
+``AND``/``OR``/``NOT``, and RDF terms become comparisons against the
+engine's N-Triples lexical encoding (``"lit"`` compares the term
+string '"lit"', ``<iri>`` the term string '<iri>'). Comparisons are
+therefore BINARY-COLLATION string comparisons on lexical terms, the
+same convention the oracle lanes rely on — numeric comparison of
+typed literals is deliberately not offered (a lexical "10" < "9" trap
+is worse than an error).
+
+Terms are produced in the engine's lexical form, so parsed queries
+compose with every quad-frame operator (entailment output, upserted
+stores, streaming sinks).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from jsonld_streaming_parser_js_spark.operators.bgp import (
+    bgp_construct,
+    bgp_match,
+)
+
+RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+_TOKEN_RE = re.compile(r"""
+    (?P<STRING>"(?:[^"\\]|\\.)*")
+  | (?P<IRI><[^<>"{}|^`\\\s]*>)
+  | (?P<VAR>\?[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
+  | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<NUMBER>[0-9]+)
+  | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<DTYPE>\^\^)
+  | (?P<OP>&&|\|\||!=|<=|>=|[=<>!])
+  | (?P<PUNCT>[{}().+,;*])
+""", re.VERBOSE)
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    toks: list[tuple[str, str]] = []
+    i, n = 0, len(text)
+    while i < n:
+        if text[i].isspace():
+            i += 1
+            continue
+        if text[i] == "#":  # comment to end of line
+            j = text.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            raise SparqlSyntaxError(
+                f"unrecognized SPARQL at ...{text[i:i+24]!r}")
+        toks.append((m.lastgroup, m.group()))
+        i = m.end()
+    return toks
+
+
+class _Parser:
+    """Recursive descent over the token list. Every unsupported
+    construct raises SparqlSyntaxError naming the token — a query that
+    parses is a query this engine answers with SPARQL semantics."""
+
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.pos = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token helpers ----------------------------------------------
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        if t is None:
+            raise SparqlSyntaxError("unexpected end of query")
+        self.pos += 1
+        return t
+
+    def expect(self, value: str):
+        kind, tok = self.next()
+        got = tok.upper() if kind == "KEYWORD" else tok
+        want = value.upper() if kind == "KEYWORD" else value
+        if got != want:
+            raise SparqlSyntaxError(f"expected {value!r}, got {tok!r}")
+        return tok
+
+    def at_keyword(self, word: str) -> bool:
+        t = self.peek()
+        return (t is not None and t[0] == "KEYWORD"
+                and t[1].upper() == word.upper())
+
+    # -- terms -------------------------------------------------------
+    def _expand_pname(self, pname: str) -> str:
+        pfx, local = pname.split(":", 1)
+        if pfx not in self.prefixes:
+            raise SparqlSyntaxError(f"undeclared prefix {pfx!r}:")
+        return f"<{self.prefixes[pfx]}{local}>"
+
+    def term(self, allow_path: bool = False) -> str:
+        """One RDF term in the engine's N-Triples lexical form, or a
+        ?var passed through; with allow_path, a trailing + marks a
+        one-or-more property path."""
+        kind, tok = self.next()
+        if kind == "VAR":
+            return tok
+        if kind == "IRI":
+            out = tok
+        elif kind == "PNAME":
+            out = self._expand_pname(tok)
+        elif kind == "KEYWORD" and tok == "a":
+            return RDF_TYPE
+        elif kind == "STRING":
+            lit = tok
+            t = self.peek()
+            if t and t[0] == "LANGTAG":
+                self.next()
+                return f"{lit}{t[1].lower()}"
+            if t and t[0] == "DTYPE":
+                self.next()
+                k2, t2 = self.next()
+                if k2 == "IRI":
+                    dt = t2
+                elif k2 == "PNAME":
+                    dt = self._expand_pname(t2)
+                else:
+                    raise SparqlSyntaxError(
+                        f"expected datatype IRI after ^^, got {t2!r}")
+                return f"{lit}^^{dt}"
+            return lit
+        else:
+            raise SparqlSyntaxError(f"unsupported term {tok!r}")
+        t = self.peek()
+        if t and t[1] == "+":
+            if not allow_path:
+                raise SparqlSyntaxError(
+                    "property path + is only supported in the "
+                    "predicate position")
+            self.next()
+            return out + "+"
+        return out
+
+    # -- patterns ----------------------------------------------------
+    def triple(self, allow_path: bool) -> tuple[str, str, str]:
+        s = self.term()
+        p = self.term(allow_path=allow_path)
+        o = self.term()
+        return (s, p, o)
+
+    def group(self) -> tuple[list, list, list]:
+        """{ triples / OPTIONAL { triples } / FILTER (expr) }"""
+        self.expect("{")
+        patterns: list = []
+        optional: list = []
+        filters: list[str] = []
+        while True:
+            t = self.peek()
+            if t is None:
+                raise SparqlSyntaxError("unterminated group: missing }")
+            if t[1] == "}":
+                self.next()
+                return patterns, optional, filters
+            if self.at_keyword("OPTIONAL"):
+                self.next()
+                self.expect("{")
+                group: list = []
+                while not (self.peek() and self.peek()[1] == "}"):
+                    group.append(self.triple(allow_path=True))
+                    if self.peek() and self.peek()[1] == ".":
+                        self.next()
+                self.expect("}")
+                if not group:
+                    raise SparqlSyntaxError("empty OPTIONAL group")
+                # each OPTIONAL block is ONE left-join of the whole
+                # group (SPARQL LeftJoin), which bgp_match's group
+                # form implements — never triple-by-triple
+                optional.append(group)
+                continue
+            if self.at_keyword("FILTER"):
+                self.next()
+                filters.append(self.filter_expr())
+                continue
+            if self.at_keyword("UNION") or self.at_keyword("GRAPH") \
+                    or self.at_keyword("SELECT") or self.at_keyword("BIND") \
+                    or self.at_keyword("MINUS") or self.at_keyword("VALUES"):
+                raise SparqlSyntaxError(
+                    f"{t[1]} is outside the supported SPARQL subset")
+            if t[1] == "{":
+                raise SparqlSyntaxError(
+                    "nested group patterns (UNION branches / "
+                    "subgroups) are outside the supported SPARQL "
+                    "subset")
+            patterns.append(self.triple(allow_path=True))
+            if self.peek() and self.peek()[1] == ".":
+                self.next()
+
+    # -- FILTER translation -------------------------------------------
+    _SQL_OPS = {"&&": "AND", "||": "OR", "!": "NOT", "=": "=",
+                "!=": "!=", "<": "<", ">": ">", "<=": "<=", ">=": ">="}
+
+    def filter_expr(self) -> str:
+        """Translate a parenthesized SPARQL expression to Spark SQL
+        over the binding columns. Terms compare by lexical form
+        (module docstring)."""
+        self.expect("(")
+        depth, parts = 1, ["("]
+        while depth:
+            kind, tok = self.next()
+            if tok == "(":
+                depth += 1
+                parts.append("(")
+            elif tok == ")":
+                depth -= 1
+                parts.append(")")
+            elif kind == "VAR":
+                parts.append(tok[1:])
+            elif kind == "OP":
+                parts.append(self._SQL_OPS[tok])
+            elif kind == "STRING":
+                # compare against the TERM encoding: the stored value
+                # for "lit" is the two-char-quoted string '"lit"'
+                inner = tok
+                sql = inner.replace("'", "''")
+                parts.append(f"'{sql}'")
+            elif kind == "IRI":
+                parts.append("'" + tok.replace("'", "''") + "'")
+            elif kind == "PNAME":
+                parts.append(
+                    "'" + self._expand_pname(tok).replace("'", "''") + "'")
+            elif kind == "KEYWORD" and tok.upper() == "BOUND":
+                self.expect("(")
+                k2, v = self.next()
+                if k2 != "VAR":
+                    raise SparqlSyntaxError("BOUND() takes a variable")
+                self.expect(")")
+                parts.append(f"{v[1:]} IS NOT NULL")
+            else:
+                raise SparqlSyntaxError(
+                    f"unsupported FILTER token {tok!r} (subset: vars, "
+                    "RDF terms, comparison ops, &&/||/!, BOUND)")
+        return " ".join(parts)
+
+    # -- query forms ---------------------------------------------------
+    def parse(self) -> dict:
+        while self.at_keyword("PREFIX"):
+            self.next()
+            kind, pname = self.next()
+            if kind != "PNAME" or not pname.endswith(":"):
+                raise SparqlSyntaxError(
+                    f"expected 'prefix:' after PREFIX, got {pname!r}")
+            kind, iri = self.next()
+            if kind != "IRI":
+                raise SparqlSyntaxError(
+                    f"expected <iri> in PREFIX, got {iri!r}")
+            self.prefixes[pname[:-1]] = iri[1:-1]
+
+        if self.at_keyword("SELECT"):
+            self.next()
+            distinct = False
+            if self.at_keyword("DISTINCT"):
+                self.next()
+                distinct = True
+            project: list[str] | None = []
+            if self.peek() and self.peek()[1] == "*":
+                self.next()
+                project = None
+            else:
+                while self.peek() and self.peek()[0] == "VAR":
+                    project.append(self.next()[1][1:])
+                if not project:
+                    raise SparqlSyntaxError(
+                        "SELECT needs ?vars or * before WHERE")
+            self.expect("WHERE")
+            patterns, optional, filters = self.group()
+            q = {"form": "select", "project": project,
+                 "distinct": distinct, "patterns": patterns,
+                 "optional": optional, "filters": filters,
+                 "limit": self._limit()}
+        elif self.at_keyword("CONSTRUCT"):
+            self.next()
+            self.expect("{")
+            template: list = []
+            while not (self.peek() and self.peek()[1] == "}"):
+                template.append(self.triple(allow_path=False))
+                if self.peek() and self.peek()[1] == ".":
+                    self.next()
+            self.expect("}")
+            self.expect("WHERE")
+            patterns, optional, filters = self.group()
+            q = {"form": "construct", "template": template,
+                 "patterns": patterns, "optional": optional,
+                 "filters": filters, "limit": self._limit()}
+        else:
+            t = self.peek()
+            raise SparqlSyntaxError(
+                f"query must start with SELECT or CONSTRUCT (after "
+                f"PREFIX decls); got {t[1] if t else 'end of input'!r}")
+        t = self.peek()
+        if t is not None:
+            raise SparqlSyntaxError(f"trailing content {t[1]!r}")
+        return q
+
+    def _limit(self) -> int | None:
+        if self.at_keyword("LIMIT"):
+            self.next()
+            kind, tok = self.next()
+            if kind != "NUMBER":
+                raise SparqlSyntaxError(f"LIMIT needs a number: {tok!r}")
+            return int(tok)
+        return None
+
+
+def parse_sparql(text: str) -> dict:
+    """Parse to the intermediate dict (exposed for tests/tooling)."""
+    return _Parser(text).parse()
+
+
+def sparql_query(quads: DataFrame, text: str,
+                 graph: str | None = "") -> DataFrame:
+    """Execute a SPARQL (subset) query string against the quad frame.
+
+    SELECT returns one column per projected variable; CONSTRUCT
+    returns a distinct quad frame (subj, pred, obj, graph). ``graph``
+    selects the active graph exactly like ``bgp_match``.
+    """
+    q = parse_sparql(text)
+    if q["form"] == "select":
+        out = bgp_match(quads, q["patterns"], graph=graph,
+                        distinct=False, optional=q["optional"],
+                        filters=q["filters"])
+        if q["project"] is not None:
+            missing = sorted(set(q["project"]) - set(out.columns))
+            if missing:
+                raise SparqlSyntaxError(
+                    f"SELECT projects unbound variables {missing} "
+                    f"(bound: {sorted(out.columns)})")
+            out = out.select(*q["project"])
+        if q["distinct"]:
+            out = out.distinct()
+    else:
+        out = bgp_construct(quads, q["patterns"], q["template"],
+                            graph=graph, optional=q["optional"],
+                            filters=q["filters"])
+    return out.limit(q["limit"]) if q["limit"] is not None else out

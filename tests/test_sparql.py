@@ -1,0 +1,193 @@
+"""SPARQL text front-end (operators/sparql.py): the parser must either
+produce exactly the pattern-operator semantics or raise — never
+silently misparse. Equivalence is asserted against hand-built
+bgp_match/bgp_construct calls on the same frames, plus the real
+fixture KG."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonld_streaming_parser_js_spark.operators import bgp
+from jsonld_streaming_parser_js_spark.operators.sparql import (
+    SparqlSyntaxError,
+    parse_sparql,
+    sparql_query,
+)
+
+S = "http://schema.org/"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+QUAD_SCHEMA = "subj string, pred string, obj string, graph string"
+
+KG = [
+    ("<a1>", f"<{RDF}type>", f"<{S}Article>", ""),
+    ("<a1>", f"<{S}author>", "<p1>", ""),
+    ("<a2>", f"<{RDF}type>", f"<{S}Article>", ""),
+    ("<a2>", f"<{S}author>", "<p2>", ""),
+    ("<p1>", f"<{S}name>", '"P1"', ""),
+    ("<p2>", f"<{S}name>", '"P2"', ""),
+    ("<p1>", f"<{S}email>", '"p1@x"', ""),
+    # list chain for the path test
+    ("<l0>", f"<{RDF}rest>", "<l1>", ""),
+    ("<l1>", f"<{RDF}rest>", "<nil>", ""),
+]
+
+
+def _kg(spark):
+    return spark.createDataFrame(KG, schema=QUAD_SCHEMA)
+
+
+PREFIXES = f"PREFIX schema: <{S}>\nPREFIX rdf: <{RDF}>\n"
+
+
+def test_parse_select_shape():
+    q = parse_sparql(PREFIXES + """
+      SELECT DISTINCT ?a ?n WHERE {
+        ?a a schema:Article .
+        ?a schema:author ?p .
+        ?p schema:name ?n .
+        FILTER (?n != "P1")
+      } LIMIT 5
+    """)
+    assert q["form"] == "select" and q["distinct"] is True
+    assert q["project"] == ["a", "n"] and q["limit"] == 5
+    assert q["patterns"][0] == (
+        "?a", f"<{RDF}type>", f"<{S}Article>")
+    assert q["filters"] == ["( n != '\"P1\"' )"]
+
+
+def test_select_executes_like_bgp_match(spark):
+    df = _kg(spark)
+    got = sparql_query(df, PREFIXES + """
+      SELECT ?a ?n WHERE {
+        ?a a schema:Article .
+        ?a schema:author ?p .
+        ?p schema:name ?n .
+      }""")
+    want = bgp.bgp_match(df, [
+        ("?a", f"<{RDF}type>", f"<{S}Article>"),
+        ("?a", f"<{S}author>", "?p"),
+        ("?p", f"<{S}name>", "?n")]).select("a", "n")
+    assert (sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, want.collect())))
+    assert got.columns == ["a", "n"]
+
+
+def test_filter_and_limit(spark):
+    got = sparql_query(_kg(spark), PREFIXES + """
+      SELECT ?a ?n WHERE {
+        ?a schema:author ?p . ?p schema:name ?n .
+        FILTER (?n != "P1")
+      }""")
+    assert [(r.a, r.n) for r in got.collect()] == [("<a2>", '"P2"')]
+    got = sparql_query(_kg(spark), PREFIXES
+                       + "SELECT ?a WHERE { ?a a schema:Article } LIMIT 1")
+    assert got.count() == 1
+
+
+def test_optional_group_is_all_or_nothing(spark):
+    """OPTIONAL { A . B } is ONE LeftJoin of the joint group: p1 has an
+    email but nobody has a phone, so BOTH vars must come back null —
+    the triple-by-triple reading would wrongly bind ?e for p1."""
+    df = _kg(spark)
+    joint = sparql_query(df, PREFIXES + """
+      SELECT ?p ?e ?t WHERE {
+        ?a schema:author ?p .
+        OPTIONAL { ?p schema:email ?e . ?p schema:phone ?t }
+      }""")
+    assert {(r.p, r.e, r.t) for r in joint.collect()} == {
+        ("<p1>", None, None), ("<p2>", None, None)}
+    # two separate OPTIONAL blocks: independent left joins
+    separate = sparql_query(df, PREFIXES + """
+      SELECT ?p ?e ?t WHERE {
+        ?a schema:author ?p .
+        OPTIONAL { ?p schema:email ?e }
+        OPTIONAL { ?p schema:phone ?t }
+      }""")
+    assert {(r.p, r.e, r.t) for r in separate.collect()} == {
+        ("<p1>", '"p1@x"', None), ("<p2>", None, None)}
+    # BOUND filter over the optional var
+    bound = sparql_query(df, PREFIXES + """
+      SELECT ?p WHERE {
+        ?a schema:author ?p .
+        OPTIONAL { ?p schema:email ?e }
+        FILTER (BOUND(?e))
+      }""")
+    assert [r.p for r in bound.collect()] == ["<p1>"]
+
+
+def test_property_path_in_text(spark):
+    got = sparql_query(_kg(spark), PREFIXES
+                       + "SELECT ?m WHERE { <l0> rdf:rest+ ?m }")
+    assert {r.m for r in got.collect()} == {"<l1>", "<nil>"}
+
+
+def test_construct_in_text(spark):
+    got = sparql_query(_kg(spark), PREFIXES + """
+      CONSTRUCT { ?p schema:wrote ?a } WHERE {
+        ?a a schema:Article . ?a schema:author ?p .
+      }""")
+    assert {(r.subj, r.pred, r.obj, r.graph) for r in got.collect()} == {
+        ("<p1>", f"<{S}wrote>", "<a1>", ""),
+        ("<p2>", f"<{S}wrote>", "<a2>", "")}
+
+
+def test_select_star_and_typed_literals(spark):
+    df = _kg(spark)
+    got = sparql_query(df, PREFIXES
+                       + 'SELECT * WHERE { ?p schema:name "P1" }')
+    assert got.columns == ["p"] and [r.p for r in got.collect()] == ["<p1>"]
+    # lang tag / datatype suffixes produce the engine's term encoding
+    q = parse_sparql(PREFIXES + 'SELECT ?x WHERE { ?x schema:name '
+                     '"Doc"@en } ')
+    assert q["patterns"][0][2] == '"Doc"@en'
+    q = parse_sparql(PREFIXES + 'SELECT ?x WHERE { ?x schema:n '
+                     '"5"^^<http://www.w3.org/2001/XMLSchema#integer> }')
+    assert q["patterns"][0][2] == (
+        '"5"^^<http://www.w3.org/2001/XMLSchema#integer>')
+
+
+def test_unsupported_constructs_raise():
+    with pytest.raises(SparqlSyntaxError, match="nested group"):
+        parse_sparql(PREFIXES + "SELECT ?a WHERE { { ?a schema:x ?b } "
+                     "UNION { ?a schema:y ?b } }")
+    with pytest.raises(SparqlSyntaxError, match="UNION"):
+        parse_sparql(PREFIXES + "SELECT ?a WHERE { ?a schema:x ?b . "
+                     "UNION { ?a schema:y ?b } }")
+    with pytest.raises(SparqlSyntaxError, match="undeclared prefix"):
+        parse_sparql("SELECT ?a WHERE { ?a nope:x ?b }")
+    with pytest.raises(SparqlSyntaxError, match="trailing"):
+        parse_sparql(PREFIXES + "SELECT ?a WHERE { ?a schema:x ?b } junk")
+    with pytest.raises(SparqlSyntaxError, match="SELECT or CONSTRUCT"):
+        parse_sparql("ASK { ?a ?b ?c }")
+    with pytest.raises(SparqlSyntaxError, match="unsupported FILTER"):
+        parse_sparql(PREFIXES + 'SELECT ?a WHERE { ?a schema:x ?b '
+                     'FILTER (regex(?b, "x")) }')
+    with pytest.raises(SparqlSyntaxError, match="unrecognized"):
+        parse_sparql(PREFIXES + "SELECT ?a WHERE { ?a schema:x ?b "
+                     "FILTER (?b = 'single-quoted') }")
+
+
+def test_projecting_unbound_variable_raises(spark):
+    with pytest.raises(SparqlSyntaxError, match="unbound"):
+        sparql_query(_kg(spark), PREFIXES
+                     + "SELECT ?zzz WHERE { ?a schema:author ?p }")
+
+
+def test_sparql_against_fixture_kg_matches_lane_shape(spark):
+    """The lane's author conjunction expressed as SPARQL text must
+    reproduce the kg_bgp_query shape='authors' rows on the real
+    corpus."""
+    import __spark_entry__ as e
+    kg = (e._quads(spark, "/root/testdata/sf0.001")
+          .select("subj", "pred", "obj", "graph").distinct()
+          .localCheckpoint())
+    got = sparql_query(kg, PREFIXES + """
+      SELECT ?a ?p ?n WHERE {
+        ?a a schema:Article .
+        ?a schema:author ?p .
+        ?p schema:name ?n .
+      }""")
+    lane = (e.queries()["kg_bgp_query"](spark, "/root/testdata/sf0.001")
+            .where("shape = 'authors'").select("v1", "v2", "v3"))
+    assert (sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, lane.collect())))
