@@ -259,12 +259,27 @@ def bgp_match(quads: DataFrame,
         if is_opt:
             grp = pat[1]
             vs: set[str] = set()
+            per_triple: list[set[str]] = []
             for p3 in grp:
                 if len(p3) != 3:
                     raise ValueError(
                         f"{label} {kind_idx} is not a triple: {p3!r}")
                 terms = (p3[0], p3[2]) if is_path_plus(p3[1]) else p3
-                vs |= {t[1:] for t in terms if is_var(t)}
+                tv = {t[1:] for t in terms if is_var(t)}
+                per_triple.append(tv)
+                vs |= tv
+            # every triple of a multi-triple group must be anchored —
+            # to the required block's vars or to another group triple
+            # — so the group's internal evaluation (which gets
+            # allow_product=True to honor SPARQL's join-of-legs
+            # semantics) can never produce an unanchored product
+            for p3, tv in zip(grp, per_triple):
+                anchor = tv & (required_vars | (vs - tv))
+                if tv and not anchor and len(per_triple) > 1:
+                    raise ValueError(
+                        f"{label} triple {p3!r} shares no variable "
+                        "with the required block or the rest of its "
+                        "OPTIONAL group — an unanchored product")
             pat = grp[0] if len(grp) == 1 else tuple(grp)
         else:
             if len(pat) != 3:
@@ -410,8 +425,15 @@ def bgp_match(quads: DataFrame,
             leg, var_cols = build_leg(len(patterns) + off, grp[0])
             leg_vars = set(var_cols)
         else:
+            # allow_product=True HERE is deliberate: a group whose
+            # triples connect only through REQUIRED vars (validated
+            # anchored above) is legal SPARQL — its internal join is
+            # a product that the subsequent left-join keys filter.
+            # Scale caveat: that intermediate product is real work;
+            # restructure such groups into separate OPTIONALs when
+            # the legs are independent.
             leg = bgp_match(quads, grp, graph=graph,
-                            allow_product=allow_product)
+                            allow_product=True)
             leg_vars = set(leg.columns)
         keys = sorted(bound & leg_vars)
         out = out.join(leg, on=keys, how="left")
@@ -452,7 +474,12 @@ def bgp_construct(quads: DataFrame,
     if not template:
         raise ValueError("bgp_construct needs at least one template "
                          "triple")
-    bindings = bgp_match(quads, patterns, **match_kwargs)
+    # lazy checkpoint: the union branches below would otherwise each
+    # re-execute the whole match pipeline (Spark does not share
+    # subtrees across union branches) — materialized once by the
+    # first action, the shared-base rule
+    bindings = bgp_match(quads, patterns,
+                         **match_kwargs).localCheckpoint(eager=False)
     bound = set(bindings.columns)
     legs = []
     for idx, tpl in enumerate(template):

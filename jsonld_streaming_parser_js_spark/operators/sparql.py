@@ -67,7 +67,7 @@ _TOKEN_RE = re.compile(r"""
     (?P<STRING>"(?:[^"\\]|\\.)*")
   | (?P<IRI><[^<>"{}|^`\\\s]*>)
   | (?P<VAR>\?[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
   | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<NUMBER>[0-9]+)
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
@@ -79,6 +79,16 @@ _TOKEN_RE = re.compile(r"""
 
 class SparqlSyntaxError(ValueError):
     pass
+
+
+def _sql_str(term: str) -> str:
+    """Embed a term string as a Spark SQL literal. Spark's default
+    parser processes backslash escapes inside quoted literals
+    (escapedStringLiterals=false), and stored terms CONTAIN
+    backslashes (N-Triples escaping, terms.py) — so backslashes must
+    be doubled and quotes backslash-escaped or the comparison silently
+    targets a different string."""
+    return "'" + term.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 def _tokenize(text: str) -> list[tuple[str, str]]:
@@ -142,10 +152,12 @@ class _Parser:
             raise SparqlSyntaxError(f"undeclared prefix {pfx!r}:")
         return f"<{self.prefixes[pfx]}{local}>"
 
-    def term(self, allow_path: bool = False) -> str:
+    def term(self, allow_path: bool = False,
+             allow_a: bool = False) -> str:
         """One RDF term in the engine's N-Triples lexical form, or a
         ?var passed through; with allow_path, a trailing + marks a
-        one-or-more property path."""
+        one-or-more property path. ``a`` (rdf:type) is legal only in
+        the predicate position (allow_a)."""
         kind, tok = self.next()
         if kind == "VAR":
             return tok
@@ -154,13 +166,22 @@ class _Parser:
         elif kind == "PNAME":
             out = self._expand_pname(tok)
         elif kind == "KEYWORD" and tok == "a":
+            if not allow_a:
+                raise SparqlSyntaxError(
+                    "'a' (rdf:type) is only legal in the predicate "
+                    "position")
             return RDF_TYPE
         elif kind == "STRING":
             lit = tok
             t = self.peek()
             if t and t[0] == "LANGTAG":
+                # pass the tag through AS WRITTEN: the default kernel
+                # profile (normalizeLanguageTags) stores lowercase
+                # tags, so write lowercase unless you disabled
+                # normalization — rewriting here would silently
+                # mismatch case-preserved stores
                 self.next()
-                return f"{lit}{t[1].lower()}"
+                return f"{lit}{t[1]}"
             if t and t[0] == "DTYPE":
                 self.next()
                 k2, t2 = self.next()
@@ -188,7 +209,7 @@ class _Parser:
     # -- patterns ----------------------------------------------------
     def triple(self, allow_path: bool) -> tuple[str, str, str]:
         s = self.term()
-        p = self.term(allow_path=allow_path)
+        p = self.term(allow_path=allow_path, allow_a=True)
         o = self.term()
         return (s, p, o)
 
@@ -235,6 +256,19 @@ class _Parser:
                     "nested group patterns (UNION branches / "
                     "subgroups) are outside the supported SPARQL "
                     "subset")
+            if optional:
+                # SPARQL evaluates group elements IN ORDER —
+                # Join(LeftJoin(P1, OPT), P2) is not LeftJoin(Join(P1,
+                # P2), OPT) when P2 shares vars with OPT. bgp_match
+                # always left-joins optionals last, so accepting a
+                # required triple here would silently hoist it; the
+                # subset refuses instead (raise-don't-misparse).
+                raise SparqlSyntaxError(
+                    "required triple after an OPTIONAL block is "
+                    "outside the supported subset (it would be "
+                    "reordered ahead of the OPTIONAL, changing "
+                    "SPARQL semantics) — put all required triples "
+                    "before the OPTIONAL blocks")
             patterns.append(self.triple(allow_path=True))
             if self.peek() and self.peek()[1] == ".":
                 self.next()
@@ -258,27 +292,26 @@ class _Parser:
                 depth -= 1
                 parts.append(")")
             elif kind == "VAR":
-                parts.append(tok[1:])
+                # backticked: a SPARQL var may collide with a SQL
+                # reserved word (?from) — valid SPARQL must not fail
+                parts.append(f"`{tok[1:]}`")
             elif kind == "OP":
                 parts.append(self._SQL_OPS[tok])
             elif kind == "STRING":
                 # compare against the TERM encoding: the stored value
                 # for "lit" is the two-char-quoted string '"lit"'
-                inner = tok
-                sql = inner.replace("'", "''")
-                parts.append(f"'{sql}'")
+                parts.append(_sql_str(tok))
             elif kind == "IRI":
-                parts.append("'" + tok.replace("'", "''") + "'")
+                parts.append(_sql_str(tok))
             elif kind == "PNAME":
-                parts.append(
-                    "'" + self._expand_pname(tok).replace("'", "''") + "'")
+                parts.append(_sql_str(self._expand_pname(tok)))
             elif kind == "KEYWORD" and tok.upper() == "BOUND":
                 self.expect("(")
                 k2, v = self.next()
                 if k2 != "VAR":
                     raise SparqlSyntaxError("BOUND() takes a variable")
                 self.expect(")")
-                parts.append(f"{v[1:]} IS NOT NULL")
+                parts.append(f"`{v[1:]}` IS NOT NULL")
             else:
                 raise SparqlSyntaxError(
                     f"unsupported FILTER token {tok!r} (subset: vars, "

@@ -52,7 +52,7 @@ def test_parse_select_shape():
     assert q["project"] == ["a", "n"] and q["limit"] == 5
     assert q["patterns"][0] == (
         "?a", f"<{RDF}type>", f"<{S}Article>")
-    assert q["filters"] == ["( n != '\"P1\"' )"]
+    assert q["filters"] == ["( `n` != '\"P1\"' )"]
 
 
 def test_select_executes_like_bgp_match(spark):
@@ -165,6 +165,73 @@ def test_unsupported_constructs_raise():
     with pytest.raises(SparqlSyntaxError, match="unrecognized"):
         parse_sparql(PREFIXES + "SELECT ?a WHERE { ?a schema:x ?b "
                      "FILTER (?b = 'single-quoted') }")
+
+
+def test_pname_trailing_dot_is_triple_terminator(spark):
+    """'schema:Article.' = pname + terminator (PN_LOCAL cannot end
+    with '.'), NOT the IRI <...Article.> — the misparse the review
+    caught."""
+    got = sparql_query(_kg(spark), PREFIXES
+                       + "SELECT ?a WHERE { ?a a schema:Article. }")
+    assert {r.a for r in got.collect()} == {"<a1>", "<a2>"}
+
+
+def test_required_triple_after_optional_raises():
+    with pytest.raises(SparqlSyntaxError, match="after an OPTIONAL"):
+        parse_sparql(PREFIXES + """SELECT ?a WHERE {
+            ?a schema:author ?p .
+            OPTIONAL { ?p schema:email ?e }
+            ?p schema:hasEmail ?e
+        }""")
+
+
+def test_filter_escaping_and_reserved_word_vars(spark):
+    # a literal containing an N-Triples-escaped quote and a backslash:
+    # the FILTER comparison must target the SAME term string the
+    # pattern position matches
+    kg = spark.createDataFrame(
+        [("<s>", f"<{S}name>", '"a\\"b\\\\c"', "")], schema=QUAD_SCHEMA)
+    got = sparql_query(kg, PREFIXES + '''
+      SELECT ?x WHERE { ?x schema:name ?n
+        FILTER (?n = "a\\"b\\\\c") }''')
+    assert [r.x for r in got.collect()] == ["<s>"]
+    # a SPARQL var named like a SQL reserved word must still filter
+    got = sparql_query(_kg(spark), PREFIXES + '''
+      SELECT ?from WHERE { ?from a schema:Article
+        FILTER (?from != <a1>) }''')
+    assert [r["from"] for r in got.collect()] == ["<a2>"]
+
+
+def test_a_keyword_is_predicate_only():
+    with pytest.raises(SparqlSyntaxError, match="predicate position"):
+        parse_sparql(PREFIXES + "SELECT ?x WHERE { ?x ?p a }")
+
+
+def test_langtag_case_preserved():
+    q = parse_sparql(PREFIXES
+                     + 'SELECT ?x WHERE { ?x schema:name "Doc"@en-US }')
+    assert q["patterns"][0][2] == '"Doc"@en-US'
+
+
+def test_optional_group_anchored_through_required_vars(spark):
+    """Group triples connected only via REQUIRED vars are legal SPARQL
+    and must evaluate (the internal product is keyed away by the left
+    join); a triple anchored to nothing raises."""
+    rows = KG + [("<a1>", f"<{S}editor>", "<p2>", ""),
+                 ("<p2>", f"<{S}phone>", '"t2"', "")]
+    df = spark.createDataFrame(rows, schema=QUAD_SCHEMA)
+    got = sparql_query(df, PREFIXES + """
+      SELECT ?a ?e ?t WHERE {
+        ?a schema:author ?p .
+        ?a schema:editor ?q .
+        OPTIONAL { ?p schema:email ?e . ?q schema:phone ?t }
+      }""")
+    assert {(r.a, r.e, r.t) for r in got.collect()} == {
+        ("<a1>", '"p1@x"', '"t2"')}
+    with pytest.raises(ValueError, match="unanchored product"):
+        bgp.bgp_match(df, [("?a", f"<{S}author>", "?p")],
+                      optional=[[("?p", f"<{S}email>", "?e"),
+                                 ("?z", f"<{S}phone>", "?t")]])
 
 
 def test_projecting_unbound_variable_raises(spark):
