@@ -255,6 +255,54 @@ def rdfs_leg(spark, amplify: int, base) -> dict:
             "shuffle_write_bytes": _delta(sw0, sw1)}
 
 
+def bgp_leg(spark, amplify: int, base) -> dict:
+    """The three-pattern author conjunction (kg_bgp_query
+    shape='authors') at an amplified KG — same instance-term rename as
+    rdfs_leg so every replica matches independently. Scale claim under
+    test: bindings grow exactly linearly and wall ~ O(quads) — three
+    predicate-filtered legs of one materialized store, variable
+    equi-joins on uniform term keys (AQE picks the strategy)."""
+    from pyspark.sql import functions as F
+
+    from jsonld_streaming_parser_js_spark.operators import bgp as bgpmod
+
+    sfx = F.concat(F.lit("#r"), F.col("rep").cast("string"))
+
+    def rename(col: str):
+        keep = (F.col(col).startswith('"')
+                | F.col(col).startswith("<http://schema.org/")
+                | F.col(col).startswith("<http://www.w3.org")
+                | (F.col(col) == F.lit("")))
+        return F.when(keep, F.col(col)).otherwise(F.concat(F.col(col), sfx))
+
+    rep = base.withColumn("rep", F.explode(
+        F.sequence(F.lit(0), F.lit(amplify - 1))))
+    # DISTINCT like the lane: BGP bag semantics over repeated facts
+    # (author names recur per page) would multiply bindings
+    # superlinearly — the serving store is the fact SET
+    kg = rep.select(rename("subj").alias("subj"), "pred",
+                    rename("obj").alias("obj"),
+                    rename("graph").alias("graph")) \
+        .distinct().localCheckpoint()
+    sw0 = _shuffle_write_bytes(spark)
+    t0 = time.time()
+    out = bgpmod.bgp_match(kg, [
+        ("?a", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+         "<http://schema.org/Article>"),
+        ("?a", "<http://schema.org/author>", "?p"),
+        ("?p", "<http://schema.org/name>", "?n"),
+    ])
+    n_bind = out.count()
+    wall = time.time() - t0
+    sw1 = _shuffle_write_bytes(spark)
+    kg.unpersist()
+    return {"amplify": amplify,
+            "n_quads_in": base.count() * amplify,
+            "n_bindings": n_bind,
+            "wall_sec": round(wall, 1),
+            "shuffle_write_bytes": _delta(sw0, sw1)}
+
+
 def cc_chain_leg(spark, n_chain: int) -> dict:
     """Two-phase CC at pathological diameter (BENCH.md "diameter
     100,000" table): ONE n_chain-node chain (diameter = n_chain) plus
@@ -342,6 +390,8 @@ def main() -> None:
                    help="comma-separated amplify values, e.g. 1,10,50")
     p.add_argument("--rdfs", default="",
                    help="comma-separated amplify values, e.g. 1,10,50")
+    p.add_argument("--bgp", default="",
+                   help="comma-separated amplify values, e.g. 1,10,50")
     p.add_argument("--ccchain", type=int, default=0,
                    help="two-phase CC chain length, e.g. 100000")
     p.add_argument("--hll", type=int, default=0,
@@ -378,17 +428,25 @@ def main() -> None:
         pr_base.unpersist()
 
     rdfs_amps = [int(a) for a in args.rdfs.split(",") if a]
-    if rdfs_amps:
+    bgp_amps = [int(a) for a in args.bgp.split(",") if a]
+    if rdfs_amps or bgp_amps:
         import __spark_entry__ as entry
-        rdfs_base = (entry._quads(spark, SF_DIR)
-                     .select("subj", "pred", "obj", "graph")
-                     .localCheckpoint())
-        out["rdfs"] = []
-        for amp in rdfs_amps:
-            leg = rdfs_leg(spark, amp, rdfs_base)
-            out["rdfs"].append(leg)
-            print(f"# rdfs x{amp}: {leg}", file=sys.stderr)
-        rdfs_base.unpersist()
+        kg_base = (entry._quads(spark, SF_DIR)
+                   .select("subj", "pred", "obj", "graph")
+                   .localCheckpoint())
+        if rdfs_amps:
+            out["rdfs"] = []
+            for amp in rdfs_amps:
+                leg = rdfs_leg(spark, amp, kg_base)
+                out["rdfs"].append(leg)
+                print(f"# rdfs x{amp}: {leg}", file=sys.stderr)
+        if bgp_amps:
+            out["bgp"] = []
+            for amp in bgp_amps:
+                leg = bgp_leg(spark, amp, kg_base)
+                out["bgp"].append(leg)
+                print(f"# bgp x{amp}: {leg}", file=sys.stderr)
+        kg_base.unpersist()
 
     if args.ccchain:
         out["cc_chain"] = cc_chain_leg(spark, args.ccchain)
