@@ -191,7 +191,8 @@ def bgp_match(quads: DataFrame,
               allow_product: bool = False,
               distinct: bool = False,
               optional: Sequence[tuple[str, str, str]] = (),
-              filters: Sequence[str] = ()) -> DataFrame:
+              filters: Sequence[str] = (),
+              path_max_rounds: int | None = None) -> DataFrame:
     """Match a conjunction of triple patterns against the quad frame.
 
     ``patterns``: (s, p, o) tuples; elements starting with ``?`` are
@@ -225,6 +226,9 @@ def bgp_match(quads: DataFrame,
     ``filters``: SQL boolean expressions over the variable columns
     (SPARQL FILTER), applied before the DISTINCT projection; Catalyst
     pushes them into the scans where legal.
+    ``path_max_rounds``: override the convergence budget of every
+    path leg (path_closure's squaring rounds / path_reachable's BFS
+    depth) — the escape hatch their convergence errors point at.
     """
     if not patterns:
         raise ValueError("bgp_match needs at least one triple pattern")
@@ -269,13 +273,20 @@ def bgp_match(quads: DataFrame,
                 per_triple.append(tv)
                 vs |= tv
             # every triple of a multi-triple group must be anchored —
-            # to the required block's vars or to another group triple
-            # — so the group's internal evaluation (which gets
-            # allow_product=True to honor SPARQL's join-of-legs
-            # semantics) can never produce an unanchored product
-            for p3, tv in zip(grp, per_triple):
-                anchor = tv & (required_vars | (vs - tv))
-                if tv and not anchor and len(per_triple) > 1:
+            # to the required block's vars or to ANOTHER group
+            # triple's vars (union over j != i, NOT vs - tv: the
+            # shared vars live inside tv, so subtracting tv would
+            # erase exactly the evidence of sharing) — so the group's
+            # internal evaluation (which gets allow_product=True to
+            # honor SPARQL's join-of-legs semantics) can never
+            # produce an unanchored product
+            for i3, (p3, tv) in enumerate(zip(grp, per_triple)):
+                others: set[str] = set()
+                for j3, ov in enumerate(per_triple):
+                    if j3 != i3:
+                        others |= ov
+                if tv and len(per_triple) > 1 \
+                        and not (tv & (required_vars | others)):
                     raise ValueError(
                         f"{label} triple {p3!r} shares no variable "
                         "with the required block or the rest of its "
@@ -326,9 +337,12 @@ def bgp_match(quads: DataFrame,
         # F.expr parses LAZILY (PySpark 4), so force driver-side
         # parse+analysis against an empty frame carrying every bound
         # variable — a malformed filter OR one referencing an unknown
-        # variable fails here, before any path leg burns Spark jobs
-        probe = quads.sparkSession.createDataFrame(
-            [], schema=", ".join(f"`{v}` string" for v in sorted(seen)))
+        # variable fails here, before any path leg burns Spark jobs.
+        # A var-free (all-ground) BGP still gets a one-column probe:
+        # an empty schema string is itself a DDL parse error.
+        probe_schema = (", ".join(f"`{v}` string" for v in sorted(seen))
+                        or "`__probe__` string")
+        probe = quads.sparkSession.createDataFrame([], schema=probe_schema)
         for f in filters:
             try:
                 probe.where(F.expr(f)).schema  # .schema forces analysis
@@ -348,14 +362,17 @@ def bgp_match(quads: DataFrame,
             # whole relation's closure (path_closure)
             p_iri = pat[1][:-1]
             s_t, o_t = pat[0], pat[2]
+            rounds_kw = ({} if path_max_rounds is None
+                         else {"max_rounds": path_max_rounds})
             if is_var(s_t) and is_var(o_t):
-                frame = path_closure(base, p_iri)
+                frame = path_closure(base, p_iri, **rounds_kw)
                 slots = (("src", s_t), ("dst", o_t))
             elif not is_var(s_t):
-                frame = path_reachable(base, p_iri, s_t)
+                frame = path_reachable(base, p_iri, s_t, **rounds_kw)
                 slots = (("dst", o_t),)
             else:  # variable subject, constant object: reverse walk
-                frame = path_reachable(base, p_iri, o_t, reverse=True)
+                frame = path_reachable(base, p_iri, o_t, reverse=True,
+                                       **rounds_kw)
                 slots = (("dst", s_t),)
         else:
             frame = base
@@ -433,7 +450,8 @@ def bgp_match(quads: DataFrame,
             # restructure such groups into separate OPTIONALs when
             # the legs are independent.
             leg = bgp_match(quads, grp, graph=graph,
-                            allow_product=True)
+                            allow_product=True,
+                            path_max_rounds=path_max_rounds)
             leg_vars = set(leg.columns)
         keys = sorted(bound & leg_vars)
         out = out.join(leg, on=keys, how="left")

@@ -148,6 +148,20 @@ def split_ontology(ontology: Sequence[tuple[str, str, str]]) -> dict:
             "rdf:type); the single-pass rule composition would be "
             "incomplete for it — rewrite the ontology without "
             "rdf:type meta-constraints")
+    # same feedback hole from the other side: a property whose
+    # subPropertyOf TARGET is an RDFS schema predicate would make
+    # rdfs7 emit schema triples (e.g. '<C1> rdfs:subClassOf <C2>')
+    # that the driver-CLOSED hierarchies can never absorb — reject
+    # loudly instead of silently under-entailing
+    schema_preds = known
+    if any(sup in schema_preds for _, sup in sp):
+        raise ValueError(
+            "ontology maps a property onto an RDFS schema predicate "
+            "via subPropertyOf (target is subClassOf/subPropertyOf/"
+            "domain/range); the inferred schema triples would need to "
+            "re-close the driver-side hierarchies, which the "
+            "single-pass composition cannot honor — materialize those "
+            "schema facts into the ontology argument instead")
     return {"sc": sc, "sp": sp, "dom": dom, "rng": rng}
 
 

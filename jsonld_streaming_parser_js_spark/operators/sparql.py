@@ -241,10 +241,17 @@ class _Parser:
                 # group (SPARQL LeftJoin), which bgp_match's group
                 # form implements — never triple-by-triple
                 optional.append(group)
+                # GroupGraphPatternSub allows an optional '.' after
+                # any block — consume it (it is a separator, not a
+                # required triple)
+                if self.peek() and self.peek()[1] == ".":
+                    self.next()
                 continue
             if self.at_keyword("FILTER"):
                 self.next()
                 filters.append(self.filter_expr())
+                if self.peek() and self.peek()[1] == ".":
+                    self.next()
                 continue
             if self.at_keyword("UNION") or self.at_keyword("GRAPH") \
                     or self.at_keyword("SELECT") or self.at_keyword("BIND") \
@@ -394,18 +401,23 @@ def parse_sparql(text: str) -> dict:
 
 
 def sparql_query(quads: DataFrame, text: str,
-                 graph: str | None = "") -> DataFrame:
+                 graph: str | None = "",
+                 path_max_rounds: int | None = None) -> DataFrame:
     """Execute a SPARQL (subset) query string against the quad frame.
 
     SELECT returns one column per projected variable; CONSTRUCT
     returns a distinct quad frame (subj, pred, obj, graph). ``graph``
-    selects the active graph exactly like ``bgp_match``.
+    selects the active graph exactly like ``bgp_match``;
+    ``path_max_rounds`` raises the property-path convergence budget
+    for genuinely deep graphs (the escape hatch the path operators'
+    errors point at).
     """
     q = parse_sparql(text)
     if q["form"] == "select":
         out = bgp_match(quads, q["patterns"], graph=graph,
                         distinct=False, optional=q["optional"],
-                        filters=q["filters"])
+                        filters=q["filters"],
+                        path_max_rounds=path_max_rounds)
         if q["project"] is not None:
             missing = sorted(set(q["project"]) - set(out.columns))
             if missing:
@@ -418,5 +430,6 @@ def sparql_query(quads: DataFrame, text: str,
     else:
         out = bgp_construct(quads, q["patterns"], q["template"],
                             graph=graph, optional=q["optional"],
-                            filters=q["filters"])
+                            filters=q["filters"],
+                            path_max_rounds=path_max_rounds)
     return out.limit(q["limit"]) if q["limit"] is not None else out

@@ -434,6 +434,59 @@ def test_bgp_over_entailed_kg_composition(spark):
     assert {r.x for r in bgp.bgp_match(ent, pat).collect()} == {"<a>"}
 
 
+def test_optional_group_chain_anchored_through_group_triple(spark):
+    """OPTIONAL { ?p hasAddr ?addr . ?addr street ?st }: the second
+    triple anchors through ?addr (another GROUP triple's var), not a
+    required var — a common well-designed shape that must evaluate."""
+    rows = BGP_QUADS + [("<p1>", f"<{S}hasAddr>", "<ad1>", ""),
+                        ("<ad1>", f"<{S}street>", '"Main St"', "")]
+    df = _quads_df(spark, rows)
+    out = bgp.bgp_match(
+        df, [("?a", f"<{S}author>", "?p")],
+        optional=[[("?p", f"<{S}hasAddr>", "?addr"),
+                   ("?addr", f"<{S}street>", "?st")]])
+    assert {(r.a, r.addr, r.st) for r in out.collect()} == {
+        ("<a1>", "<ad1>", '"Main St"'), ("<a2>", "<ad1>", '"Main St"')}
+
+
+def test_split_ontology_rejects_schema_predicate_sp_targets():
+    """A property mapped ONTO an RDFS schema predicate would emit
+    schema triples the driver-closed hierarchies never absorb — the
+    guard must refuse (silent under-entailment otherwise)."""
+    from jsonld_streaming_parser_js_spark.operators.inference import (
+        RDFS_SUBCLASS, RDFS_SUBPROP)
+    with pytest.raises(ValueError, match="schema predicate"):
+        split_ontology([(f"<{S}subsumes>", RDFS_SUBPROP, RDFS_SUBCLASS)])
+    with pytest.raises(ValueError, match="schema predicate"):
+        # reaches the target through the CLOSURE, not just directly
+        split_ontology([(f"<{S}a>", RDFS_SUBPROP, f"<{S}b>"),
+                        (f"<{S}b>", RDFS_SUBPROP, RDFS_SUBPROP)])
+
+
+def test_bgp_path_max_rounds_passthrough(spark):
+    P = f"<{S}next>"
+    chain = [(f"<n{i}>", P, f"<n{i+1}>", "") for i in range(7)]
+    df = _quads_df(spark, chain)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        bgp.bgp_match(df, [("?x", P + "+", "?y")], path_max_rounds=2)
+    ok = bgp.bgp_match(df, [("?x", P + "+", "?y")], path_max_rounds=5)
+    assert ok.count() == 28
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        bgp.bgp_match(df, [("<n0>", P + "+", "?y")], path_max_rounds=2)
+
+
+def test_bgp_filter_with_all_ground_pattern(spark):
+    """A var-free BGP plus a constant filter must not crash the
+    validation probe (empty schema string is itself a DDL error)."""
+    df = _quads_df(spark, BGP_QUADS)
+    hit = bgp.bgp_match(df, [("<p1>", f"<{S}name>", '"P1"')],
+                        filters=["1 = 1"])
+    assert hit.count() == 1
+    miss = bgp.bgp_match(df, [("<p1>", f"<{S}name>", '"P1"')],
+                         filters=["1 = 0"])
+    assert miss.count() == 0
+
+
 def test_entailment_distributes_over_union(spark):
     """Every rule has ONE data premise (the ontology is closed first),
     so entailment distributes over corpus unions — the property that

@@ -176,6 +176,20 @@ def test_pname_trailing_dot_is_triple_terminator(spark):
     assert {r.a for r in got.collect()} == {"<a1>", "<a2>"}
 
 
+def test_dot_after_optional_and_filter_blocks(spark):
+    """GroupGraphPatternSub allows a '.' after any block — the
+    dot-separated style must parse, and a FILTER may follow an
+    OPTIONAL."""
+    got = sparql_query(_kg(spark), PREFIXES + """
+      SELECT ?p ?e WHERE {
+        ?a schema:author ?p .
+        OPTIONAL { ?p schema:email ?e } .
+        FILTER (?p != <p0>) .
+      }""")
+    assert {(r.p, r.e) for r in got.collect()} == {
+        ("<p1>", '"p1@x"'), ("<p2>", None)}
+
+
 def test_required_triple_after_optional_raises():
     with pytest.raises(SparqlSyntaxError, match="after an OPTIONAL"):
         parse_sparql(PREFIXES + """SELECT ?a WHERE {

@@ -17,7 +17,7 @@ amplified input sizes, recording wall time, total shuffle write bytes
 
 Usage: python tools/scale_probe.py [--fuzzy 1,30,100] [--memo 1000]
        [--decon 40,500] [--pagerank 1,10,50] [--ccchain 100000]
-       [--hll 5000000] [--rdfs 1,10,50]
+       [--hll 5000000] [--rdfs 1,10,50] [--bgp 1,10,50]
 Every leg is opt-in (no defaults run), so a single-leg invocation
 reproduces exactly the one BENCH.md table it names. Prints one JSON
 line; BENCH.md quotes it.
@@ -211,21 +211,14 @@ def pagerank_leg(spark, amplify: int, base) -> dict:
             "shuffle_write_bytes": _delta(sw0, sw1)}
 
 
-def rdfs_leg(spark, amplify: int, base) -> dict:
-    """RDFS entailment at an amplified KG: the real quad set is
-    replicated with a per-replica suffix on INSTANCE terms only
-    (subjects, bnodes, entity objects) while vocabulary IRIs
-    (schema.org classes/properties, rdf:/rdfs: terms) and literals are
-    left intact — every replica is a disjoint instance graph over the
-    SAME ontology, so rule hits (and the inferred fact count) grow
-    exactly linearly. The scale claim under test: wall ~ O(quads) —
-    the rule legs are broadcast probes over one materialized base and
-    the only shuffle is the final dedupe/provenance groupBy on uniform
-    quad keys."""
+def _amplify_instance_terms(base, amplify: int):
+    """Replicate a quad frame with a per-replica suffix on INSTANCE
+    terms only — vocabulary IRIs (schema.org / w3.org), literals, and
+    the default-graph label stay intact, so every replica matches the
+    same rules/patterns independently. ONE keep-list shared by the
+    rdfs and bgp legs (their linearity claims must amplify
+    identically)."""
     from pyspark.sql import functions as F
-
-    from jsonld_streaming_parser_js_spark.operators.inference import (
-        DEFAULT_ONTOLOGY, rdfs_entailment)
 
     sfx = F.concat(F.lit("#r"), F.col("rep").cast("string"))
 
@@ -238,9 +231,26 @@ def rdfs_leg(spark, amplify: int, base) -> dict:
 
     rep = base.withColumn("rep", F.explode(
         F.sequence(F.lit(0), F.lit(amplify - 1))))
-    quads = rep.select(rename("subj").alias("subj"), "pred",
-                       rename("obj").alias("obj"),
-                       rename("graph").alias("graph"))
+    return rep.select(rename("subj").alias("subj"), "pred",
+                      rename("obj").alias("obj"),
+                      rename("graph").alias("graph"))
+
+
+def rdfs_leg(spark, amplify: int, base) -> dict:
+    """RDFS entailment at an amplified KG: the real quad set is
+    replicated with a per-replica suffix on INSTANCE terms only
+    (subjects, bnodes, entity objects) while vocabulary IRIs
+    (schema.org classes/properties, rdf:/rdfs: terms) and literals are
+    left intact — every replica is a disjoint instance graph over the
+    SAME ontology, so rule hits (and the inferred fact count) grow
+    exactly linearly. The scale claim under test: wall ~ O(quads) —
+    the rule legs are broadcast probes over one materialized base and
+    the only shuffle is the final dedupe/provenance groupBy on uniform
+    quad keys."""
+    from jsonld_streaming_parser_js_spark.operators.inference import (
+        DEFAULT_ONTOLOGY, rdfs_entailment)
+
+    quads = _amplify_instance_terms(base, amplify)
     sw0 = _shuffle_write_bytes(spark)
     t0 = time.time()
     ent = rdfs_entailment(quads, DEFAULT_ONTOLOGY)
@@ -262,28 +272,13 @@ def bgp_leg(spark, amplify: int, base) -> dict:
     test: bindings grow exactly linearly and wall ~ O(quads) — three
     predicate-filtered legs of one materialized store, variable
     equi-joins on uniform term keys (AQE picks the strategy)."""
-    from pyspark.sql import functions as F
-
     from jsonld_streaming_parser_js_spark.operators import bgp as bgpmod
 
-    sfx = F.concat(F.lit("#r"), F.col("rep").cast("string"))
-
-    def rename(col: str):
-        keep = (F.col(col).startswith('"')
-                | F.col(col).startswith("<http://schema.org/")
-                | F.col(col).startswith("<http://www.w3.org")
-                | (F.col(col) == F.lit("")))
-        return F.when(keep, F.col(col)).otherwise(F.concat(F.col(col), sfx))
-
-    rep = base.withColumn("rep", F.explode(
-        F.sequence(F.lit(0), F.lit(amplify - 1))))
     # DISTINCT like the lane: BGP bag semantics over repeated facts
     # (author names recur per page) would multiply bindings
     # superlinearly — the serving store is the fact SET
-    kg = rep.select(rename("subj").alias("subj"), "pred",
-                    rename("obj").alias("obj"),
-                    rename("graph").alias("graph")) \
-        .distinct().localCheckpoint()
+    kg = (_amplify_instance_terms(base, amplify)
+          .distinct().localCheckpoint())
     sw0 = _shuffle_write_bytes(spark)
     t0 = time.time()
     out = bgpmod.bgp_match(kg, [
