@@ -686,6 +686,8 @@ def _q_kg_bgp_query(spark, sf_dir):
       . ?a schema:author ?p . ?p schema:name ?n`` — predicate-pushed
       scans + equi-joins on shared variables (subject-subject AND
       object-subject joins), (v1, v2, v3) = (article, person, name).
+      Executed from SPARQL TEXT via operators/sparql.py, so the
+      front-end parser itself is value-oracle-witnessed.
     - shape='listpath': a property PATH composed with a regular
       pattern: ``?nav schema:crumbs ?l . ?l rdf:rest+ ?m`` over the
       breadcrumb list chains — path_closure evaluates rdf:rest+ by
@@ -710,13 +712,22 @@ def _q_kg_bgp_query(spark, sf_dir):
     kg = (_quads(spark, sf_dir)
           .select("subj", "pred", "obj", "graph").distinct()
           .localCheckpoint())
-    authors = (bgp.bgp_match(kg, [
-        ("?a", f"<{RDF_NS}type>", "<http://schema.org/Article>"),
-        ("?a", "<http://schema.org/author>", "?p"),
-        ("?p", "<http://schema.org/name>", "?n"),
-    ]).select(F.lit("authors").alias("shape"),
-              F.col("a").alias("v1"), F.col("p").alias("v2"),
-              F.col("n").alias("v3")))
+    # the authors shape goes through the SPARQL TEXT front-end
+    # (operators/sparql.py) on purpose: the parser's output is thereby
+    # lane-witnessed against the DuckDB oracle, not just pytest'd —
+    # the text below is the query a reference user would actually run
+    from jsonld_streaming_parser_js_spark.operators.sparql import (
+        sparql_query)
+    authors = (sparql_query(kg, """
+        PREFIX schema: <http://schema.org/>
+        SELECT ?a ?p ?n WHERE {
+          ?a a schema:Article .
+          ?a schema:author ?p .
+          ?p schema:name ?n .
+        }""")
+        .select(F.lit("authors").alias("shape"),
+                F.col("a").alias("v1"), F.col("p").alias("v2"),
+                F.col("n").alias("v3")))
     lists = (bgp.bgp_match(kg, [
         ("?nav", "<http://schema.org/crumbs>", "?l"),
         ("?l", f"<{RDF_NS}rest>+", "?m"),

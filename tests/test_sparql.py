@@ -254,6 +254,31 @@ def test_projecting_unbound_variable_raises(spark):
                      + "SELECT ?zzz WHERE { ?a schema:author ?p }")
 
 
+def test_parse_roundtrip_property():
+    """Property test: random pattern tuples serialized to SPARQL text
+    parse back to exactly the same tuples (the parser neither drops
+    nor mangles terms)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    iri = st.from_regex(r"<http://e\.org/[a-z]{1,8}>", fullmatch=True)
+    var = st.from_regex(r"\?[a-z]{1,6}", fullmatch=True)
+    lit = st.from_regex(r'"[a-zA-Z0-9 ]{0,10}"', fullmatch=True)
+    subj = st.one_of(iri, var)
+    pred = st.one_of(iri, var)
+    obj = st.one_of(iri, var, lit)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(subj, pred, obj), min_size=1, max_size=4))
+    def check(patterns):
+        text = "SELECT * WHERE { " + " . ".join(
+            " ".join(t) for t in patterns) + " }"
+        q = parse_sparql(text)
+        assert q["patterns"] == [tuple(p) for p in patterns]
+
+    check()
+
+
 def test_sparql_against_fixture_kg_matches_lane_shape(spark):
     """The lane's author conjunction expressed as SPARQL text must
     reproduce the kg_bgp_query shape='authors' rows on the real
