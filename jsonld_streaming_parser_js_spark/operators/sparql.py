@@ -28,12 +28,17 @@ the offending token, never silently misparses):
   ``^^prefix:name``), and one-or-more property paths (``pred+``).
 - ``OPTIONAL { ... }`` blocks (well-designed restriction enforced by
   bgp_match) and ``FILTER (...)`` constraints.
-- ``LIMIT n``.
+- top-level ``{ A } UNION { B } [UNION { C } ...]`` inside WHERE:
+  each branch is a full group (triples/OPTIONAL/FILTER); solutions
+  union with SPARQL bag semantics — the domain is the variable
+  union, branch-unbound variables come back null.
+- ``ORDER BY ?v [DESC(?v)] ...`` and ``LIMIT n``.
 
-Out of scope (raise): UNION, GRAPH, subqueries, aggregates, ORDER BY,
-``*``/``?``/``|``/``/`` paths beyond ``+``, blank-node syntax, and
-numeric-typed FILTER arithmetic. The engine's rollup/window lanes
-cover aggregation through the DataFrame API instead.
+Out of scope (raise): GRAPH, subqueries, aggregates, nested UNION
+(branches are flat groups), ``*``/``?``/``|``/``/`` paths beyond
+``+``, blank-node syntax, and numeric-typed FILTER arithmetic. The
+engine's rollup/window lanes cover aggregation through the DataFrame
+API instead.
 
 FILTER translation: SPARQL expressions become Spark SQL over the
 binding columns — ``?x`` -> column ``x``, ``&&``/``||``/``!`` ->
@@ -213,6 +218,28 @@ class _Parser:
         o = self.term()
         return (s, p, o)
 
+    def where_block(self) -> list[tuple[list, list, list]]:
+        """WHERE group: either one plain group, or top-level
+        ``{ A } UNION { B } ...`` — returns one (patterns, optional,
+        filters) tuple per union branch (a single-element list for the
+        plain form)."""
+        self.expect("{")
+        t = self.peek()
+        if t is not None and t[1] == "{":
+            branches = [self.group()]
+            while self.at_keyword("UNION"):
+                self.next()
+                branches.append(self.group())
+            self.expect("}")
+            if len(branches) == 1:
+                raise SparqlSyntaxError(
+                    "a lone braced subgroup inside WHERE — either "
+                    "drop the inner braces or add a UNION branch")
+            return branches
+        # plain group: re-parse from the already-consumed '{'
+        self.pos -= 1
+        return [self.group()]
+
     def group(self) -> tuple[list, list, list]:
         """{ triples / OPTIONAL { triples } / FILTER (expr) }"""
         self.expect("{")
@@ -356,11 +383,10 @@ class _Parser:
                     raise SparqlSyntaxError(
                         "SELECT needs ?vars or * before WHERE")
             self.expect("WHERE")
-            patterns, optional, filters = self.group()
+            branches = self.where_block()
             q = {"form": "select", "project": project,
-                 "distinct": distinct, "patterns": patterns,
-                 "optional": optional, "filters": filters,
-                 "limit": self._limit()}
+                 "distinct": distinct, "branches": branches,
+                 "order_by": self._order_by(), "limit": self._limit()}
         elif self.at_keyword("CONSTRUCT"):
             self.next()
             self.expect("{")
@@ -371,10 +397,15 @@ class _Parser:
                     self.next()
             self.expect("}")
             self.expect("WHERE")
-            patterns, optional, filters = self.group()
+            branches = self.where_block()
+            if len(branches) > 1:
+                raise SparqlSyntaxError(
+                    "UNION under CONSTRUCT is outside the supported "
+                    "subset (run the branches as separate CONSTRUCTs "
+                    "and union the quad frames)")
             q = {"form": "construct", "template": template,
-                 "patterns": patterns, "optional": optional,
-                 "filters": filters, "limit": self._limit()}
+                 "branches": branches, "order_by": None,
+                 "limit": self._limit()}
         else:
             t = self.peek()
             raise SparqlSyntaxError(
@@ -384,6 +415,37 @@ class _Parser:
         if t is not None:
             raise SparqlSyntaxError(f"trailing content {t[1]!r}")
         return q
+
+    def _order_by(self) -> list[tuple[str, bool]] | None:
+        """ORDER BY ?v [DESC(?v)] ... -> [(var, ascending), ...]."""
+        if not self.at_keyword("ORDER"):
+            return None
+        self.next()
+        self.expect("BY")
+        keys: list[tuple[str, bool]] = []
+        while True:
+            t = self.peek()
+            if t is None:
+                break
+            if t[0] == "VAR":
+                self.next()
+                keys.append((t[1][1:], True))
+            elif t[0] == "KEYWORD" and t[1].upper() in ("ASC", "DESC"):
+                asc = t[1].upper() == "ASC"
+                self.next()
+                self.expect("(")
+                k2, v = self.next()
+                if k2 != "VAR":
+                    raise SparqlSyntaxError(
+                        f"{t[1]}() takes a variable, got {v!r}")
+                self.expect(")")
+                keys.append((v[1:], asc))
+            else:
+                break
+        if not keys:
+            raise SparqlSyntaxError("ORDER BY needs at least one "
+                                    "?var / ASC(?var) / DESC(?var)")
+        return keys
 
     def _limit(self) -> int | None:
         if self.at_keyword("LIMIT"):
@@ -412,12 +474,23 @@ def sparql_query(quads: DataFrame, text: str,
     for genuinely deep graphs (the escape hatch the path operators'
     errors point at).
     """
+    from pyspark.sql import functions as F
+
     q = parse_sparql(text)
+
+    def run_branch(branch):
+        patterns, optional, filters = branch
+        return bgp_match(quads, patterns, graph=graph, distinct=False,
+                         optional=optional, filters=filters,
+                         path_max_rounds=path_max_rounds)
+
     if q["form"] == "select":
-        out = bgp_match(quads, q["patterns"], graph=graph,
-                        distinct=False, optional=q["optional"],
-                        filters=q["filters"],
-                        path_max_rounds=path_max_rounds)
+        legs = [run_branch(b) for b in q["branches"]]
+        out = legs[0]
+        for leg in legs[1:]:
+            # SPARQL Union: bag union over the variable-union domain;
+            # a branch that does not bind a variable yields null
+            out = out.unionByName(leg, allowMissingColumns=True)
         if q["project"] is not None:
             missing = sorted(set(q["project"]) - set(out.columns))
             if missing:
@@ -427,9 +500,21 @@ def sparql_query(quads: DataFrame, text: str,
             out = out.select(*q["project"])
         if q["distinct"]:
             out = out.distinct()
+        if q["order_by"]:
+            missing = sorted({v for v, _ in q["order_by"]}
+                             - set(out.columns))
+            if missing:
+                raise SparqlSyntaxError(
+                    f"ORDER BY references unavailable variables "
+                    f"{missing} (after projection: "
+                    f"{sorted(out.columns)})")
+            out = out.orderBy(*[
+                F.col(v).asc() if asc else F.col(v).desc()
+                for v, asc in q["order_by"]])
     else:
-        out = bgp_construct(quads, q["patterns"], q["template"],
-                            graph=graph, optional=q["optional"],
-                            filters=q["filters"],
+        patterns, optional, filters = q["branches"][0]
+        out = bgp_construct(quads, patterns, q["template"],
+                            graph=graph, optional=optional,
+                            filters=filters,
                             path_max_rounds=path_max_rounds)
     return out.limit(q["limit"]) if q["limit"] is not None else out

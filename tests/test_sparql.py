@@ -50,9 +50,9 @@ def test_parse_select_shape():
     """)
     assert q["form"] == "select" and q["distinct"] is True
     assert q["project"] == ["a", "n"] and q["limit"] == 5
-    assert q["patterns"][0] == (
-        "?a", f"<{RDF}type>", f"<{S}Article>")
-    assert q["filters"] == ["( `n` != '\"P1\"' )"]
+    patterns, optional, filters = q["branches"][0]
+    assert patterns[0] == ("?a", f"<{RDF}type>", f"<{S}Article>")
+    assert filters == ["( `n` != '\"P1\"' )"]
 
 
 def test_select_executes_like_bgp_match(spark):
@@ -139,17 +139,58 @@ def test_select_star_and_typed_literals(spark):
     # lang tag / datatype suffixes produce the engine's term encoding
     q = parse_sparql(PREFIXES + 'SELECT ?x WHERE { ?x schema:name '
                      '"Doc"@en } ')
-    assert q["patterns"][0][2] == '"Doc"@en'
+    assert q["branches"][0][0][0][2] == '"Doc"@en'
     q = parse_sparql(PREFIXES + 'SELECT ?x WHERE { ?x schema:n '
                      '"5"^^<http://www.w3.org/2001/XMLSchema#integer> }')
-    assert q["patterns"][0][2] == (
+    assert q["branches"][0][0][0][2] == (
         '"5"^^<http://www.w3.org/2001/XMLSchema#integer>')
+
+
+def test_union_branches_null_pad_and_bag_union(spark):
+    """Top-level { A } UNION { B }: solutions union over the variable
+    union with branch-unbound vars null (SPARQL bag semantics)."""
+    df = _kg(spark)
+    got = sparql_query(df, PREFIXES + """
+      SELECT ?p ?n ?e WHERE {
+        { ?p schema:name ?n }
+        UNION
+        { ?p schema:email ?e }
+      }""")
+    assert {(r.p, r.n, r.e) for r in got.collect()} == {
+        ("<p1>", '"P1"', None), ("<p2>", '"P2"', None),
+        ("<p1>", None, '"p1@x"')}
+    # three branches + DISTINCT projection
+    got = sparql_query(df, PREFIXES + """
+      SELECT DISTINCT ?p WHERE {
+        { ?p schema:name ?n } UNION { ?p schema:email ?e }
+        UNION { ?a schema:author ?p }
+      }""")
+    assert {r.p for r in got.collect()} == {"<p1>", "<p2>"}
+
+
+def test_order_by_asc_desc_and_validation(spark):
+    df = _kg(spark)
+    got = sparql_query(df, PREFIXES + """
+      SELECT ?p ?n WHERE { ?p schema:name ?n } ORDER BY DESC(?n)""")
+    assert [r.n for r in got.collect()] == ['"P2"', '"P1"']
+    got = sparql_query(df, PREFIXES + """
+      SELECT ?n WHERE { ?p schema:name ?n } ORDER BY ?n LIMIT 1""")
+    assert [r.n for r in got.collect()] == ['"P1"']
+    with pytest.raises(SparqlSyntaxError, match="ORDER BY references"):
+        sparql_query(df, PREFIXES + "SELECT ?n WHERE "
+                     "{ ?p schema:name ?n } ORDER BY ?zzz")
 
 
 def test_unsupported_constructs_raise():
     with pytest.raises(SparqlSyntaxError, match="nested group"):
-        parse_sparql(PREFIXES + "SELECT ?a WHERE { { ?a schema:x ?b } "
-                     "UNION { ?a schema:y ?b } }")
+        parse_sparql(PREFIXES + "SELECT ?a WHERE { ?a schema:x ?b . "
+                     "{ ?c schema:y ?d } }")
+    with pytest.raises(SparqlSyntaxError, match="lone braced"):
+        parse_sparql(PREFIXES
+                     + "SELECT ?a WHERE { { ?a schema:x ?b } }")
+    with pytest.raises(SparqlSyntaxError, match="UNION under CONSTRUCT"):
+        parse_sparql(PREFIXES + "CONSTRUCT { ?a schema:z ?b } WHERE "
+                     "{ { ?a schema:x ?b } UNION { ?a schema:y ?b } }")
     with pytest.raises(SparqlSyntaxError, match="UNION"):
         parse_sparql(PREFIXES + "SELECT ?a WHERE { ?a schema:x ?b . "
                      "UNION { ?a schema:y ?b } }")
@@ -224,7 +265,7 @@ def test_a_keyword_is_predicate_only():
 def test_langtag_case_preserved():
     q = parse_sparql(PREFIXES
                      + 'SELECT ?x WHERE { ?x schema:name "Doc"@en-US }')
-    assert q["patterns"][0][2] == '"Doc"@en-US'
+    assert q["branches"][0][0][0][2] == '"Doc"@en-US'
 
 
 def test_optional_group_anchored_through_required_vars(spark):
@@ -274,7 +315,7 @@ def test_parse_roundtrip_property():
         text = "SELECT * WHERE { " + " . ".join(
             " ".join(t) for t in patterns) + " }"
         q = parse_sparql(text)
-        assert q["patterns"] == [tuple(p) for p in patterns]
+        assert q["branches"][0][0] == [tuple(p) for p in patterns]
 
     check()
 
