@@ -29,10 +29,19 @@ the offending token, never silently misparses):
 - ``OPTIONAL { ... }`` blocks (well-designed restriction enforced by
   bgp_match) and ``FILTER (...)`` constraints.
 - top-level ``{ A } UNION { B } [UNION { C } ...]`` inside WHERE:
-  each branch is a full group (triples/OPTIONAL/FILTER); solutions
-  union with SPARQL bag semantics — the domain is the variable
-  union, branch-unbound variables come back null.
-- ``ORDER BY ?v [DESC(?v)] ...`` and ``LIMIT n``.
+  each branch is a full group (triples/OPTIONAL/FILTER, at least one
+  required triple — empty/FILTER-only branches raise at parse);
+  solutions union with SPARQL bag semantics — the domain is the
+  variable union, branch-unbound variables come back null.
+- ``ORDER BY ?v [DESC(?v)] ...`` and ``LIMIT n``. CAVEAT (documented
+  divergence, the one place the subset answers rather than raises
+  with non-SPARQL ordering): ORDER BY sorts the N-Triples LEXICAL
+  term encoding under binary collation — deterministic and identical
+  across engines, but NOT SPARQL 15.1 value ordering (numeric typed
+  literals sort as strings, literals sort before IRIs). Plain SELECT
+  orders BEFORE projection (any bound variable is sortable); SELECT
+  DISTINCT restricts ORDER BY to projected variables, mirroring the
+  spec's own DISTINCT constraint.
 
 Out of scope (raise): GRAPH, subqueries, aggregates, nested UNION
 (branches are flat groups), ``*``/``?``/``|``/``/`` paths beyond
@@ -60,6 +69,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from jsonld_streaming_parser_js_spark.operators.bgp import (
     bgp_construct,
@@ -235,10 +245,21 @@ class _Parser:
                 raise SparqlSyntaxError(
                     "a lone braced subgroup inside WHERE — either "
                     "drop the inner braces or add a UNION branch")
-            return branches
-        # plain group: re-parse from the already-consumed '{'
-        self.pos -= 1
-        return [self.group()]
+        else:
+            # plain group: re-parse from the already-consumed '{'
+            self.pos -= 1
+            branches = [self.group()]
+        for patterns, _, _ in branches:
+            if not patterns:
+                # SPARQL's empty group is the unit solution; the
+                # engine has no unit-solution frame, so refuse at
+                # PARSE time (the contract: parses -> answered)
+                raise SparqlSyntaxError(
+                    "a group with no required triple (empty, "
+                    "FILTER-only, or OPTIONAL-only) is outside the "
+                    "supported subset — every group/UNION branch "
+                    "needs at least one triple pattern")
+        return branches
 
     def group(self) -> tuple[list, list, list]:
         """{ triples / OPTIONAL { triples } / FILTER (expr) }"""
@@ -474,8 +495,6 @@ def sparql_query(quads: DataFrame, text: str,
     for genuinely deep graphs (the escape hatch the path operators'
     errors point at).
     """
-    from pyspark.sql import functions as F
-
     q = parse_sparql(text)
 
     def run_branch(branch):
@@ -497,20 +516,35 @@ def sparql_query(quads: DataFrame, text: str,
                 raise SparqlSyntaxError(
                     f"SELECT projects unbound variables {missing} "
                     f"(bound: {sorted(out.columns)})")
-            out = out.select(*q["project"])
-        if q["distinct"]:
-            out = out.distinct()
-        if q["order_by"]:
+
+        def apply_order(df):
             missing = sorted({v for v, _ in q["order_by"]}
-                             - set(out.columns))
+                             - set(df.columns))
             if missing:
                 raise SparqlSyntaxError(
                     f"ORDER BY references unavailable variables "
-                    f"{missing} (after projection: "
-                    f"{sorted(out.columns)})")
-            out = out.orderBy(*[
+                    f"{missing} (available: {sorted(df.columns)})")
+            return df.orderBy(*[
                 F.col(v).asc() if asc else F.col(v).desc()
                 for v, asc in q["order_by"]])
+
+        if q["distinct"]:
+            # SPARQL constrains SELECT DISTINCT's ORDER BY to the
+            # projected variables — distinct first (it is a shuffle
+            # that would destroy a prior sort), then order
+            if q["project"] is not None:
+                out = out.select(*q["project"])
+            out = out.distinct()
+            if q["order_by"]:
+                out = apply_order(out)
+        else:
+            # plain SELECT: spec order is OrderBy THEN Project, so
+            # any BOUND variable is sortable, projected or not
+            # (projection after sort is narrow — order survives)
+            if q["order_by"]:
+                out = apply_order(out)
+            if q["project"] is not None:
+                out = out.select(*q["project"])
     else:
         patterns, optional, filters = q["branches"][0]
         out = bgp_construct(quads, patterns, q["template"],

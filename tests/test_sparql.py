@@ -176,9 +176,28 @@ def test_order_by_asc_desc_and_validation(spark):
     got = sparql_query(df, PREFIXES + """
       SELECT ?n WHERE { ?p schema:name ?n } ORDER BY ?n LIMIT 1""")
     assert [r.n for r in got.collect()] == ['"P1"']
+    # spec order is OrderBy THEN Project: sorting by a non-projected
+    # bound variable is valid SPARQL for a plain SELECT
+    got = sparql_query(df, PREFIXES + """
+      SELECT ?n WHERE { ?p schema:name ?n } ORDER BY DESC(?p)""")
+    assert [r.n for r in got.collect()] == ['"P2"', '"P1"']
     with pytest.raises(SparqlSyntaxError, match="ORDER BY references"):
         sparql_query(df, PREFIXES + "SELECT ?n WHERE "
                      "{ ?p schema:name ?n } ORDER BY ?zzz")
+    # SELECT DISTINCT restricts ORDER BY to the projection (spec's own
+    # DISTINCT constraint)
+    with pytest.raises(SparqlSyntaxError, match="ORDER BY references"):
+        sparql_query(df, PREFIXES + "SELECT DISTINCT ?n WHERE "
+                     "{ ?p schema:name ?n } ORDER BY ?p")
+
+
+def test_triple_less_groups_raise_at_parse():
+    for body in ("{ } UNION { ?a schema:x ?b }",
+                 "{ FILTER (?a != <x>) } UNION { ?a schema:x ?b }",
+                 "{ OPTIONAL { ?a schema:x ?b } }"):
+        with pytest.raises(SparqlSyntaxError,
+                           match="no required triple|lone braced"):
+            parse_sparql(PREFIXES + "SELECT * WHERE { " + body + " }")
 
 
 def test_unsupported_constructs_raise():
