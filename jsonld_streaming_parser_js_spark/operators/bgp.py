@@ -192,7 +192,8 @@ def bgp_match(quads: DataFrame,
               distinct: bool = False,
               optional: Sequence[tuple[str, str, str]] = (),
               filters: Sequence[str] = (),
-              path_max_rounds: int | None = None) -> DataFrame:
+              path_max_rounds: int | None = None,
+              graph_var: str | None = None) -> DataFrame:
     """Match a conjunction of triple patterns against the quad frame.
 
     ``patterns``: (s, p, o) tuples; elements starting with ``?`` are
@@ -229,12 +230,23 @@ def bgp_match(quads: DataFrame,
     ``path_max_rounds``: override the convergence budget of every
     path leg (path_closure's squaring rounds / path_reachable's BFS
     depth) — the escape hatch their convergence errors point at.
+    ``graph_var``: SPARQL ``GRAPH ?g { ... }`` semantics — bind the
+    quad's graph label as variable ``graph_var`` on EVERY pattern
+    (it joins the legs like any shared variable, so one solution's
+    triples all come from the same graph). Requires ``graph=None``
+    (a constant graph selection and a graph variable are mutually
+    exclusive) and forbids property-path patterns (a closure would
+    have to run per graph; filter to one graph first).
     """
     if not patterns:
         raise ValueError("bgp_match needs at least one triple pattern")
     base = quads.select("subj", "pred", "obj", "graph")
     if graph is not None:
         base = base.where(F.col("graph") == graph)
+    elif graph_var is not None:
+        # SPARQL GRAPH ?g ranges over NAMED graphs only — exclude the
+        # default graph (the engine's '' label)
+        base = base.where(F.col("graph") != "")
 
     # validate the WHOLE pattern list (and filters) before evaluating
     # any leg: a path leg runs Spark jobs at build time (its fixpoint
@@ -251,6 +263,19 @@ def bgp_match(quads: DataFrame,
             opt_groups.append([tuple(entry)])
         else:
             opt_groups.append([tuple(p) for p in entry])
+
+    if graph_var is not None:
+        if graph is not None:
+            raise ValueError(
+                "graph_var and a constant graph selection are "
+                "mutually exclusive — pass graph=None with graph_var")
+        all_triples = list(patterns) + [t for g in opt_groups for t in g]
+        if any(is_path_plus(p[1]) for p in all_triples
+               if len(p) == 3):
+            raise ValueError(
+                "property-path patterns inside GRAPH ?var blocks are "
+                "unsupported (the closure would have to run per "
+                "graph) — select a constant graph first")
 
     seen: set[str] = set()
     required_vars: set[str] = set()
@@ -270,6 +295,8 @@ def bgp_match(quads: DataFrame,
                         f"{label} {kind_idx} is not a triple: {p3!r}")
                 terms = (p3[0], p3[2]) if is_path_plus(p3[1]) else p3
                 tv = {t[1:] for t in terms if is_var(t)}
+                if graph_var is not None:
+                    tv = tv | {graph_var}  # every leg binds the graph
                 per_triple.append(tv)
                 vs |= tv
             # every triple of a multi-triple group must be anchored —
@@ -298,6 +325,8 @@ def bgp_match(quads: DataFrame,
                     f"{label} {kind_idx} is not a triple: {pat!r}")
             terms = (pat[0], pat[2]) if is_path_plus(pat[1]) else pat
             vs = {t[1:] for t in terms if is_var(t)}
+            if graph_var is not None:
+                vs.add(graph_var)  # every leg binds the graph
         if not is_opt:
             if (kind_idx and seen and vs and not (seen & vs)
                     and not allow_product):
@@ -377,6 +406,10 @@ def bgp_match(quads: DataFrame,
         else:
             frame = base
             slots = tuple(zip(_POSITIONS, pat))
+            if graph_var is not None:
+                # GRAPH ?g: the graph label binds like a 4th slot and
+                # joins the legs like any shared variable
+                slots = slots + (("graph", "?" + graph_var),)
         cond = None
         var_cols: dict[str, str] = {}  # var name -> first position col
         for pos, term in slots:
@@ -451,7 +484,8 @@ def bgp_match(quads: DataFrame,
             # the legs are independent.
             leg = bgp_match(quads, grp, graph=graph,
                             allow_product=True,
-                            path_max_rounds=path_max_rounds)
+                            path_max_rounds=path_max_rounds,
+                            graph_var=graph_var)
             leg_vars = set(leg.columns)
         keys = sorted(bound & leg_vars)
         out = out.join(leg, on=keys, how="left")

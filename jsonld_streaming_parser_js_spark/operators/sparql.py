@@ -28,6 +28,12 @@ the offending token, never silently misparses):
   ``^^prefix:name``), and one-or-more property paths (``pred+``).
 - ``OPTIONAL { ... }`` blocks (well-designed restriction enforced by
   bgp_match) and ``FILTER (...)`` constraints.
+- ``GRAPH ?g { ... }`` / ``GRAPH <iri> { ... }`` as the whole WHERE
+  body: a graph variable ranges over the NAMED graphs (the default
+  graph's '' label is excluded, per SPARQL) and binds on every
+  pattern; an IRI selects that one named graph. Overrides the
+  ``graph`` argument. Property paths inside ``GRAPH ?var`` raise
+  (the closure would have to run per graph).
 - top-level ``{ A } UNION { B } [UNION { C } ...]`` inside WHERE:
   each branch is a full group (triples/OPTIONAL/FILTER, at least one
   required triple — empty/FILTER-only branches raise at parse);
@@ -43,11 +49,12 @@ the offending token, never silently misparses):
   DISTINCT restricts ORDER BY to projected variables, mirroring the
   spec's own DISTINCT constraint.
 
-Out of scope (raise): GRAPH, subqueries, aggregates, nested UNION
-(branches are flat groups), ``*``/``?``/``|``/``/`` paths beyond
-``+``, blank-node syntax, and numeric-typed FILTER arithmetic. The
-engine's rollup/window lanes cover aggregation through the DataFrame
-API instead.
+Out of scope (raise): subqueries, aggregates, nested UNION (branches
+are flat groups), GRAPH blocks mixed with default-graph triples or
+inside UNION branches, ``*``/``?``/``|``/``/`` paths beyond ``+``,
+blank-node syntax, and numeric-typed FILTER arithmetic. The engine's
+rollup/window lanes cover aggregation through the DataFrame API
+instead.
 
 FILTER translation: SPARQL expressions become Spark SQL over the
 binding columns — ``?x`` -> column ``x``, ``&&``/``||``/``!`` ->
@@ -228,12 +235,34 @@ class _Parser:
         o = self.term()
         return (s, p, o)
 
-    def where_block(self) -> list[tuple[list, list, list]]:
-        """WHERE group: either one plain group, or top-level
-        ``{ A } UNION { B } ...`` — returns one (patterns, optional,
-        filters) tuple per union branch (a single-element list for the
-        plain form)."""
+    def where_block(self):
+        """WHERE group: one plain group, top-level ``{ A } UNION
+        { B } ...``, or ``GRAPH ?g|<iri> { ... }`` as the whole body.
+        Returns (branches, graph_spec) where branches is one
+        (patterns, optional, filters) tuple per union branch and
+        graph_spec is None | ('var', name) | ('iri', term)."""
         self.expect("{")
+        if self.at_keyword("GRAPH"):
+            self.next()
+            kind, tok = self.next()
+            if kind == "VAR":
+                gspec = ("var", tok[1:])
+            elif kind == "IRI":
+                gspec = ("iri", tok)
+            elif kind == "PNAME":
+                gspec = ("iri", self._expand_pname(tok))
+            else:
+                raise SparqlSyntaxError(
+                    f"GRAPH takes ?var or an IRI, got {tok!r}")
+            branches = [self.group()]
+            self.expect("}")
+            if not branches[0][0]:
+                raise SparqlSyntaxError(
+                    "a group with no required triple (empty, "
+                    "FILTER-only, or OPTIONAL-only) is outside the "
+                    "supported subset — every group/UNION branch "
+                    "needs at least one triple pattern")
+            return branches, gspec
         t = self.peek()
         if t is not None and t[1] == "{":
             branches = [self.group()]
@@ -259,7 +288,7 @@ class _Parser:
                     "FILTER-only, or OPTIONAL-only) is outside the "
                     "supported subset — every group/UNION branch "
                     "needs at least one triple pattern")
-        return branches
+        return branches, None
 
     def group(self) -> tuple[list, list, list]:
         """{ triples / OPTIONAL { triples } / FILTER (expr) }"""
@@ -404,9 +433,10 @@ class _Parser:
                     raise SparqlSyntaxError(
                         "SELECT needs ?vars or * before WHERE")
             self.expect("WHERE")
-            branches = self.where_block()
+            branches, gspec = self.where_block()
             q = {"form": "select", "project": project,
                  "distinct": distinct, "branches": branches,
+                 "graph_spec": gspec,
                  "order_by": self._order_by(), "limit": self._limit()}
         elif self.at_keyword("CONSTRUCT"):
             self.next()
@@ -418,15 +448,15 @@ class _Parser:
                     self.next()
             self.expect("}")
             self.expect("WHERE")
-            branches = self.where_block()
+            branches, gspec = self.where_block()
             if len(branches) > 1:
                 raise SparqlSyntaxError(
                     "UNION under CONSTRUCT is outside the supported "
                     "subset (run the branches as separate CONSTRUCTs "
                     "and union the quad frames)")
             q = {"form": "construct", "template": template,
-                 "branches": branches, "order_by": None,
-                 "limit": self._limit()}
+                 "branches": branches, "graph_spec": gspec,
+                 "order_by": None, "limit": self._limit()}
         else:
             t = self.peek()
             raise SparqlSyntaxError(
@@ -497,11 +527,24 @@ def sparql_query(quads: DataFrame, text: str,
     """
     q = parse_sparql(text)
 
+    # a GRAPH block overrides the graph argument: GRAPH <iri> selects
+    # that named graph; GRAPH ?var ranges over the named graphs and
+    # binds the label (bgp_match graph_var semantics)
+    eff_graph, eff_graph_var = graph, None
+    if q.get("graph_spec") is not None:
+        kind_g, val_g = q["graph_spec"]
+        if kind_g == "var":
+            eff_graph, eff_graph_var = None, val_g
+        else:
+            eff_graph = val_g
+
     def run_branch(branch):
         patterns, optional, filters = branch
-        return bgp_match(quads, patterns, graph=graph, distinct=False,
+        return bgp_match(quads, patterns, graph=eff_graph,
+                         distinct=False,
                          optional=optional, filters=filters,
-                         path_max_rounds=path_max_rounds)
+                         path_max_rounds=path_max_rounds,
+                         graph_var=eff_graph_var)
 
     if q["form"] == "select":
         legs = [run_branch(b) for b in q["branches"]]
@@ -548,7 +591,8 @@ def sparql_query(quads: DataFrame, text: str,
     else:
         patterns, optional, filters = q["branches"][0]
         out = bgp_construct(quads, patterns, q["template"],
-                            graph=graph, optional=optional,
+                            graph=eff_graph, optional=optional,
                             filters=filters,
-                            path_max_rounds=path_max_rounds)
+                            path_max_rounds=path_max_rounds,
+                            graph_var=eff_graph_var)
     return out.limit(q["limit"]) if q["limit"] is not None else out

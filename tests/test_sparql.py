@@ -191,6 +191,55 @@ def test_order_by_asc_desc_and_validation(spark):
                      "{ ?p schema:name ?n } ORDER BY ?p")
 
 
+def test_graph_patterns_var_and_iri(spark):
+    """GRAPH ?g binds the named-graph label per solution (default
+    graph excluded); GRAPH <iri> selects one named graph; the graph
+    var must join across patterns (same-graph constraint)."""
+    rows = KG + [
+        ("<e1>", f"<{S}name>", '"E1"', "<g1>"),
+        ("<e1>", f"<{S}note>", '"N1"', "<g1>"),
+        ("<e2>", f"<{S}name>", '"E2"', "<g2>"),
+        # same subject, but note lives in ANOTHER graph -> the joint
+        # two-pattern GRAPH block must NOT match e2
+        ("<e2>", f"<{S}note>", '"N2"', "<g3>"),
+    ]
+    df = spark.createDataFrame(rows, schema=QUAD_SCHEMA)
+    got = sparql_query(df, PREFIXES + """
+      SELECT ?g ?x WHERE { GRAPH ?g { ?x schema:name ?n } }""")
+    assert {(r.g, r.x) for r in got.collect()} == {
+        ("<g1>", "<e1>"), ("<g2>", "<e2>")}
+    # same-graph constraint across two patterns
+    got = sparql_query(df, PREFIXES + """
+      SELECT ?x WHERE { GRAPH ?g {
+        ?x schema:name ?n . ?x schema:note ?t } }""")
+    assert [r.x for r in got.collect()] == ["<e1>"]
+    # constant graph
+    got = sparql_query(df, PREFIXES + """
+      SELECT ?x WHERE { GRAPH <g2> { ?x schema:name ?n } }""")
+    assert [r.x for r in got.collect()] == ["<e2>"]
+    # paths inside GRAPH ?var raise
+    with pytest.raises(ValueError, match="per graph"):
+        sparql_query(df, PREFIXES + """
+          SELECT ?x WHERE { GRAPH ?g { ?x rdf:rest+ ?y } }""")
+
+
+def test_graph_var_on_fixture_named_graphs(spark):
+    """The real corpus's language-labeled entities live in per-page
+    named graphs (<url#g>) — GRAPH ?g must surface exactly those."""
+    import __spark_entry__ as e
+    kg = (e._quads(spark, "/root/testdata/sf0.001")
+          .select("subj", "pred", "obj", "graph").distinct()
+          .localCheckpoint())
+    got = sparql_query(kg, PREFIXES + """
+      SELECT ?g ?ent ?n WHERE { GRAPH ?g {
+        ?ent schema:name ?n } }""")
+    rows = got.collect()
+    assert rows and all(r.g.endswith('#g>') for r in rows)
+    assert all(r.ent.endswith('#entity>') for r in rows)
+    # two labels (@en/@de) per entity
+    assert len(rows) == 2 * len({r.ent for r in rows})
+
+
 def test_triple_less_groups_raise_at_parse():
     for body in ("{ } UNION { ?a schema:x ?b }",
                  "{ FILTER (?a != <x>) } UNION { ?a schema:x ?b }",
