@@ -25,12 +25,12 @@ Compilation model (declarative, Catalyst-friendly):
 
 Semantics: SPARQL BGP *bag* matching over the selected graph. The
 default-graph selection (``graph=''``) mirrors the engine's convention
-that top-level triples carry an empty graph label. Pass ``graph=None``
-to match across all graphs (the union graph) — the graph column then
-participates as a hidden per-pattern constraint only if a pattern
-binds it via ``graph_var``... deliberately NOT implemented: named-graph
-patterns (SPARQL ``GRAPH ?g``) are out of scope for the core BGP
-operator; callers filter/group on the quad frame directly for that.
+that top-level triples carry an empty graph label; ``graph=None``
+matches across all graphs (the union graph). Named-graph patterns
+(SPARQL ``GRAPH ?g { ... }``) ARE supported via ``graph_var``: the
+graph label binds like a fourth slot on every pattern, joining the
+legs so one solution's triples all come from the same named graph
+(the default graph is excluded, per SPARQL).
 
 Scale design (100 TB): no driver-side data movement at all; every
 pattern is a predicate-pushed scan of the same store, so a
@@ -269,6 +269,12 @@ def bgp_match(quads: DataFrame,
             raise ValueError(
                 "graph_var and a constant graph selection are "
                 "mutually exclusive — pass graph=None with graph_var")
+        if not is_var("?" + graph_var):
+            # an invalid name would silently turn the graph slot into
+            # a constant-term filter (zero rows, no error)
+            raise ValueError(
+                f"graph_var must be a variable name (got "
+                f"{graph_var!r})")
         all_triples = list(patterns) + [t for g in opt_groups for t in g]
         if any(is_path_plus(p[1]) for p in all_triples
                if len(p) == 3):
@@ -279,6 +285,15 @@ def bgp_match(quads: DataFrame,
 
     seen: set[str] = set()
     required_vars: set[str] = set()
+    if graph_var is not None:
+        # the graph var is bound by EVERY leg (required-bound for the
+        # well-designed check, and a legal join key at eval), but it
+        # deliberately does NOT count toward the pattern-connectivity
+        # guards (it stays out of `seen` and each pattern's var set):
+        # two patterns sharing only the graph label are still a
+        # per-graph cross product — the job-killer the product check
+        # exists to refuse
+        required_vars.add(graph_var)
     flat: list[tuple[bool, tuple]] = [(False, p) for p in patterns]
     for grp in opt_groups:
         # a group validates as ONE unit: its triples' union var set
@@ -295,8 +310,6 @@ def bgp_match(quads: DataFrame,
                         f"{label} {kind_idx} is not a triple: {p3!r}")
                 terms = (p3[0], p3[2]) if is_path_plus(p3[1]) else p3
                 tv = {t[1:] for t in terms if is_var(t)}
-                if graph_var is not None:
-                    tv = tv | {graph_var}  # every leg binds the graph
                 per_triple.append(tv)
                 vs |= tv
             # every triple of a multi-triple group must be anchored —
@@ -325,8 +338,6 @@ def bgp_match(quads: DataFrame,
                     f"{label} {kind_idx} is not a triple: {pat!r}")
             terms = (pat[0], pat[2]) if is_path_plus(pat[1]) else pat
             vs = {t[1:] for t in terms if is_var(t)}
-            if graph_var is not None:
-                vs.add(graph_var)  # every leg binds the graph
         if not is_opt:
             if (kind_idx and seen and vs and not (seen & vs)
                     and not allow_product):
@@ -369,7 +380,10 @@ def bgp_match(quads: DataFrame,
         # variable fails here, before any path leg burns Spark jobs.
         # A var-free (all-ground) BGP still gets a one-column probe:
         # an empty schema string is itself a DDL parse error.
-        probe_schema = (", ".join(f"`{v}` string" for v in sorted(seen))
+        probe_vars = seen | ({graph_var} if graph_var is not None
+                             else set())
+        probe_schema = (", ".join(f"`{v}` string"
+                                  for v in sorted(probe_vars))
                         or "`__probe__` string")
         probe = quads.sparkSession.createDataFrame([], schema=probe_schema)
         for f in filters:
@@ -378,7 +392,8 @@ def bgp_match(quads: DataFrame,
             except Exception as ex:
                 raise ValueError(
                     f"invalid filter {f!r} (must be a SQL boolean over "
-                    f"the bound variables {sorted(seen)}): {ex}") from ex
+                    f"the bound variables {sorted(probe_vars)}): "
+                    f"{ex}") from ex
 
     markers: list[str] = []  # ground-pattern placeholder columns
 

@@ -256,13 +256,20 @@ class _Parser:
                     f"GRAPH takes ?var or an IRI, got {tok!r}")
             branches = [self.group()]
             self.expect("}")
-            if not branches[0][0]:
-                raise SparqlSyntaxError(
-                    "a group with no required triple (empty, "
-                    "FILTER-only, or OPTIONAL-only) is outside the "
-                    "supported subset — every group/UNION branch "
-                    "needs at least one triple pattern")
-            return branches, gspec
+            if gspec[0] == "var":
+                # reject paths at PARSE time (bgp_match would raise a
+                # plain ValueError at execution otherwise — every
+                # unsupported construct fails as SparqlSyntaxError)
+                for patterns, optional, _ in branches[0:1]:
+                    trips = list(patterns) + [
+                        t3 for g in optional for t3 in g]
+                    if any(p[1].endswith(">+") for p in trips):
+                        raise SparqlSyntaxError(
+                            "property paths inside GRAPH ?var are "
+                            "outside the supported subset (the "
+                            "closure would run per graph) — use "
+                            "GRAPH <iri> or query one graph")
+            return self._validated(branches), gspec
         t = self.peek()
         if t is not None and t[1] == "{":
             branches = [self.group()]
@@ -278,6 +285,10 @@ class _Parser:
             # plain group: re-parse from the already-consumed '{'
             self.pos -= 1
             branches = [self.group()]
+        return self._validated(branches), None
+
+    @staticmethod
+    def _validated(branches):
         for patterns, _, _ in branches:
             if not patterns:
                 # SPARQL's empty group is the unit solution; the
@@ -288,7 +299,7 @@ class _Parser:
                     "FILTER-only, or OPTIONAL-only) is outside the "
                     "supported subset — every group/UNION branch "
                     "needs at least one triple pattern")
-        return branches, None
+        return branches
 
     def group(self) -> tuple[list, list, list]:
         """{ triples / OPTIONAL { triples } / FILTER (expr) }"""
@@ -330,7 +341,13 @@ class _Parser:
                 if self.peek() and self.peek()[1] == ".":
                     self.next()
                 continue
-            if self.at_keyword("UNION") or self.at_keyword("GRAPH") \
+            if self.at_keyword("GRAPH"):
+                raise SparqlSyntaxError(
+                    "GRAPH is supported only as the ENTIRE WHERE body "
+                    "(WHERE { GRAPH ?g|<iri> { ... } }) — it cannot "
+                    "mix with default-graph triples or sit inside a "
+                    "UNION branch")
+            if self.at_keyword("UNION") \
                     or self.at_keyword("SELECT") or self.at_keyword("BIND") \
                     or self.at_keyword("MINUS") or self.at_keyword("VALUES"):
                 raise SparqlSyntaxError(
@@ -520,7 +537,8 @@ def sparql_query(quads: DataFrame, text: str,
 
     SELECT returns one column per projected variable; CONSTRUCT
     returns a distinct quad frame (subj, pred, obj, graph). ``graph``
-    selects the active graph exactly like ``bgp_match``;
+    selects the active graph exactly like ``bgp_match`` — unless the
+    query carries a ``GRAPH`` block, which OVERRIDES it;
     ``path_max_rounds`` raises the property-path convergence budget
     for genuinely deep graphs (the escape hatch the path operators'
     errors point at).

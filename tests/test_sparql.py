@@ -217,10 +217,25 @@ def test_graph_patterns_var_and_iri(spark):
     got = sparql_query(df, PREFIXES + """
       SELECT ?x WHERE { GRAPH <g2> { ?x schema:name ?n } }""")
     assert [r.x for r in got.collect()] == ["<e2>"]
-    # paths inside GRAPH ?var raise
-    with pytest.raises(ValueError, match="per graph"):
-        sparql_query(df, PREFIXES + """
+    # paths inside GRAPH ?var raise AT PARSE TIME
+    with pytest.raises(SparqlSyntaxError, match="per graph"):
+        parse_sparql(PREFIXES + """
           SELECT ?x WHERE { GRAPH ?g { ?x rdf:rest+ ?y } }""")
+    # sharing only the graph label is still a per-graph cross product
+    # — the connectivity guard must not be silenced by ?g
+    with pytest.raises(ValueError, match="cartesian"):
+        sparql_query(df, PREFIXES + """
+          SELECT * WHERE { GRAPH ?g {
+            ?x schema:name ?n . ?a schema:note ?b } }""")
+    # GRAPH mixed with default-graph triples names the restriction
+    with pytest.raises(SparqlSyntaxError, match="ENTIRE WHERE body"):
+        parse_sparql(PREFIXES + """
+          SELECT * WHERE { ?x schema:name ?n .
+            GRAPH ?g { ?a schema:note ?b } }""")
+    # malformed graph_var at the operator API raises loudly
+    with pytest.raises(ValueError, match="graph_var must be"):
+        bgp.bgp_match(df, [("?x", f"<{S}name>", "?n")],
+                      graph=None, graph_var="")
 
 
 def test_graph_var_on_fixture_named_graphs(spark):
