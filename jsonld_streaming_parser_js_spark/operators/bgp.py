@@ -193,7 +193,8 @@ def bgp_match(quads: DataFrame,
               optional: Sequence[tuple[str, str, str]] = (),
               filters: Sequence[str] = (),
               path_max_rounds: int | None = None,
-              graph_var: str | None = None) -> DataFrame:
+              graph_var: str | None = None,
+              minus: Sequence = ()) -> DataFrame:
     """Match a conjunction of triple patterns against the quad frame.
 
     ``patterns``: (s, p, o) tuples; elements starting with ``?`` are
@@ -230,6 +231,15 @@ def bgp_match(quads: DataFrame,
     ``path_max_rounds``: override the convergence budget of every
     path leg (path_closure's squaring rounds / path_reachable's BFS
     depth) — the escape hatch their convergence errors point at.
+    ``minus``: SPARQL ``MINUS { ... }`` blocks (each a triple or a
+    group like ``optional``): solutions compatible with some solution
+    of the block on their SHARED variables are removed — a left-anti
+    join on those variables. Restrictions that keep SQL anti-join
+    semantics equal to SPARQL's: the shared variables must be bound
+    by the REQUIRED block (a nullable shared var diverges, same as
+    the OPTIONAL well-designed rule), and a block sharing NO variable
+    raises (SPARQL defines it as a silent no-op — an error beats a
+    silently useless negation).
     ``graph_var``: SPARQL ``GRAPH ?g { ... }`` semantics — bind the
     quad's graph label as variable ``graph_var`` on EVERY pattern
     (it joins the legs like any shared variable, so one solution's
@@ -254,15 +264,20 @@ def bgp_match(quads: DataFrame,
     # unparseable filter must not discover its error after those jobs
     # already burned. One loop for required and optional patterns so
     # the variable-extraction rule cannot drift between them.
-    # normalize optional entries: a bare (s, p, o) triple is a
+    # normalize optional/minus entries: a bare (s, p, o) triple is a
     # one-triple group; a list/tuple of triples is a joint group
-    opt_groups: list[list] = []
-    for entry in optional:
-        if (len(entry) == 3
-                and all(isinstance(t, str) for t in entry)):
-            opt_groups.append([tuple(entry)])
-        else:
-            opt_groups.append([tuple(p) for p in entry])
+    def _norm_groups(entries) -> list[list]:
+        groups: list[list] = []
+        for entry in entries:
+            if (len(entry) == 3
+                    and all(isinstance(t, str) for t in entry)):
+                groups.append([tuple(entry)])
+            else:
+                groups.append([tuple(p) for p in entry])
+        return groups
+
+    opt_groups = _norm_groups(optional)
+    minus_groups = _norm_groups(minus)
 
     if graph_var is not None:
         if graph is not None:
@@ -275,7 +290,9 @@ def bgp_match(quads: DataFrame,
             raise ValueError(
                 f"graph_var must be a variable name (got "
                 f"{graph_var!r})")
-        all_triples = list(patterns) + [t for g in opt_groups for t in g]
+        all_triples = (list(patterns)
+                       + [t for g in opt_groups for t in g]
+                       + [t for g in minus_groups for t in g])
         if any(is_path_plus(p[1]) for p in all_triples
                if len(p) == 3):
             raise ValueError(
@@ -373,6 +390,49 @@ def bgp_match(quads: DataFrame,
                     "Restructure so every shared variable is bound by "
                     "the required block")
         seen |= vs
+    # MINUS blocks: validate shared-variable keys before evaluating
+    # anything (same placement rationale as the pattern pre-pass)
+    minus_keys: list[list[str]] = []
+    for grp in minus_groups:
+        vs = set()
+        per_triple = []
+        for p3 in grp:
+            if len(p3) != 3:
+                raise ValueError(f"MINUS pattern is not a triple: {p3!r}")
+            terms = (p3[0], p3[2]) if is_path_plus(p3[1]) else p3
+            tv = {t[1:] for t in terms if is_var(t)}
+            per_triple.append(tv)
+            vs |= tv
+        shared = vs & seen
+        if not shared:
+            raise ValueError(
+                f"MINUS group {grp!r} shares no variable with the "
+                "query — SPARQL defines disjoint-domain MINUS as a "
+                "silent no-op; an error beats a negation that removes "
+                "nothing")
+        nullable = shared - required_vars
+        if nullable:
+            raise ValueError(
+                f"MINUS group {grp!r} joins on {sorted(nullable)} "
+                "bound only by an OPTIONAL — an anti-join on a "
+                "nullable key diverges from SPARQL compatibility; "
+                "restructure so shared variables are required-bound")
+        for i3, (p3, tv) in enumerate(zip(grp, per_triple)):
+            others = set()
+            for j3, ov in enumerate(per_triple):
+                if j3 != i3:
+                    others |= ov
+            if tv and len(per_triple) > 1 \
+                    and not (tv & (required_vars | others)):
+                raise ValueError(
+                    f"MINUS triple {p3!r} shares no variable with the "
+                    "required block or the rest of its group — an "
+                    "unanchored product")
+        keys = sorted(shared)
+        if graph_var is not None:
+            keys = sorted(set(keys) | {graph_var})
+        minus_keys.append(keys)
+
     if filters:
         # F.expr parses LAZILY (PySpark 4), so force driver-side
         # parse+analysis against an empty frame carrying every bound
@@ -505,6 +565,20 @@ def bgp_match(quads: DataFrame,
         keys = sorted(bound & leg_vars)
         out = out.join(leg, on=keys, how="left")
         bound |= leg_vars
+
+    # MINUS blocks: anti-join on the validated required-bound shared
+    # keys — one shuffle-or-broadcast anti-join per block, never a
+    # row-by-row existence probe
+    for off, grp in enumerate(minus_groups):
+        if len(grp) == 1:
+            leg, var_cols = build_leg(
+                len(patterns) + len(opt_groups) + off, grp[0])
+        else:
+            leg = bgp_match(quads, grp, graph=graph,
+                            allow_product=True,
+                            path_max_rounds=path_max_rounds,
+                            graph_var=graph_var)
+        out = out.join(leg, on=minus_keys[off], how="left_anti")
 
     # FILTER expressions (SQL boolean over the variable columns),
     # applied inside the group pattern like SPARQL FILTER — before

@@ -27,7 +27,9 @@ the offending token, never silently misparses):
   ``"literals"`` (with optional ``@lang`` or ``^^<dt>`` /
   ``^^prefix:name``), and one-or-more property paths (``pred+``).
 - ``OPTIONAL { ... }`` blocks (well-designed restriction enforced by
-  bgp_match) and ``FILTER (...)`` constraints.
+  bgp_match), ``MINUS { ... }`` negation (anti-join on the shared
+  required-bound variables; disjoint-domain MINUS raises instead of
+  silently removing nothing), and ``FILTER (...)`` constraints.
 - ``GRAPH ?g { ... }`` / ``GRAPH <iri> { ... }`` as the whole WHERE
   body: a graph variable ranges over the NAMED graphs (the default
   graph's '' label is excluded, per SPARQL) and binds on every
@@ -239,7 +241,7 @@ class _Parser:
         """WHERE group: one plain group, top-level ``{ A } UNION
         { B } ...``, or ``GRAPH ?g|<iri> { ... }`` as the whole body.
         Returns (branches, graph_spec) where branches is one
-        (patterns, optional, filters) tuple per union branch and
+        (patterns, optional, filters, minus) tuple per union branch and
         graph_spec is None | ('var', name) | ('iri', term)."""
         self.expect("{")
         if self.at_keyword("GRAPH"):
@@ -260,9 +262,10 @@ class _Parser:
                 # reject paths at PARSE time (bgp_match would raise a
                 # plain ValueError at execution otherwise — every
                 # unsupported construct fails as SparqlSyntaxError)
-                for patterns, optional, _ in branches[0:1]:
-                    trips = list(patterns) + [
-                        t3 for g in optional for t3 in g]
+                for patterns, optional, _, minus in branches[0:1]:
+                    trips = (list(patterns)
+                             + [t3 for g in optional for t3 in g]
+                             + [t3 for g in minus for t3 in g])
                     if any(p[1].endswith(">+") for p in trips):
                         raise SparqlSyntaxError(
                             "property paths inside GRAPH ?var are "
@@ -289,7 +292,7 @@ class _Parser:
 
     @staticmethod
     def _validated(branches):
-        for patterns, _, _ in branches:
+        for patterns, *_ in branches:
             if not patterns:
                 # SPARQL's empty group is the unit solution; the
                 # engine has no unit-solution frame, so refuse at
@@ -301,39 +304,49 @@ class _Parser:
                     "needs at least one triple pattern")
         return branches
 
-    def group(self) -> tuple[list, list, list]:
-        """{ triples / OPTIONAL { triples } / FILTER (expr) }"""
+    def _braced_triples(self, what: str) -> list:
+        self.expect("{")
+        group: list = []
+        while not (self.peek() and self.peek()[1] == "}"):
+            group.append(self.triple(allow_path=True))
+            if self.peek() and self.peek()[1] == ".":
+                self.next()
+        self.expect("}")
+        if not group:
+            raise SparqlSyntaxError(f"empty {what} group")
+        # GroupGraphPatternSub allows an optional '.' after any
+        # block — consume it (it is a separator, not a triple)
+        if self.peek() and self.peek()[1] == ".":
+            self.next()
+        return group
+
+    def group(self) -> tuple[list, list, list, list]:
+        """{ triples / OPTIONAL { triples } / MINUS { triples } /
+        FILTER (expr) }"""
         self.expect("{")
         patterns: list = []
         optional: list = []
         filters: list[str] = []
+        minus: list = []
         while True:
             t = self.peek()
             if t is None:
                 raise SparqlSyntaxError("unterminated group: missing }")
             if t[1] == "}":
                 self.next()
-                return patterns, optional, filters
+                return patterns, optional, filters, minus
             if self.at_keyword("OPTIONAL"):
                 self.next()
-                self.expect("{")
-                group: list = []
-                while not (self.peek() and self.peek()[1] == "}"):
-                    group.append(self.triple(allow_path=True))
-                    if self.peek() and self.peek()[1] == ".":
-                        self.next()
-                self.expect("}")
-                if not group:
-                    raise SparqlSyntaxError("empty OPTIONAL group")
                 # each OPTIONAL block is ONE left-join of the whole
                 # group (SPARQL LeftJoin), which bgp_match's group
                 # form implements — never triple-by-triple
-                optional.append(group)
-                # GroupGraphPatternSub allows an optional '.' after
-                # any block — consume it (it is a separator, not a
-                # required triple)
-                if self.peek() and self.peek()[1] == ".":
-                    self.next()
+                optional.append(self._braced_triples("OPTIONAL"))
+                continue
+            if self.at_keyword("MINUS"):
+                self.next()
+                # SPARQL negation: remove solutions compatible with
+                # the block on the shared (required-bound) variables
+                minus.append(self._braced_triples("MINUS"))
                 continue
             if self.at_keyword("FILTER"):
                 self.next()
@@ -349,7 +362,7 @@ class _Parser:
                     "UNION branch")
             if self.at_keyword("UNION") \
                     or self.at_keyword("SELECT") or self.at_keyword("BIND") \
-                    or self.at_keyword("MINUS") or self.at_keyword("VALUES"):
+                    or self.at_keyword("VALUES"):
                 raise SparqlSyntaxError(
                     f"{t[1]} is outside the supported SPARQL subset")
             if t[1] == "{":
@@ -357,19 +370,19 @@ class _Parser:
                     "nested group patterns (UNION branches / "
                     "subgroups) are outside the supported SPARQL "
                     "subset")
-            if optional:
+            if optional or minus:
                 # SPARQL evaluates group elements IN ORDER —
                 # Join(LeftJoin(P1, OPT), P2) is not LeftJoin(Join(P1,
-                # P2), OPT) when P2 shares vars with OPT. bgp_match
-                # always left-joins optionals last, so accepting a
-                # required triple here would silently hoist it; the
-                # subset refuses instead (raise-don't-misparse).
+                # P2), OPT) when P2 shares vars with OPT (same for
+                # MINUS). bgp_match always applies optionals/minus
+                # last, so accepting a required triple here would
+                # silently hoist it; the subset refuses instead
+                # (raise-don't-misparse).
                 raise SparqlSyntaxError(
-                    "required triple after an OPTIONAL block is "
+                    "required triple after an OPTIONAL/MINUS block is "
                     "outside the supported subset (it would be "
-                    "reordered ahead of the OPTIONAL, changing "
-                    "SPARQL semantics) — put all required triples "
-                    "before the OPTIONAL blocks")
+                    "reordered ahead of the block, changing SPARQL "
+                    "semantics) — put all required triples first")
             patterns.append(self.triple(allow_path=True))
             if self.peek() and self.peek()[1] == ".":
                 self.next()
@@ -557,10 +570,11 @@ def sparql_query(quads: DataFrame, text: str,
             eff_graph = val_g
 
     def run_branch(branch):
-        patterns, optional, filters = branch
+        patterns, optional, filters, minus = branch
         return bgp_match(quads, patterns, graph=eff_graph,
                          distinct=False,
                          optional=optional, filters=filters,
+                         minus=minus,
                          path_max_rounds=path_max_rounds,
                          graph_var=eff_graph_var)
 
@@ -607,10 +621,10 @@ def sparql_query(quads: DataFrame, text: str,
             if q["project"] is not None:
                 out = out.select(*q["project"])
     else:
-        patterns, optional, filters = q["branches"][0]
+        patterns, optional, filters, minus = q["branches"][0]
         out = bgp_construct(quads, patterns, q["template"],
                             graph=eff_graph, optional=optional,
-                            filters=filters,
+                            filters=filters, minus=minus,
                             path_max_rounds=path_max_rounds,
                             graph_var=eff_graph_var)
     return out.limit(q["limit"]) if q["limit"] is not None else out

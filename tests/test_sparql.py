@@ -50,9 +50,10 @@ def test_parse_select_shape():
     """)
     assert q["form"] == "select" and q["distinct"] is True
     assert q["project"] == ["a", "n"] and q["limit"] == 5
-    patterns, optional, filters = q["branches"][0]
+    patterns, optional, filters, minus = q["branches"][0]
     assert patterns[0] == ("?a", f"<{RDF}type>", f"<{S}Article>")
     assert filters == ["( `n` != '\"P1\"' )"]
+    assert optional == [] and minus == []
 
 
 def test_select_executes_like_bgp_match(spark):
@@ -253,6 +254,38 @@ def test_graph_var_on_fixture_named_graphs(spark):
     assert all(r.ent.endswith('#entity>') for r in rows)
     # two labels (@en/@de) per entity
     assert len(rows) == 2 * len({r.ent for r in rows})
+
+
+def test_minus_negation(spark):
+    """MINUS removes solutions compatible on the shared required-bound
+    vars: authors WITHOUT an email; the validation guards fire on
+    disjoint and nullable-key shapes."""
+    df = _kg(spark)
+    got = sparql_query(df, PREFIXES + """
+      SELECT ?p WHERE {
+        ?a schema:author ?p .
+        MINUS { ?p schema:email ?e }
+      }""")
+    assert [r.p for r in got.collect()] == ["<p2>"]
+    # multi-triple MINUS group: all-or-nothing match
+    got = sparql_query(df, PREFIXES + """
+      SELECT ?p WHERE {
+        ?a schema:author ?p .
+        MINUS { ?p schema:email ?e . ?p schema:phone ?t }
+      }""")
+    assert {r.p for r in got.collect()} == {"<p1>", "<p2>"}
+    # disjoint-domain MINUS raises (SPARQL: a silent no-op)
+    with pytest.raises(ValueError, match="shares no variable"):
+        sparql_query(df, PREFIXES + """
+          SELECT ?p WHERE {
+            ?a schema:author ?p .
+            MINUS { ?x schema:email ?e }
+          }""")
+    # nullable shared key (bound only by an OPTIONAL) raises
+    with pytest.raises(ValueError, match="nullable key|OPTIONAL"):
+        bgp.bgp_match(df, [("?a", f"<{S}author>", "?p")],
+                      optional=[("?p", f"<{S}email>", "?e")],
+                      minus=[("?x", f"<{S}mailbox>", "?e")])
 
 
 def test_triple_less_groups_raise_at_parse():
