@@ -279,6 +279,35 @@ def bgp_match(quads: DataFrame,
     opt_groups = _norm_groups(optional)
     minus_groups = _norm_groups(minus)
 
+    def _group_vars(grp, label: str, required: set[str]) -> set[str]:
+        """Shared by the OPTIONAL and MINUS validation paths (one
+        variable-extraction + anchoring rule, no drift): returns the
+        group's variable union after checking triple shape and —
+        for multi-triple groups — that every triple is anchored to
+        the required block or to ANOTHER group triple's vars."""
+        vs: set[str] = set()
+        per_triple: list[set[str]] = []
+        for p3 in grp:
+            if len(p3) != 3:
+                raise ValueError(
+                    f"{label} pattern is not a triple: {p3!r}")
+            terms = (p3[0], p3[2]) if is_path_plus(p3[1]) else p3
+            tv = {t[1:] for t in terms if is_var(t)}
+            per_triple.append(tv)
+            vs |= tv
+        for i3, (p3, tv) in enumerate(zip(grp, per_triple)):
+            others: set[str] = set()
+            for j3, ov in enumerate(per_triple):
+                if j3 != i3:
+                    others |= ov
+            if tv and len(per_triple) > 1 \
+                    and not (tv & (required | others)):
+                raise ValueError(
+                    f"{label} triple {p3!r} shares no variable with "
+                    "the required block or the rest of its group — "
+                    "an unanchored product")
+        return vs
+
     if graph_var is not None:
         if graph is not None:
             raise ValueError(
@@ -319,35 +348,15 @@ def bgp_match(quads: DataFrame,
         label = ("optional pattern" if is_opt else "pattern")
         if is_opt:
             grp = pat[1]
-            vs: set[str] = set()
-            per_triple: list[set[str]] = []
-            for p3 in grp:
-                if len(p3) != 3:
-                    raise ValueError(
-                        f"{label} {kind_idx} is not a triple: {p3!r}")
-                terms = (p3[0], p3[2]) if is_path_plus(p3[1]) else p3
-                tv = {t[1:] for t in terms if is_var(t)}
-                per_triple.append(tv)
-                vs |= tv
-            # every triple of a multi-triple group must be anchored —
-            # to the required block's vars or to ANOTHER group
-            # triple's vars (union over j != i, NOT vs - tv: the
-            # shared vars live inside tv, so subtracting tv would
-            # erase exactly the evidence of sharing) — so the group's
-            # internal evaluation (which gets allow_product=True to
-            # honor SPARQL's join-of-legs semantics) can never
-            # produce an unanchored product
-            for i3, (p3, tv) in enumerate(zip(grp, per_triple)):
-                others: set[str] = set()
-                for j3, ov in enumerate(per_triple):
-                    if j3 != i3:
-                        others |= ov
-                if tv and len(per_triple) > 1 \
-                        and not (tv & (required_vars | others)):
-                    raise ValueError(
-                        f"{label} triple {p3!r} shares no variable "
-                        "with the required block or the rest of its "
-                        "OPTIONAL group — an unanchored product")
+            # one shared extraction + anchoring rule for OPTIONAL and
+            # MINUS groups (_group_vars): every triple of a
+            # multi-triple group must be anchored to the required
+            # block or another group triple, so the group's internal
+            # evaluation (allow_product=True, honoring SPARQL's
+            # join-of-legs semantics) can never produce an unanchored
+            # product. All required patterns precede groups in
+            # `flat`, so required_vars is complete here.
+            vs = _group_vars(grp, "OPTIONAL", required_vars)
             pat = grp[0] if len(grp) == 1 else tuple(grp)
         else:
             if len(pat) != 3:
@@ -394,15 +403,7 @@ def bgp_match(quads: DataFrame,
     # anything (same placement rationale as the pattern pre-pass)
     minus_keys: list[list[str]] = []
     for grp in minus_groups:
-        vs = set()
-        per_triple = []
-        for p3 in grp:
-            if len(p3) != 3:
-                raise ValueError(f"MINUS pattern is not a triple: {p3!r}")
-            terms = (p3[0], p3[2]) if is_path_plus(p3[1]) else p3
-            tv = {t[1:] for t in terms if is_var(t)}
-            per_triple.append(tv)
-            vs |= tv
+        vs = _group_vars(grp, "MINUS", required_vars)
         shared = vs & seen
         if not shared:
             raise ValueError(
@@ -417,17 +418,6 @@ def bgp_match(quads: DataFrame,
                 "bound only by an OPTIONAL — an anti-join on a "
                 "nullable key diverges from SPARQL compatibility; "
                 "restructure so shared variables are required-bound")
-        for i3, (p3, tv) in enumerate(zip(grp, per_triple)):
-            others = set()
-            for j3, ov in enumerate(per_triple):
-                if j3 != i3:
-                    others |= ov
-            if tv and len(per_triple) > 1 \
-                    and not (tv & (required_vars | others)):
-                raise ValueError(
-                    f"MINUS triple {p3!r} shares no variable with the "
-                    "required block or the rest of its group — an "
-                    "unanchored product")
         keys = sorted(shared)
         if graph_var is not None:
             keys = sorted(set(keys) | {graph_var})
@@ -571,7 +561,7 @@ def bgp_match(quads: DataFrame,
     # row-by-row existence probe
     for off, grp in enumerate(minus_groups):
         if len(grp) == 1:
-            leg, var_cols = build_leg(
+            leg, _ = build_leg(
                 len(patterns) + len(opt_groups) + off, grp[0])
         else:
             leg = bgp_match(quads, grp, graph=graph,

@@ -298,8 +298,8 @@ class _Parser:
                 # engine has no unit-solution frame, so refuse at
                 # PARSE time (the contract: parses -> answered)
                 raise SparqlSyntaxError(
-                    "a group with no required triple (empty, "
-                    "FILTER-only, or OPTIONAL-only) is outside the "
+                    "a group with no required triple (empty, or only "
+                    "FILTER/OPTIONAL/MINUS blocks) is outside the "
                     "supported subset — every group/UNION branch "
                     "needs at least one triple pattern")
         return branches
