@@ -110,13 +110,27 @@ def errors_only(parsed: DataFrame) -> DataFrame:
 
 
 def extract_and_parse(pages: DataFrame, ctx_cache: dict | None = None,
-                      rdf_direction: str | None = None) -> DataFrame:
+                      rdf_direction: str | None = None,
+                      dedup_blocks: bool = False) -> DataFrame:
     """Fused extract+parse: ONE ``mapInPandas`` stage over pages.
 
     Halves the JVM<->Python Arrow crossings vs extract_blocks ->
     parse_blocks (pages cross once; quads come back once; the intermediate
     blocks never leave the Python worker). This is the hot path the bench
     measures; the two-stage variant stays for block-level inspection.
+
+    ``dedup_blocks`` (default False — every other caller keeps the raw
+    emission multiplicity, which e.g. the memo parity count in bench.py
+    depends on): collapse duplicate quad emissions *within each block* in
+    the kernel (ordered-set semantics, first occurrence kept). Because
+    every output row carries its ``(url, blk)`` provenance and one block
+    is parsed by exactly one ``parse_block`` call, two identical rows can
+    only originate from the same call — so per-block dedup makes the
+    output globally distinct on all six columns, and the corpus-wide
+    ``dropDuplicates`` shuffle in :func:`pages_to_quads` becomes provably
+    redundant (guide §2.4: remove shuffles outright). At 100 TB that is a
+    full shuffle of the quad corpus removed for the cost of one small
+    dict per block.
     """
     from .extract import extract_blocks_from_html
     spark = pages.sparkSession
@@ -144,6 +158,10 @@ def extract_and_parse(pages: DataFrame, ctx_cache: dict | None = None,
                 for blk, block in enumerate(extract_blocks_from_html(html)):
                     quads, err = parse_block(block, url, blk, cache,
                                              rdf_direction)
+                    if dedup_blocks and len(quads) > 1:
+                        # ordered-set collapse (JSON-LD set semantics);
+                        # block-local by construction — see docstring
+                        quads = list(dict.fromkeys(quads))
                     if err is not None:
                         urls.append(url)
                         blks.append(blk)
@@ -181,14 +199,15 @@ def pages_to_quads(pages: DataFrame, ctx_cache: dict | None = None,
     """pages -> deduplicated quads (JSON-LD set semantics: the W3C
     comparison is dataset isomorphism, so duplicate emissions collapse).
 
-    The dropDuplicates shuffle hashes on all 6 columns — uniformly
-    distributed (urls/subjects are high-cardinality), so no skew handling
-    is needed here; hot-predicate skew only matters for *joins/aggs keyed
-    on pred*, which use salting (see operators/stats.py).
+    r8 optimization (guide §2.4): the dedup key contains ``(url, blk)``
+    and one block is parsed by exactly one kernel call, so duplicates are
+    block-local by construction — the kernel collapses them in-process
+    (``dedup_blocks=True``) and the former corpus-wide ``dropDuplicates``
+    Exchange (a full shuffle of every quad) is removed outright. The
+    output is still distinct on all six columns (proof in the
+    extract_and_parse docstring; focused test:
+    tests/test_spark_pipeline.py::test_pages_to_quads_dedup_is_kernel_local).
     """
-    parsed = extract_and_parse(pages, ctx_cache, rdf_direction)
-    out = quads_only(parsed)
-    if dedup:
-        out = out.dropDuplicates(
-            ["url", "blk", "subj", "pred", "obj", "graph"])
-    return out
+    parsed = extract_and_parse(pages, ctx_cache, rdf_direction,
+                               dedup_blocks=dedup)
+    return quads_only(parsed)

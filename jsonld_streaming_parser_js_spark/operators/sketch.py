@@ -38,10 +38,20 @@ from pyspark.sql import functions as F
 def hll_distinct(df: DataFrame, col: str, b: int = 8) -> DataFrame:
     """One-row DataFrame: (n_exact, hll_estimate, m, rel_error).
 
-    ``n_exact`` (a second aggregation over the same input) is included
+    ``n_exact`` (an exact aggregation over the same input) is included
     deliberately: the lane is an ACCURACY AUDIT of the sketch, mirroring
     the recall-audit pattern of the ANN lanes. Production callers use
     the sketch alone.
+
+    r8 plan shape (guide §2.4): ONE lineage. The old form computed
+    ``n_exact`` as a separate ``countDistinct`` branch cross-joined onto
+    the sketch branch — on a computed input that re-ran the whole
+    upstream pipeline (parse -> quads) a second time. Now the keys are
+    deduplicated once (``max(rho)`` per register is invariant under key
+    duplication, and the per-register distinct-key counts sum to
+    ``n_exact``), and both the registers and the exact count come out of
+    the same two uniform-key shuffles. Values are bit-identical: same
+    registers, same estimate arithmetic, same exact count.
     """
     if not 4 <= b <= 12:
         raise ValueError(f"b={b}: register-count exponent must be 4..12")
@@ -53,23 +63,29 @@ def hll_distinct(df: DataFrame, col: str, b: int = 8) -> DataFrame:
     w = F.conv(F.substring(F.md5("k"), hexd + 1, 8), 16, 10).cast("long")
     rho = (F.when(w == 0, F.lit(33))
            .otherwise(F.lit(33) - F.length(F.bin(w))))
-    regs = (keys.select(j.alias("j"), rho.alias("rho"))
-            .groupBy("j").agg(F.max("rho").alias("M")))
+    # distinct keys once (uniform md5-ish key shuffle), then per-register
+    # max(rho) AND distinct-key count from the same aggregation
+    regs = (keys.distinct()
+            .select(j.alias("j"), rho.alias("rho"))
+            .groupBy("j").agg(F.max("rho").alias("M"),
+                              F.count("*").alias("n_keys")))
     alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = regs.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("s_present"),
-        F.count("*").alias("n_present"))
+        F.count("*").alias("n_present"),
+        F.sum("n_keys").alias("n_exact"))
     est = agg.select(
+        "n_exact",
         (F.lit(alpha * m * m)
          / (F.col("s_present") + (F.lit(m) - F.col("n_present"))))
         .alias("e_raw"),
         (F.lit(m) - F.col("n_present")).alias("v_zero"))
     corrected = est.select(
+        "n_exact",
         F.when((F.col("e_raw") <= 2.5 * m) & (F.col("v_zero") > 0),
                F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")))
         .otherwise(F.col("e_raw")).alias("estimate"))
-    exact = keys.agg(F.countDistinct("k").alias("n_exact"))
-    return (exact.crossJoin(corrected)
+    return (corrected
             .select("n_exact",
                     F.round("estimate", 4).alias("hll_estimate"),
                     F.lit(m).alias("m"),

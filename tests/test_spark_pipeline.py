@@ -1375,3 +1375,36 @@ def test_pii_scan_signals(spark):
     assert (out[2]["n_phones"], out[2]["n_ipv4"], out[2]["n_ssn_like"]) \
         == (1, 1, 1)
     assert not out[3]["has_pii"], dict(out[3].asDict())
+
+
+def test_pages_to_quads_dedup_is_kernel_local(spark):
+    """r8 optimization guard: pages_to_quads no longer pays a corpus-wide
+    dropDuplicates Exchange — duplicates are collapsed inside the kernel,
+    which is sufficient because the dedup key contains (url, blk) and one
+    block is parsed by exactly one kernel call. A block that EMITS
+    duplicate quads (JSON-LD set semantics: a repeated array value) must
+    still come out distinct, and the plan must be a single narrow stage."""
+    from pyspark.sql import functions as F
+
+    html = ('<html><head><script type="application/ld+json">'
+            '{"@id": "http://ex.org/s",'
+            ' "http://ex.org/p": ["dup", "dup", "other"]}'
+            "</script></head><body></body></html>")
+    pg = spark.createDataFrame([("http://ex.org/page", html)],
+                               "url string, html string") \
+        .select("url", F.encode("html", "UTF-8").alias("html"))
+    out = pages_to_quads(pg, {})
+    rows = [tuple(r) for r in out.collect()]
+    # the duplicate emission collapsed; full output distinct
+    assert sorted(rows) == sorted(set(rows)) and len(rows) == 2
+    objs = sorted(r[4] for r in rows)
+    assert objs == ['"dup"', '"other"']
+    # plan shape: zero Exchange end to end (the r8 win this test pins)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    # and the kernel dedup matches what the old global dropDuplicates
+    # computed on the standard corpus: re-deduping is a no-op
+    pages = pages_from_documents(spark, SF)
+    q = pages_to_quads(pages, CONTEXTS)
+    assert q.count() == q.dropDuplicates(
+        ["url", "blk", "subj", "pred", "obj", "graph"]).count()

@@ -46,8 +46,12 @@ def main() -> None:
     check("parse: docs scan pruned",
           any("doc_id" in ln and "html" not in ln for ln in scan_lines),
           scan_lines[0][:160] if scan_lines else "no scan")
-    check("parse: single exchange (dedup only)",
-          p.count("Exchange") == 1, f"Exchange x{p.count('Exchange')}")
+    # r8: quad dedup moved into the kernel (block-local by construction —
+    # the dedup key contains (url, blk), and one block is parsed by one
+    # kernel call), so the former corpus-wide dropDuplicates Exchange is
+    # gone: the whole parse pipeline is one narrow fused stage.
+    check("parse: ZERO exchanges (dedup is kernel-local)",
+          p.count("Exchange") == 0, f"Exchange x{p.count('Exchange')}")
 
     p = plan_of(e._q_kg_author_labels(spark, sf))
     check("author join: broadcast not SMJ",
@@ -109,10 +113,11 @@ def main() -> None:
     term_ex = [ln.strip() for ln in p.splitlines()
                if "Exchange hashpartitioning(term" in ln]
     check("graph nodes: ONE term shuffle, single lineage",
-          len(term_ex) == 1 and p.count("Exchange") == 2
+          len(term_ex) == 1 and p.count("Exchange") == 1
           and "Union" not in p,
           f"term Exchange x{len(term_ex)}, total Exchange "
-          f"x{p.count('Exchange')} (1 quads-dedup + 1 degree agg), "
+          f"x{p.count('Exchange')} (degree agg only; r8: the quads-dedup "
+          f"Exchange is gone — dedup is kernel-local), "
           f"Union x{p.count('Union')}")
 
     # fuzzy canonicalization: the MinHash banding must reach the candidate
