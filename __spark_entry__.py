@@ -380,14 +380,21 @@ def _q_dedup_neardup(spark, sf_dir):
 
     ``score`` is the method's own measure cast to double (jaccard |
     est_jaccard | hamming) — the per-method value assertions are
-    unchanged, only stacked."""
-    ng = (_q_dedup_ngram_jaccard(spark, sf_dir)
+    unchanged, only stacked.
+
+    r8: legs are built UNSORTED (the kg_error_channels lesson, guide
+    §2.4): a per-leg orderBy under the union is NOT eliminated by
+    Catalyst, so each leg would pay a range-partition Exchange (plus
+    the range sampling pass over its whole subtree) that the outer
+    orderBy then redoes anyway. The single-method lanes keep their
+    sorted form for direct callers."""
+    ng = (dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1)
           .select(F.lit("ngram").alias("method"), "doc_a", "doc_b",
                   F.col("jaccard").cast("double").alias("score")))
-    mh = (_q_dedup_minhash_lsh(spark, sf_dir)
+    mh = (dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
           .select(F.lit("minhash").alias("method"), "doc_a", "doc_b",
                   F.col("est_jaccard").cast("double").alias("score")))
-    sh = (_q_dedup_simhash(spark, sf_dir)
+    sh = (dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
           .select(F.lit("simhash").alias("method"), "doc_a", "doc_b",
                   F.col("hamming").cast("double").alias("score")))
     return (ng.unionByName(mh).unionByName(sh)
@@ -489,12 +496,19 @@ def _q_sim_topk(spark, sf_dir):
     - method='brute': exact baseline — broadcast queries, one corpus scan
     - method='ivf': IVF-flat ANN — deterministic coarse quantizer,
       nprobe-bounded in-list search (centroids inlined as literals)
-    - method='lsh': hyperplane-LSH ANN — bucket-restricted search"""
+    - method='lsh': hyperplane-LSH ANN — bucket-restricted search
+
+    r8: legs built UNSORTED (per-leg orderBy under a union survives
+    Catalyst and costs a range Exchange + sampling pass per leg — the
+    kg_error_channels lesson); the outer orderBy defines the order."""
+    emb = _tbl(spark, sf_dir, "embeddings")
     legs = [
-        _q_sim_topk_cosine(spark, sf_dir).withColumn(
-            "method", F.lit("brute")),
-        _q_sim_ivf_topk(spark, sf_dir).withColumn("method", F.lit("ivf")),
-        _q_sim_lsh_topk(spark, sf_dir).withColumn("method", F.lit("lsh")),
+        similarity.brute_force_topk(emb, SIM_QUERY_IDS, k=5)
+        .withColumn("method", F.lit("brute")),
+        similarity.ivf_topk(emb, SIM_QUERY_IDS, k=5)
+        .withColumn("method", F.lit("ivf")),
+        similarity.lsh_topk(emb, SIM_QUERY_IDS, k=5)
+        .withColumn("method", F.lit("lsh")),
     ]
     out = legs[0]
     for leg in legs[1:]:
@@ -891,10 +905,14 @@ def _q_dedup_embedding(spark, sf_dir):
     """Embedding near-dup pairs, BOTH paths in one lane (r7 registry
     consolidation): method='exact' is the all-pairs sf-scale oracle twin
     (all-pairs BY DESIGN); method='lsh' is the hyperplane-bucketed scale
-    path (cartesian x0, EXPLAIN-checked on the underlying operator)."""
-    ex = (_q_dedup_embedding_cosine(spark, sf_dir)
+    path (cartesian x0, EXPLAIN-checked on the underlying operator).
+
+    r8: legs built UNSORTED (per-leg orderBy under a union survives
+    Catalyst — the kg_error_channels lesson); the outer orderBy rules."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    ex = (similarity.embedding_near_pairs(emb, threshold=0.4)
           .withColumn("method", F.lit("exact")))
-    lsh = (_q_dedup_embedding_lsh(spark, sf_dir)
+    lsh = (similarity.embedding_lsh_pairs(emb, threshold=0.4)
            .withColumn("method", F.lit("lsh")))
     return (ex.unionByName(lsh)
             .select("method", "id_a", "id_b", "cos_sim")

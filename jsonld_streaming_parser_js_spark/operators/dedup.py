@@ -58,10 +58,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     Blocking on ``md5(substr(text,1,prefix_chars))`` keeps the self-join
     linear-ish; exact Jaccard verifies. SQL-oracle-expressible end to end.
     """
-    toks = (docs.select("doc_id",
-                        F.md5(F.substring("text", 1, prefix_chars))
-                        .alias("blk_key"),
-                        tokens_col().alias("toks")))
+    from .parse import ensure_map_parallelism
+    toks = (ensure_map_parallelism(docs.select("doc_id", "text"))
+            .select("doc_id",
+                    F.md5(F.substring("text", 1, prefix_chars))
+                    .alias("blk_key"),
+                    tokens_col().alias("toks")))
     a, b = toks.alias("a"), toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
@@ -159,7 +161,9 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES,
                 sigs.append([int(x) for x in m.min(axis=1)])
             yield pd.DataFrame({"doc_id": batch["doc_id"], "sig": sigs})
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema)
+    from .parse import ensure_map_parallelism
+    return ensure_map_parallelism(
+        docs.select("doc_id", "text")).mapInPandas(run, schema)
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = NUM_HASHES,
@@ -229,7 +233,9 @@ def simhash64(docs: DataFrame) -> DataFrame:
                 out.append(int(np.int64(sig)))  # store as signed long
             yield pd.DataFrame({"doc_id": batch["doc_id"], "simhash": out})
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema)
+    from .parse import ensure_map_parallelism
+    return ensure_map_parallelism(
+        docs.select("doc_id", "text")).mapInPandas(run, schema)
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

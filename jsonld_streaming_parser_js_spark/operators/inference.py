@@ -184,7 +184,21 @@ def rdfs_entailment(quads: DataFrame,
     many premise locations, and the entailed KG is a set of facts, not
     a set of occurrences.
 
-    ``materialize_input`` (default True): the rule legs reference the
+    r8 execution shape (guide §2.4/§3): for any realistically-sized
+    ontology the four rules COMPILE AWAY into per-predicate emission
+    tables (the hierarchies are already closed driver-side, so the full
+    rule fixpoint per input row is a pure function of (pred, obj)) —
+    one scan of the quad frame, one explode over inline literal maps,
+    one shuffle (the dedupe/provenance groupBy). Zero joins, zero
+    broadcasts, zero materializations: the old plan's ~8 broadcast
+    builds and ~22 replicated probe legs (each a separate pass over the
+    checkpointed base) are gone, and ``materialize_input`` becomes moot
+    on this path because the base is referenced exactly once. Above
+    ``_INLINE_ONTOLOGY_MAX`` compiled entries the operator falls back
+    to the former broadcast-join plan (inline literals would bloat the
+    plan); both paths are value-identical (twin-tested).
+
+    ``materialize_input`` (join path only): the rule legs reference the
     quad frame from ~6 plan branches; on a COMPUTED input (the parse
     pipeline) that would re-run the upstream job per branch (the
     shared-base lesson of connected_components / pagerank), so the
@@ -205,6 +219,147 @@ def rdfs_entailment(quads: DataFrame,
         ontology = [(r[0], r[1], r[2]) for r in rows]
 
     parts = split_ontology(ontology)
+    tables = _compile_emission_tables(parts)
+    n_entries = sum(len(v) for t in tables for v in t.values())
+    if n_entries <= _INLINE_ONTOLOGY_MAX:
+        return _entail_inline(quads, tables)
+    return _entail_joins(quads, parts, materialize_input)
+
+
+# Inline-compilation bound: total emitted (key -> target) entries above
+# which the literal-map plan would bloat (plan text grows linearly with
+# entries); past it the broadcast-join path is the right trade.
+_INLINE_ONTOLOGY_MAX = 4096
+
+
+def _compile_emission_tables(parts: dict) -> tuple[dict, dict, dict, dict]:
+    """Compile the closed ontology into the four emission tables the
+    single-pass plan consumes. All rule COMPOSITION happens here, on the
+    driver, over the bounded schema:
+
+    - lift[p]  = sp+(p) \\ {p}: predicates every p-assertion lifts to
+      (rdfs7 over the closed property hierarchy)
+    - sdom[p]  = sc-closure of { dom(q) : q in {p} u sp+(p) }: classes
+      the SUBJECT gets typed with (rdfs2 over asserted + lifted
+      assertions, composed with rdfs9)
+    - srng[p]  = same for ranges -> classes the non-literal OBJECT gets
+      (rdfs3 composed with rdfs9)
+    - tlift[C] = sc+(C) \\ {C}: superclasses of an asserted (or
+      sp-lifted-to-rdf:type) type object (rdfs9)
+    """
+    sp_lift: dict[str, set] = {}
+    for sub, sup in parts["sp"]:
+        sp_lift.setdefault(sub, set()).add(sup)
+    sc_lift: dict[str, set] = {}
+    for sub, sup in parts["sc"]:
+        sc_lift.setdefault(sub, set()).add(sup)
+    dom_of: dict[str, set] = {}
+    for p, c in parts["dom"]:
+        dom_of.setdefault(p, set()).add(c)
+    rng_of: dict[str, set] = {}
+    for p, c in parts["rng"]:
+        rng_of.setdefault(p, set()).add(c)
+
+    def sc_closed(classes: set) -> set:
+        out = set(classes)
+        for c in classes:
+            out |= sc_lift.get(c, set())
+        return out
+
+    lift = {p: sorted(s - {p}) for p, s in sp_lift.items() if s - {p}}
+    sdom: dict[str, list] = {}
+    srng: dict[str, list] = {}
+    preds = set(sp_lift) | set(dom_of) | set(rng_of)
+    for p in preds:
+        family = {p} | sp_lift.get(p, set())
+        d = sc_closed(set().union(*(dom_of.get(q, set()) for q in family)))
+        r = sc_closed(set().union(*(rng_of.get(q, set()) for q in family)))
+        if d:
+            sdom[p] = sorted(d)
+        if r:
+            srng[p] = sorted(r)
+    tlift = {c: sorted(s - {c}) for c, s in sc_lift.items() if s - {c}}
+    return lift, sdom, srng, tlift
+
+
+def _sql_str(s: str) -> str:
+    """Spark SQL single-quoted string literal (default escape rules)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _map_literal(table: dict[str, list]) -> str:
+    """``map('<k>', array('<v>', ...), ...)`` literal expression."""
+    items = []
+    for k in sorted(table):
+        vals = ", ".join(_sql_str(v) for v in table[k])
+        items.append(f"{_sql_str(k)}, array({vals})")
+    return "map(" + ", ".join(items) + ")"
+
+
+def _entail_inline(quads: DataFrame,
+                   tables: tuple[dict, dict, dict, dict]) -> DataFrame:
+    """Single-pass closure: explode per-row emissions generated from the
+    compiled literal maps. One scan, one shuffle, no joins."""
+    lift, sdom, srng, tlift = tables
+    t = _sql_str(RDF_TYPE)
+    empty = "CAST(array() AS array<struct<s string, p string, o string>>)"
+    legs = ["array(named_struct('s', subj, 'p', pred, 'o', obj))"]
+
+    def from_map(table: dict, body: str, guard: str | None = None) -> None:
+        if not table:
+            return
+        leg = (f"transform(coalesce(element_at({_map_literal(table)}, "
+               f"pred), array()), x -> {body})")
+        if guard:
+            leg = f"IF({guard}, {leg}, {empty})"
+        legs.append(leg)
+
+    # rdfs7: lifted predicate assertions
+    from_map(lift, "named_struct('s', subj, 'p', x, 'o', obj)")
+    # rdfs9 composed onto assertions LIFTED TO rdf:type (the
+    # 'p subPropertyOf rdf:type' corner split_ontology allows)
+    if any(RDF_TYPE in vals for vals in lift.values()) and tlift:
+        type_lifting_preds = sorted(
+            p for p, vals in lift.items() if RDF_TYPE in vals)
+        pred_in = " OR ".join(
+            f"pred = {_sql_str(p)}" for p in type_lifting_preds)
+        legs.append(
+            f"IF({pred_in}, transform(coalesce(element_at("
+            f"{_map_literal(tlift)}, obj), array()), "
+            f"x -> named_struct('s', subj, 'p', {t}, 'o', x)), {empty})")
+    # rdfs2 (+ rdfs9 composition, pre-closed driver-side)
+    from_map(sdom, f"named_struct('s', subj, 'p', {t}, 'o', x)")
+    # rdfs3 (+ rdfs9) — literal guard: a literal never gets typed
+    from_map(srng, f"named_struct('s', obj, 'p', {t}, 'o', x)",
+             guard="NOT startswith(obj, '\"')")
+    # rdfs9 on asserted type rows
+    if tlift:
+        legs.append(
+            f"IF(pred = {t}, transform(coalesce(element_at("
+            f"{_map_literal(tlift)}, obj), array()), "
+            f"x -> named_struct('s', subj, 'p', {t}, 'o', x)), {empty})")
+
+    emissions = "concat(" + ", ".join(legs) + ")"
+    base = quads.select("subj", "pred", "obj", "graph")
+    exploded = base.select(
+        F.posexplode(F.expr(emissions)).alias("i", "e"), "graph")
+    tagged = exploded.select(
+        F.col("e.s").alias("subj"), F.col("e.p").alias("pred"),
+        F.col("e.o").alias("obj"), "graph",
+        # position 0 is the asserted row itself; everything after is
+        # rule-derived (min-tag provenance, identical to the join path)
+        F.when(F.col("i") == 0, F.lit(0)).otherwise(F.lit(1)).alias("tag"))
+    return (tagged.groupBy("subj", "pred", "obj", "graph")
+            .agg(F.min("tag").alias("tag"))
+            .select("subj", "pred", "obj", "graph",
+                    F.when(F.col("tag") == 0, F.lit("asserted"))
+                     .otherwise(F.lit("inferred")).alias("src")))
+
+
+def _entail_joins(quads: DataFrame, parts: dict,
+                  materialize_input: bool) -> DataFrame:
+    """The former broadcast-join plan — kept as the large-ontology path
+    (inline literals would bloat the plan past _INLINE_ONTOLOGY_MAX)."""
     spark = quads.sparkSession
 
     def _pairs_df(pairs: set[tuple[str, str]], a: str, b: str) -> DataFrame:

@@ -123,6 +123,11 @@ def extract_features(media: DataFrame,
                 yield pd.DataFrame({"media_id": ids, "kind": kinds,
                                     "n_bytes": sizes, "feature": feats})
 
+    # NOTE: deliberately NO ensure_map_parallelism here — the input
+    # carries the binary payload column, and the mm lanes' scale
+    # invariant is that payload bytes never cross a shuffle. The
+    # *_stats_from_ids runners (bare-id inputs, payload synthesized
+    # after the exchange) take the parallelism floor instead.
     return (media.select("media_id", "kind", "payload")
             .mapInPandas(run, FEATURE_SCHEMA))
 
@@ -289,7 +294,9 @@ def wav_stats_from_ids(ids: DataFrame, id_col: str = "media_id",
             if rows:
                 yield pd.DataFrame(rows)
 
-    return ids.select(F.col(id_col)).mapInPandas(run, WAV_STATS_SCHEMA)
+    from .parse import ensure_map_parallelism
+    return ensure_map_parallelism(
+        ids.select(F.col(id_col))).mapInPandas(run, WAV_STATS_SCHEMA)
 
 
 def ppm_stats_from_ids(ids: DataFrame, id_col: str = "media_id",
@@ -311,7 +318,9 @@ def ppm_stats_from_ids(ids: DataFrame, id_col: str = "media_id",
             if rows:
                 yield pd.DataFrame(rows)
 
-    return ids.select(F.col(id_col)).mapInPandas(run, PPM_STATS_SCHEMA)
+    from .parse import ensure_map_parallelism
+    return ensure_map_parallelism(
+        ids.select(F.col(id_col))).mapInPandas(run, PPM_STATS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -488,4 +497,6 @@ def png_stats_from_ids(ids: DataFrame, id_col: str = "media_id",
             if rows:
                 yield pd.DataFrame(rows)
 
-    return ids.select(F.col(id_col)).mapInPandas(run, PPM_STATS_SCHEMA)
+    from .parse import ensure_map_parallelism
+    return ensure_map_parallelism(
+        ids.select(F.col(id_col))).mapInPandas(run, PPM_STATS_SCHEMA)

@@ -74,6 +74,32 @@ def rows_from_results(results) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def ensure_map_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Floor the partition count of a CPU-heavy map stage's input at the
+    session's default parallelism (guide §2.5/§6 input-skew family).
+
+    Bytes-based split sizing under-parallelizes small-but-expensive
+    inputs: a file below ``spark.sql.files.openCostInBytes`` is ONE scan
+    task regardless of core count, while the Python parse kernel costs
+    orders of magnitude more CPU per byte than the columnar scan — so a
+    sub-megabyte corpus otherwise serializes the whole kernel stage on
+    one core. Returns ``df`` unchanged when the planned input already
+    has enough partitions (at production scale a corpus scan has
+    thousands of splits, so this never fires there); otherwise pays one
+    cheap round-robin exchange of the raw input rows (kilobytes when it
+    fires, deterministic via Spark's sort-before-repartition)."""
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — exotic plans; never fatal
+        return df
+    if n >= target:
+        return df
+    return df.repartition(target)
+
+
 def parse_blocks(blocks: DataFrame, ctx_cache: dict | None = None,
                  rdf_direction: str | None = None,
                  parser_options=None) -> DataFrame:
@@ -96,7 +122,7 @@ def parse_blocks(blocks: DataFrame, ctx_cache: dict | None = None,
                                            batch["blk"].tolist(),
                                            batch["block"].tolist()))
 
-    return blocks.mapInPandas(run, QUAD_SCHEMA)
+    return ensure_map_parallelism(blocks).mapInPandas(run, QUAD_SCHEMA)
 
 
 def quads_only(parsed: DataFrame) -> DataFrame:
@@ -190,7 +216,8 @@ def extract_and_parse(pages: DataFrame, ctx_cache: dict | None = None,
                  pa.array(err_l, pa.string())],
                 schema=arrow_schema)
 
-    return pages.select("url", "html").mapInArrow(run, QUAD_SCHEMA)
+    return (ensure_map_parallelism(pages.select("url", "html"))
+            .mapInArrow(run, QUAD_SCHEMA))
 
 
 def pages_to_quads(pages: DataFrame, ctx_cache: dict | None = None,

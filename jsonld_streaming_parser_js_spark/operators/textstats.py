@@ -256,7 +256,8 @@ def _token_ngrams(docs: DataFrame, n: int) -> DataFrame:
     # lambdas) — measured 11x slower and O(tokens^2) per doc.
     # greatest(..., 1) + the size filter: Spark's sequence(1, 0) DESCENDS
     # ([1, 0]), so a <n-token doc would otherwise emit bogus short grams
-    toked = docs.select(
+    from .parse import ensure_map_parallelism
+    toked = ensure_map_parallelism(docs.select("doc_id", "text")).select(
         "doc_id",
         F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
         .alias("toks"))
@@ -363,7 +364,8 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     dependent on doc_id. The tokenizer runs once per doc (hoisted into
     a column; Catalyst does not hoist invariants out of higher-order
     lambdas — see _token_ngrams)."""
-    toked = docs.select(
+    from .parse import ensure_map_parallelism
+    toked = ensure_map_parallelism(docs.select("doc_id", "text")).select(
         "doc_id",
         F.length("text").alias("text_len"),
         F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
