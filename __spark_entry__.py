@@ -318,7 +318,12 @@ def _entity_quads(spark, sf_dir):
     connected-components iteration, the north_rule's named mechanism.
     Pure SQL expressions from ``documents`` so the DuckDB oracle rebuilds
     the identical quads (same trick as sources/pages.py)."""
-    docs = _docs(spark, sf_dir).select("doc_id")
+    from jsonld_streaming_parser_js_spark.operators.parse import (
+        ensure_map_parallelism)
+    # r8: floor the explode seed's parallelism — the 36x fan-out and the
+    # downstream feature aggregation otherwise run on the single scan
+    # split of the tiny seed file (guide §2.5 input skew)
+    docs = ensure_map_parallelism(_docs(spark, sf_dir).select("doc_id"))
     ent = (docs
            .select("doc_id",
                    F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r"))

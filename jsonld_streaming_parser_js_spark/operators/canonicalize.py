@@ -176,52 +176,52 @@ def connected_components(edges: DataFrame,
     attribute, which would be shared global state under concurrent
     callers — ADVICE r6).
     """
-    # Checkpoint the EDGE LIST first: everything below (sym's two union
-    # branches, the initial labels) derives from it, so the expensive
-    # candidate pipeline feeding `edges` (LSH signatures -> banding ->
-    # verify) materializes exactly ONCE. The previous shape checkpointed
-    # sym and labels separately, each re-evaluating the edge pipeline
-    # (sym's union even evaluated it twice in one job) — 3-4 full
-    # recomputations of the most expensive subtree per CC call.
+    # Checkpoint the EDGE LIST first: everything below derives from it,
+    # so the expensive candidate pipeline feeding `edges` (LSH
+    # signatures -> banding -> verify) materializes exactly ONCE.
+    #
+    # r8 iteration shape (guide §2.4 — remove shuffles outright): the
+    # symmetric edge set is augmented with one SELF-LOOP per node, so
+    # "min(own label, neighbor labels)" becomes a single
+    # join + groupBy(min) — the old shape's second join (re-attaching
+    # the old label to fold it in and compute the change flag) is gone,
+    # one equi-join and one shuffle per iteration instead of two joins.
+    # The change flag comes from the same aggregate: the self-loop row
+    # carries the node's own (old) label, so
+    # changed == min(all) < min(self row) — labels only ever decrease.
+    # sym2 (edges + reversed edges + self-loops) is iteration-invariant
+    # and checkpointed once; the initial labels read its self-loop rows
+    # back narrowly (no extra job).
     edges = edges.select("src", "dst").localCheckpoint()
-    sym = (edges
-           .union(edges.select(F.col("dst").alias("src"),
-                               F.col("src").alias("dst"))))
-    labels = (sym.select("src").union(sym.select("dst"))
-              .distinct()
+    rev = edges.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    sym2 = (edges.union(rev)
+            .union(nodes.select(F.col("node").alias("src"),
+                                F.col("node").alias("dst")))
+            .localCheckpoint())
+    labels = (sym2.where(F.col("src") == F.col("dst"))
               .select(F.col("src").alias("node"),
-                      F.col("src").alias("component"))
-              .localCheckpoint())
+                      F.col("src").alias("component")))
 
     for it in range(max_iter):
-        # each node adopts min(own label, neighbors' labels). The change
-        # flag is computed IN the same select (hash-min labels only ever
-        # decrease, so changed == some neighbor label beat the old one) and
-        # the convergence count doubles as the action that materializes the
-        # LAZY localCheckpoint — one Spark job per iteration instead of
-        # three (eager checkpoint + old-vs-new join + count). The count is
-        # deliberately un-limited: it must touch every partition so the
-        # checkpoint is fully materialized before lineage truncation.
-        neighbor_min = (sym.join(labels,
-                                 sym["dst"] == labels["node"])
-                        .groupBy("src")
-                        .agg(F.min("component").alias("nbr_component")))
-        joined = (labels.join(neighbor_min,
-                              labels["node"] == neighbor_min["src"],
-                              "left")
-                  .select(
-                      "node",
-                      F.least(F.col("component"),
-                              F.coalesce(F.col("nbr_component"),
-                                         F.col("component")))
-                      .alias("component"),
-                      # refs resolve against the JOIN input, not the
-                      # sibling alias: old component vs neighbor min
-                      (F.col("nbr_component") < F.col("component"))
-                      .alias("_changed"))
-                  .localCheckpoint(eager=False))
-        changed = joined.where(F.col("_changed")).count()
-        labels = joined.drop("_changed")
+        # one job per iteration: the convergence count doubles as the
+        # action that materializes the LAZY localCheckpoint (full,
+        # un-limited count — it must touch every partition so lineage
+        # truncation is safe).
+        upd = (sym2.join(labels, sym2["dst"] == labels["node"])
+               .groupBy("src")
+               .agg(F.min("component").alias("component"),
+                    F.min(F.when(sym2["dst"] == sym2["src"],
+                                 F.col("component"))).alias("_own"))
+               .select(F.col("src").alias("node"), "component",
+                       (F.col("component") < F.col("_own"))
+                       .alias("_changed"))
+               .localCheckpoint(eager=False))
+        changed = upd.where(F.col("_changed")).count()
+        labels = upd.drop("_changed")
         if changed == 0:
             if stats is not None:
                 stats["iterations"] = it + 1

@@ -27,6 +27,16 @@ def get_spark(app: str = "jsonld-kg", cores: int | None = None,
         # handles residual skew the static plan can't see)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r8: AQE's 1 MB minimum coalesced-partition size serializes
+        # CPU-heavy post-shuffle stages over byte-small intermediates
+        # (e.g. MinHash signatures over an aggregated feature table) on
+        # ONE task; 256 KB keeps such stages parallel. Scale-neutral:
+        # with real data volumes the parallelismFirst target
+        # (total/defaultParallelism) dominates this floor anyway.
+        # Parameterised for ops override; bytes, conservative default.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_MIN_COALESCED_PARTITION",
+                               "262144"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow exchange for pandas UDFs / mapInPandas
