@@ -100,6 +100,13 @@ def candidate_edges_minhash(features: DataFrame, num_hashes: int = 32,
     mersenne = _MERSENNE
     a, b = minhash_params(num_hashes)
 
+    # NOTE (r8, measured): the static plan duplicates the feature/sig
+    # subtrees across the self-join sides, but AQE reuses the identical
+    # shuffle stages at runtime (stage-level evidence: the feature
+    # aggregation executes once per run), so caching here bought nothing
+    # and its materialization barriers + the AQE-less cached-plan
+    # partitioning made cold runs ~3x slower — deliberately NOT cached.
+
     schema = ST.StructType([
         ST.StructField("node", ST.StringType()),
         ST.StructField("sig", ST.ArrayType(ST.LongType())),
@@ -410,6 +417,10 @@ def cluster_summary(quads: DataFrame) -> DataFrame:
     view of canonicalization output (exact blocking: block == component,
     so members = star size + the canonical itself)."""
     edges = candidate_edges_exact(node_features(quads))
+    # r8: src is globally UNIQUE by construction (node_features emits one
+    # row per node, and candidate_edges_exact joins each node to exactly
+    # one block minimum), so count(*) == countDistinct(src) — same value
+    # without the distinct expansion's extra shuffle (guide §2.4).
     return (edges.groupBy(F.col("dst").alias("canonical"))
-            .agg((F.countDistinct("src") + F.lit(1)).alias("n_members"))
+            .agg((F.count("src") + F.lit(1)).alias("n_members"))
             .orderBy("canonical"))

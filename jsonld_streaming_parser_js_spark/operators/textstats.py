@@ -185,7 +185,8 @@ def boilerplate_spans(docs: DataFrame, k: int = BOILERPLATE_K,
     definition low-cardinality); stride/k tune volume independently of
     correctness. Returns (doc_id, n_grams, n_boilerplate, ratio).
     """
-    grams = (docs
+    from .parse import ensure_map_parallelism
+    grams = (ensure_map_parallelism(docs.select("doc_id", "text"))
              .select("doc_id",
                      F.explode(F.expr(
                          f"transform(sequence(1, greatest(cast(floor((length(text)"
